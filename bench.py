@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count).
+A warmup pass on sf0.001 first touches the JVM/codegen paths so the
+measurements reflect steady-state execution, not JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_retail_pipeline_spark.queries import REGISTRY  # noqa: E402
+from duckdb_retail_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    # warmup: exercise codegen/shuffle machinery on the tiny SF
+    for spec in headline.values():
+        try:
+            spec.fn(spark, WARMUP_DIR).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup {spec.name} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(headline.items()):
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [v for v in timings.values() if v >= 0]
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(ok), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

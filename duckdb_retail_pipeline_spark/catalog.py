@@ -1,0 +1,58 @@
+"""Testdata catalog: load the driver's parquet tables and register views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under /root/testdata/sf{0.001,0.01,0.1}/.
+
+At 100 TB these would be directory-per-table, partitioned (facts by
+date) — `load_table` takes any path Spark can read, so the same code
+path serves both. Reads are plain `spark.read.parquet`: Catalyst
+handles column pruning + predicate pushdown into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always broadcast-join candidates. Facts
+# (orders/lineitem/events/documents/embeddings) scale with SF; dims
+# stay small even at 100 TB.
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so Spark SQL text (CTEs,
+    scalar subqueries, views) can reference them by name."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

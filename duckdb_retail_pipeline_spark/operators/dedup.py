@@ -1,0 +1,198 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, orderered by cost:
+
+  exact_dedup          — hash-groupBy on a canonical fingerprint
+  ngram_jaccard_pairs  — exact n-gram Jaccard within cheap blocks
+  minhash_lsh_pairs    — MinHash signatures + LSH banding, verified
+                         with exact Jaccard (the 100 TB path)
+  simhash_pairs        — 60-bit SimHash + hamming-distance blocking
+  embedding_dup_pairs  — cosine near-dup over embeddings
+
+Scale notes: every strategy is candidate-generation-by-equi-join
+(hash buckets / LSH bands / blocks) followed by verification on the
+candidate pairs only — never an all-pairs cross join. MinHash hashes
+are md5-derived (functions.text) so results are reproducible in an
+ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.functions import text as T
+from duckdb_retail_pipeline_spark.functions import vectors as V
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per canonical fingerprint.
+    One shuffle on the fingerprint; map-side partial min."""
+    return (
+        docs.select(F.col(id_col), T.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard ≥ threshold among pairs sharing a
+    block key. Blocking bounds the quadratic term: pairs form only
+    within (lang, source) groups, which stay small and numerous as
+    data grows — the join is an equi-join on the block key."""
+    d = docs.select(
+        *block_cols, F.col(id_col), T.word_shingles(text_col, n).alias("sh")
+    )
+    a = d.select(
+        *[F.col(c).alias(f"{c}") for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = d.select(
+        *[F.col(c).alias(f"{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(b, list(block_cols), "inner").filter(F.col("id_a") < F.col("id_b"))
+    sim = pairs.withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
+    return sim.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    rows-per-band = num_hashes/bands; a pair lands in a candidate
+    bucket iff one band of their signatures matches exactly. The
+    banding join is an equi-join on (band_idx, band_signature) — the
+    only shuffle that scales with corpus size. Exact Jaccard then
+    filters false positives, so output = true near-dups ∩ LSH recall.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+
+    base = docs.select(
+        F.col(id_col),
+        T.word_shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("sig", T.minhash_signature(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4)).filter(
+        F.col("jaccard") >= threshold
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit simhash, blocked on 4 15-bit
+    chunks (two fingerprints within hamming distance 3 of each other
+    must agree on ≥1 of 4 chunks), verified by exact hamming count."""
+    sh = docs.select(
+        F.col(id_col), T.simhash64(T.tokens(text_col)).alias("simhash")
+    )
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        ((F.col("simhash") / F.lit(2 ** (15 * i))).cast("bigint") % F.lit(2**15)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk_idx").alias("chunk_idx"), F.col("ck.chunk").alias("chunk"))
+
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0),
+        lambda acc, i: acc + F.shiftright(xor, i).bitwiseAND(F.lit(1)).cast("int"),
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks. At 100 TB the
+    block key comes from a coarse LSH / IVF assignment (see
+    operators.similarity); with labeled testdata the label column
+    stands in as the block."""
+    d = emb.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col))
+    a = d.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = d.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, "blk", "inner").filter(F.col("id_a") < F.col("id_b"))
+    sim = pairs.withColumn("cosine", F.round(V.cosine_similarity("v_a", "v_b"), 4))
+    return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

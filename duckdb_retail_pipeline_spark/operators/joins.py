@@ -1,0 +1,147 @@
+"""Join operators.
+
+The reference's joins are all equi-joins against small dimensions
+(SURVEY.md §2.3) — on Spark those must be broadcast-hash joins, so
+``dim_join`` makes the hint explicit rather than trusting the
+threshold. Anti/semi helpers express the reference's referential-
+integrity and IN-subquery patterns. ``asof_join`` is the extension
+operator Spark lacks natively (guide: bucketize or merge_asof); here
+it's the union-window formulation — no cross product, no UDF, scales
+as one shuffle on (key, time).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ dimension with an explicit broadcast hint — dims stay
+    dim-sized at any SF, so this is always the right physical plan
+    (reference J1/J2/J8, src/models/facts.py:48-50,286,400-401)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def orphans(
+    fact: DataFrame, dim: DataFrame, on: str | list[str] | Column
+) -> DataFrame:
+    """Fact rows with no matching dimension row — the reference's
+    referential-integrity check as a left-anti join
+    (src/models/facts.py:114-139)."""
+    return fact.join(F.broadcast(dim), on, "left_anti")
+
+
+def semi_in(
+    df: DataFrame, filter_df: DataFrame, on: str | list[str] | Column
+) -> DataFrame:
+    """``x IN (SELECT ...)`` as a left-semi join
+    (reference src/models/dimensions.py:88-93)."""
+    return df.join(F.broadcast(filter_df), on, "left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: str,
+    by: Sequence[str] | None = None,
+    right_time: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row
+    at or before its timestamp (direction='backward'; 'forward' takes
+    the next at-or-after).
+
+    Implementation: tag both sides, union them, and forward-fill the
+    right side's payload along (by, time) with a last-ignore-nulls
+    window — one shuffle, no range explosion. This is the same trick
+    the reference uses for FX forward-fill, generalized to a join.
+    """
+    rt = right_time or on_time
+    by = list(by or [])
+    payload = [c for c in right.columns if c != rt and c not in by]
+
+    lhs = left.select(
+        *by,
+        F.col(on_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.struct(*[c for c in left.columns]).alias("__row"),
+    )
+    rhs = right.select(
+        *by,
+        F.col(rt).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.lit(None)
+        .cast(lhs.schema["__row"].dataType)
+        .alias("__row"),
+    )
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time → "at or before"
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    fill = F.last if direction == "backward" else F.first
+    filled = unioned.select(
+        "*",
+        *[
+            fill(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in payload
+        ],
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *[F.col("__row")[c].alias(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in payload],
+    )
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Range join (left.val BETWEEN right.lo AND right.hi) via bucket
+    equi-join + residual filter, avoiding the O(n·m) theta join: each
+    right interval is exploded to its overlapping buckets, then an
+    equi-join on bucket id prunes to near-candidates."""
+    by = list(by or [])
+    lb = left.withColumn("__bucket", F.floor(F.col(left_val) / bucket_width))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width).cast("long"),
+                F.floor(F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, by + ["__bucket"], "inner").filter(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
+    )
+    return joined.drop("__bucket")

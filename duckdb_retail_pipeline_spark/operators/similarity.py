@@ -1,0 +1,144 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+  brute_force_topk — exact cosine top-k; the correctness baseline.
+                     One scan, JVM-side arithmetic, TakeOrdered —
+                     right answer at any scale that can afford the
+                     full scan.
+  lsh_topk         — random-hyperplane LSH bucketing; probes only
+                     matching buckets. The scale path: candidate set
+                     shrinks ~2^bits-fold.
+  ivf_topk         — IVF-style coarse quantization: k-means-ish
+                     centroids picked deterministically, vectors
+                     assigned to nearest centroid, queries probe the
+                     nprobe nearest cells.
+
+Hyperplanes/centroids are derived deterministically from data (no
+RNG) so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``. The literal
+    array is constant-folded by Catalyst; ordering ties break on id
+    so results are total-ordered and reproducible."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes_from_data(emb: DataFrame, vec_col: str, id_col: str, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: take the first
+    ``bits`` vectors by id, center them by the dataset mean. Driver
+    collects only bits × dim floats — O(KB)."""
+    rows = emb.orderBy(id_col).limit(bits).select(vec_col).collect()
+    mean = emb.select(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s"),
+        F.size(vec_col).alias("n"),
+    ).agg(F.avg("s").alias("avg_sum"), F.first("n").alias("dim")).collect()[0]
+    dim = mean["dim"]
+    grand_mean = mean["avg_sum"] / dim
+    return [[float(v) - grand_mean for v in r[vec_col]] for r in rows]
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """LSH bucket id = sign bits against each hyperplane."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(V.dot(F.col(vec_col), plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, exact cosine
+    within it. Recall < 1 by construction; pair with
+    ``brute_force_topk`` to measure (tests do)."""
+    planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
+    bucketed = emb.withColumn("__bucket", _bucket_expr(vec_col, planes))
+
+    # compute the query's bucket driver-side with the same planes
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qb += 2**i
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = bucketed.filter(F.col("__bucket") == qb)
+    scored = cand.select(
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: centroids = first n_cells vectors by id (deterministic
+    seeding; one k-means pass would refine at scale), vectors assigned
+    to their nearest centroid at write time, query probes the nprobe
+    nearest cells. The assignment join broadcasts the centroid list."""
+    cents = [list(map(float, r[vec_col])) for r in emb.orderBy(id_col).limit(n_cells).collect()]
+
+    def nearest_cell_expr(col):
+        best_idx = F.lit(0)
+        best_sim = F.lit(-2.0)
+        for i, cvec in enumerate(cents):
+            c = F.array(*[F.lit(x) for x in cvec])
+            sim = V.cosine_similarity(col, c)
+            better = sim > best_sim
+            best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+            best_sim = F.when(better, sim).otherwise(best_sim)
+        return best_idx
+
+    assigned = emb.withColumn("__cell", nearest_cell_expr(F.col(vec_col)))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else -2.0
+
+    probe_cells = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("__cell").isin(*probe_cells))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

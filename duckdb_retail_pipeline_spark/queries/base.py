@@ -1,0 +1,117 @@
+"""Registry plumbing + cross-engine comparison conventions.
+
+Conventions that make the DuckDB differential gate deterministic
+(each discovered empirically, see SURVEY.md §4 "semantic landmines"):
+
+- **dround, never ROUND**: Spark's ROUND rounds the shortest decimal
+  representation (BigDecimal.valueOf) while DuckDB's ROUND rounds the
+  binary value — round(1.275, 2) differs (1.28 vs 1.27). Casting to
+  DECIMAL and back to DOUBLE takes the shortest-repr HALF_UP path in
+  *both* engines, so every compared float goes through
+  ``dround`` / ``SQL_DROUND``.
+- **bigint integers**: DuckDB SUM(int) is int128; every integer
+  output is cast to bigint on both sides.
+- **dates as DATE**: testdata date columns are parquet timestamps;
+  both sides cast to DATE before grouping/output.
+- **total ordering under LIMIT**: every top-k query breaks ties on a
+  unique column so the selected set is identical in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            headline=headline, tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dround(col: Column | str, scale: int = 2) -> Column:
+    """Cross-engine-stable rounding: double → decimal(28,scale) →
+    double (see module docstring)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast(f"decimal(28,{scale})").cast("double")
+
+
+def sql_dround(expr: str, scale: int = 2) -> str:
+    """The DuckDB-side twin of ``dround``."""
+    return f"CAST(CAST(({expr}) AS DECIMAL(28,{scale})) AS DOUBLE)"
+
+
+# -- exact money arithmetic ------------------------------------------------
+#
+# Money columns in the testdata are exact 2-dp doubles, and per-row
+# expression trees evaluate to bit-identical doubles in any IEEE-754
+# engine. What is NOT deterministic is the double SUM/AVG fold order
+# (partitioned partial aggregation). So: scale each row to integer
+# "cents" (exact in int64), sum the integers (exact, associative),
+# and perform ONE double division at the end — bit-exact on both
+# engines at any partition count. `dp` is the per-row decimal scale
+# of the expression (2 for raw money, 4 for price*(1-disc), 6 for
+# price*(1-disc)*(1+tax)).
+
+
+def money_sum(col: Column, dp: int = 2) -> Column:
+    scale = 10**dp
+    cents = F.round(col * scale, 0).cast("bigint")
+    return F.sum(cents) / F.lit(float(scale))
+
+
+def sql_money_sum(expr: str, dp: int = 2) -> str:
+    # outer CAST: in Spark SQL a `100.0` literal is DECIMAL, so the
+    # division would return decimal; DuckDB returns double. CAST
+    # pins both to double.
+    scale = 10**dp
+    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) / {scale}.0 AS DOUBLE)"
+
+
+def money_avg(col: Column, dp: int = 2) -> Column:
+    """Exact-mean: integer-cent sum over non-null count, one division."""
+    scale = 10**dp
+    cents = F.round(col * scale, 0).cast("bigint")
+    return F.sum(cents) / F.nullif(F.count(col) * F.lit(float(scale)), F.lit(0.0))
+
+
+def sql_money_avg(expr: str, dp: int = 2) -> str:
+    scale = 10**dp
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT))"
+        f" / NULLIF(COUNT({expr}) * {scale}.0, 0.0) AS DOUBLE)"
+    )

@@ -1,0 +1,82 @@
+"""SparkSession factory.
+
+Defaults are tuned for the driver's local[{32}] harness but every
+knob is chosen to also be the right call on a 1000-executor cluster
+reading ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, plan re-opt),
+- broadcast threshold generous enough that every dimension table in
+  the star schema broadcast-joins (dims are <10 MB even at 100 TB —
+  facts grow, dims don't),
+- shuffle partitions sized to cores locally; on a real cluster AQE's
+  coalescing makes the initial number far less sensitive,
+- Arrow on for every driver<->executor pandas exchange,
+- session timezone pinned UTC so date/timestamp semantics match the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "duckdb_retail_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    If a session already exists (e.g. the driver passed one in), the
+    builder returns it; our per-session confs are set at build time
+    only, so callers that own the session keep their settings.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs to an externally-owned session
+    (the driver hands us one in ``__spark_entry__.entry``). Only confs
+    that Spark allows changing after startup are touched."""
+    runtime = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf may be static; keep going
+            pass
+    return spark
