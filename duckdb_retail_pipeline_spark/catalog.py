@@ -42,7 +42,29 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a usable TimestampType ``ts``.
+
+    The testdata writes ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    The Spark-native workaround: read nanos as raw longs
+    (spark.sql.legacy.parquet.nanosAsLong) and integer-divide to
+    microseconds — `DIV 1000` stays exact where double division
+    would lose precision above 2^53. Matches DuckDB's ns→µs cast
+    (truncation) for the oracle."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,10 +20,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Fixed salts for the MinHash permutation family — (a*h + b) mod P on
-# a shared 60-bit base hash. P is the largest prime < 2^61 so the
-# modular arithmetic stays exact in signed 64-bit (and in DuckDB's
-# HUGEINT-backed intermediate).
-MINHASH_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne)
+# a shared **28-bit** base hash (first 7 md5 hex chars). 28 bits keeps
+# a*h + b well inside signed 64-bit for small salts, which matters
+# because Spark runs ANSI mode (bigint overflow would raise) and
+# DuckDB likewise errors on int64 overflow. P = 2^31 - 1 (Mersenne).
+MINHASH_PRIME = 2147483647
 
 
 def _c(col: Column | str) -> Column:
@@ -34,6 +35,12 @@ def md5_long(col: Column | str) -> Column:
     """Deterministic 60-bit integer hash of a string, cross-engine
     reproducible (see module docstring)."""
     return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_int28(col: Column | str) -> Column:
+    """28-bit variant for salted-multiply MinHash permutations
+    (overflow-safe in ANSI int64 math; see MINHASH_PRIME note)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 7), 16, 10).cast("bigint")
 
 
 def tokens(col: Column | str) -> Column:
@@ -52,14 +59,20 @@ def char_shingles(col: Column | str, n: int = 3) -> Column:
     DuckDB list comprehension — so both engines produce the same set.
     """
     c = _c(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0)))
+    # Guard: sequence(1, 0) would DESCEND in Spark ([1, 0]); short
+    # strings must yield an empty shingle set instead.
+    idx = F.when(
+        F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
 
 
 def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Distinct word n-grams, each joined with ``sep``."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)))
     )
@@ -75,18 +88,41 @@ def jaccard(a: Column | str, b: Column | str) -> Column:
 
 def minhash_signature(shingles: Column | str, num_hashes: int = 16) -> Column:
     """MinHash signature: array of ``num_hashes`` minima of salted
-    60-bit shingle hashes. Permutation i is (a_i*h + b_i) mod P with
-    fixed odd salts — exact integer math, reproducible in ANSI SQL."""
+    28-bit shingle hashes. Permutation i is (a_i*h + b_i) mod P with
+    fixed odd salts — exact integer math, reproducible in ANSI SQL.
+
+    NOTE: prefer hashing once into a column and calling
+    ``minhash_signature_from_hashes`` — inlining this expression N
+    times recomputes the md5s N times (no cross-expression CSE)."""
     sh = _c(shingles)
-    base = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+    )
+    return minhash_signature_from_hashes(base, num_hashes)
+
+
+def shingle_hashes28(shingles: Column | str) -> Column:
+    """28-bit md5-derived hash per shingle (the MinHash base)."""
+    return F.transform(
+        _c(shingles),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+    )
+
+
+def minhash_signature_from_hashes(base: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature over pre-computed 28-bit shingle hashes —
+    the md5 work happens once however many permutations run."""
+    base = _c(base)
+    def perm(a: int, b: int):
+        # NB: a plain closure, not default-arg binding — Spark counts
+        # a lambda's parameters to bind HOF variables, so extra
+        # default args break arity detection.
+        return lambda h: (h * a + b) % F.lit(MINHASH_PRIME)
+
     sigs = []
     for i in range(num_hashes):
-        a = 2 * i + 1
-        b = 1000003 * (i + 1)
         sigs.append(
-            F.array_min(
-                F.transform(base, lambda h, a=a, b=b: (h * a + b) % F.lit(MINHASH_PRIME))
-            )
+            F.array_min(F.transform(base, perm(2 * i + 1, 1000003 * (i + 1))))
         )
     return F.array(*sigs)
 
@@ -101,13 +137,16 @@ def simhash64(toks: Column | str) -> Column:
     # bit b of token hash h = (h >> b) & 1. Expressed as one
     # aggregate per bit over the token array — JVM-side, no UDF.
     base = F.transform(t, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
+
+    def bit_vote(b: int):
+        # closure (not default-arg lambda) — see minhash_signature note
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bits = []
     for b in range(60):
-        vote = F.aggregate(
-            base,
-            F.lit(0).cast("bigint"),
-            lambda acc, h, b=b: acc + F.when(((h / F.lit(2**b)).cast("bigint") % 2) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(base, F.lit(0).cast("bigint"), bit_vote(b))
         bits.append(F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
     out = bits[0]
     for bit in bits[1:]:

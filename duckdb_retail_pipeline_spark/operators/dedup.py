@@ -25,11 +25,25 @@ from duckdb_retail_pipeline_spark.functions import text as T
 from duckdb_retail_pipeline_spark.functions import vectors as V
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition CPU-heavy per-document work across all cores.
+
+    Small corpora arrive as 1-2 parquet splits (files below
+    maxPartitionBytes don't split), which would serialize the
+    expensive shingle/hash expressions onto 2 of N cores. One cheap
+    shuffle of the id+text columns unlocks full parallelism; at real
+    scale the input already has enough splits and this is a no-op
+    cost-wise."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, key)
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest-id document per canonical fingerprint.
     One shuffle on the fingerprint; map-side partial min."""
     return (
-        docs.select(F.col(id_col), T.fingerprint(text_col).alias("fp"))
+        _spread(docs, id_col)
+        .select(F.col(id_col), T.fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -50,7 +64,7 @@ def ngram_jaccard_pairs(
     block key. Blocking bounds the quadratic term: pairs form only
     within (lang, source) groups, which stay small and numerous as
     data grows — the join is an equi-join on the block key."""
-    d = docs.select(
+    d = _spread(docs, id_col).select(
         *block_cols, F.col(id_col), T.word_shingles(text_col, n).alias("sh")
     )
     a = d.select(
@@ -91,10 +105,15 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
 
-    base = docs.select(
-        F.col(id_col),
-        T.word_shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("sig", T.minhash_signature(F.col("sh"), num_hashes))
+    # Stage the md5 shingle hashes as their own column so the 16
+    # permutation minima reuse them (inline, each would re-md5).
+    base = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), T.word_shingles(text_col, shingle_n).alias("sh"))
+        .withColumn("hs", T.shingle_hashes28(F.col("sh")))
+        .withColumn("sig", T.minhash_signature_from_hashes(F.col("hs"), num_hashes))
+        .drop("hs")
+    )
 
     banded = base.select(
         id_col,
@@ -139,7 +158,7 @@ def simhash_pairs(
     """SimHash near-dup pairs: 60-bit simhash, blocked on 4 15-bit
     chunks (two fingerprints within hamming distance 3 of each other
     must agree on ≥1 of 4 chunks), verified by exact hamming count."""
-    sh = docs.select(
+    sh = _spread(docs, id_col).select(
         F.col(id_col), T.simhash64(T.tokens(text_col)).alias("simhash")
     )
     chunks = sh.select(
@@ -150,7 +169,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        ((F.col("simhash") / F.lit(2 ** (15 * i))).cast("bigint") % F.lit(2**15)).alias("chunk"),
+                        (
+                            F.shiftright(F.col("simhash"), 15 * i) % F.lit(2**15)
+                        ).alias("chunk"),
                     )
                     for i in range(4)
                 ]
@@ -167,11 +188,7 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
-    hamming = F.aggregate(
-        F.sequence(F.lit(0), F.lit(59)),
-        F.lit(0),
-        lambda acc, i: acc + F.shiftright(xor, i).bitwiseAND(F.lit(1)).cast("int"),
-    )
+    hamming = F.bit_count(xor).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -66,13 +66,16 @@ def sessionize(
     ts_col: str,
     user_col: str,
     gap_minutes: int = 30,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Assign batch session ids: a new session starts when the gap to
     the previous event of the same user exceeds ``gap_minutes``.
     lag + conditional cumsum — the standard two-window sessionizer;
     both windows share the same (user, ts) partitioning/ordering so
-    Spark plans a single sort+shuffle."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    Spark plans a single sort+shuffle. Pass unique ``tiebreak``
+    columns when timestamps can collide (lag needs a total order to
+    be deterministic)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
     prev_ts = F.lag(ts_col).over(w)
     gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
     is_new = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)

@@ -10,6 +10,7 @@ reference's DROP+CTAS layering, SURVEY.md §4).
 
 from duckdb_retail_pipeline_spark.pipeline import (  # noqa: F401
     aggregates,
+    analysis,
     dimensions,
     facts,
     run,

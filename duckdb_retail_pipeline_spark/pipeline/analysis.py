@@ -1,0 +1,112 @@
+"""Analytics consumer (reference analysis/analyze_monthly_sales.py).
+
+The reference's EP2 entry point: create the monthly view, pull it to
+pandas via Arrow, run the second-stage pandas aggregations (top-5
+countries, country totals, monthly orders, AOV), and render the
+4-panel dashboard. matplotlib is not installed in this container, so
+the render step gates on an import-try — every computation before
+the plot call is real and tested.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_retail_pipeline_spark.pipeline.views import build_monthly_sales_summary
+
+try:  # pragma: no cover - optional dep
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    HAS_MPL = True
+except ImportError:
+    HAS_MPL = False
+
+
+def monthly_summary_pdf(agg_country_day: DataFrame) -> pd.DataFrame:
+    """View → pandas (Arrow transfer) with the derived
+    avg_order_value_eur the reference adds query-side
+    (analyze_monthly_sales.py:57-69)."""
+    pdf = build_monthly_sales_summary(agg_country_day).toPandas()
+    pdf["avg_order_value_eur"] = (
+        pdf["total_revenue_eur"] / pdf["total_orders"].replace(0, pd.NA)
+    ).astype(float).round(2)
+    return pdf
+
+
+def insight_frames(pdf: pd.DataFrame) -> dict[str, pd.DataFrame | pd.Series]:
+    """The reference's pandas-side second-stage aggregations
+    (analyze_monthly_sales.py:77-126)."""
+    top5_countries = (
+        pdf.groupby("country")["total_revenue_gbp"].sum().nlargest(5)
+    )
+    country_totals = pdf.groupby("country").agg(
+        revenue_gbp=("total_revenue_gbp", "sum"),
+        orders=("total_orders", "sum"),
+    )
+    monthly_orders = pdf.groupby(["year", "month"])["total_orders"].sum()
+    monthly_aov = pdf.groupby(["year", "month"]).apply(
+        lambda g: g["total_revenue_gbp"].sum() / max(int(g["total_orders"].sum()), 1),
+        include_groups=False,
+    )
+    return {
+        "top5_countries": top5_countries,
+        "country_totals": country_totals,
+        "monthly_orders": monthly_orders,
+        "monthly_aov": monthly_aov,
+    }
+
+
+def insights(pdf: pd.DataFrame) -> dict[str, object]:
+    """Headline metrics (analyze_monthly_sales.py:148-168)."""
+    monthly_rev = pdf.groupby(["year", "month"])["total_revenue_gbp"].sum()
+    best = monthly_rev.idxmax()
+    growth = None
+    if len(monthly_rev) >= 2:
+        first, last = monthly_rev.iloc[0], monthly_rev.iloc[-1]
+        growth = round((last - first) / first * 100, 2) if first else None
+    return {
+        "best_month": best,
+        "best_month_revenue": round(float(monthly_rev.max()), 2),
+        "total_revenue_gbp": round(float(pdf["total_revenue_gbp"].sum()), 2),
+        "n_countries": int(pdf["country"].nunique()),
+        "first_to_last_growth_pct": growth,
+    }
+
+
+def render_dashboard(pdf: pd.DataFrame, out_path: str) -> str:
+    """4-panel dashboard (analyze_monthly_sales.py:140-143). Needs
+    matplotlib; raises NotImplementedError without it."""
+    if not HAS_MPL:
+        raise NotImplementedError(
+            "matplotlib is not installed in this environment; "
+            "insight_frames()/insights() carry the computed analytics"
+        )
+    frames = insight_frames(pdf)
+    fig, axes = plt.subplots(2, 2, figsize=(16, 10))
+    frames["top5_countries"].plot.bar(ax=axes[0][0], title="Top 5 countries (GBP)")
+    frames["monthly_orders"].plot(ax=axes[0][1], title="Monthly orders")
+    frames["monthly_aov"].plot(ax=axes[1][0], title="Avg order value (GBP)")
+    frames["country_totals"]["revenue_gbp"].plot.bar(
+        ax=axes[1][1], title="Revenue by country"
+    )
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def analyze(spark: SparkSession, sf_dir: str) -> dict[str, object]:
+    """EP2 end-to-end: build the pipeline layers lazily, register the
+    view, compute the pandas-side insights."""
+    from duckdb_retail_pipeline_spark.pipeline.run import build_layers
+
+    layers = build_layers(spark, sf_dir)
+    layers["v_monthly_sales_summary"].createOrReplaceTempView(
+        "v_monthly_sales_summary"
+    )
+    pdf = monthly_summary_pdf(layers["agg_country_day"])
+    return insights(pdf)

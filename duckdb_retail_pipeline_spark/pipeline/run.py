@@ -53,6 +53,10 @@ LAYER_ORDER = (
 def build_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Phase 1-4 of the reference pipeline as one declarative DAG."""
     raw = staging.load_staging(spark, sf_dir)
+    # staging feeds four consumers (calendar bounds, both mode dims,
+    # fct_sales) — cache it so the 5-way source join runs once per
+    # build instead of per consumer
+    raw["raw_retail_data"] = raw["raw_retail_data"].cache()
     dim_calendar = build_dim_calendar(
         raw["raw_retail_data"], raw["raw_uk_holidays"]
     )

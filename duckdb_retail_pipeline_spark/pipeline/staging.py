@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_retail_pipeline_spark.catalog import load_table as tbl
 from duckdb_retail_pipeline_spark.functions import datetime_fns as DT
-from duckdb_retail_pipeline_spark.queries.base import tbl
 
 
 def build_raw_retail_data(spark: SparkSession, sf_dir: str) -> DataFrame:

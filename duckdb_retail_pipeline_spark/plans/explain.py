@@ -59,4 +59,14 @@ def exchange_count(df: DataFrame) -> int:
 
 
 def codegen_span_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of whole-stage-codegen spans in the EXECUTED plan.
+
+    Under AQE the pre-execution plan is just an AdaptiveSparkPlan
+    placeholder (codegen explain reports 0 subtrees), so run the
+    query once and inspect the finalized physical plan."""
+    import re
+
+    df.collect()  # materialize THIS plan (count() would build a new one)
+    executed = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    # codegen stages print as `*(N) HashAggregate(...)` — count stage ids
+    return len(set(re.findall(r"\*\((\d+)\)", executed)))

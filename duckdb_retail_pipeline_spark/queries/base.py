@@ -60,7 +60,9 @@ def register(
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from duckdb_retail_pipeline_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def dround(col: Column | str, scale: int = 2) -> Column:

@@ -1,1 +1,684 @@
-"""Extension-surface queries (dedup/similarity/text/events) — populated in extension stage."""
+"""Extension-surface queries: the training-data-pipeline operators
+(deduplication, similarity search, text analysis, events/streaming,
+multimodal plumbing) over the driver's documents/embeddings/events
+tables. These go beyond the reference's own surface (SURVEY.md §7
+Stage 7 / BASELINE.json north star) and are graded as first-class
+components.
+
+Oracle-design notes:
+- Every dedup hash is md5-derived (functions/text.py) so MinHash /
+  SimHash signatures are bit-reproducible in DuckDB SQL — even the
+  LSH banding join is oracle-checked.
+- Near-dup pair queries run on an AUGMENTED corpus (each 10th doc
+  unioned back with a mutated copy) because the synthetic corpus has
+  no natural near-dups; the mutation is pure column arithmetic so
+  both engines build the identical corpus.
+- Cosine similarities compare after decimal-cast rounding to 4 dp
+  (summation-order noise lives at ~1e-15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.functions import text as T
+from duckdb_retail_pipeline_spark.functions import vectors as V
+from duckdb_retail_pipeline_spark.operators import dedup as D
+from duckdb_retail_pipeline_spark.operators import multimodal as M
+from duckdb_retail_pipeline_spark.operators import similarity as S
+from duckdb_retail_pipeline_spark.operators import windows as W
+from duckdb_retail_pipeline_spark.queries.base import (
+    dround,
+    register,
+    sql_dround,
+    sql_money_sum,
+    tbl,
+)
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring functions/text.py
+# ---------------------------------------------------------------------------
+SQL_TOKS = r"list_filter(string_split_regex({x}, '\s+'), t -> t != '')"
+SQL_HASH28 = "('0x' || substr(md5({s}), 1, 7))::BIGINT"
+SQL_HASH60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+MINHASH_P = T.MINHASH_PRIME
+
+
+def _sql_word_shingles3(toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN list_distinct("
+        f"[{toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2] "
+        f"for i in generate_series(1, len({toks}) - 2)]) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+SQL_AUG_CORPUS = """
+    aug AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' zz11 zz22 zz33', lang, source
+        FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SQL_AUG_CORPUS."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz11 zz22 zz33")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(mutated)
+
+
+# ---------------------------------------------------------------- x01
+@register(
+    "x01_dedup_exact",
+    oracle=r"""
+        SELECT md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
+                   ' ')) AS fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Exact deduplication: canonical fingerprint (lowercase, "
+    "whitespace-normalized, md5) → hash-groupBy keeping the lowest "
+    "id. One shuffle on the fingerprint; the 100 TB exact-dedup "
+    "primitive.",
+    headline=True,
+    tags=("dedup", "text"),
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(tbl(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- x02
+@register(
+    "x02_text_stats",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   {SQL_TOKS.format(x='text')} AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {sql_dround("length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / NULLIF(length(text), 0)", 4)} AS alpha_ratio,
+               {sql_dround('len(list_distinct(toks)) * 1.0 / NULLIF(len(toks), 0)', 4)} AS distinct_ratio,
+               {sql_dround('length(text) * 1.0 / NULLIF(len(toks), 0)', 4)} AS mean_wordlen
+        FROM t
+    """,
+    doc="Text analysis: token counting + quality-signal ratios "
+    "(length, alphabetic ratio, repetition) — the Gopher/C4-style "
+    "corpus-filter signals, all JVM-side builtins.",
+    tags=("text",),
+)
+def x02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        dround(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
+            / F.nullif(n_chars, F.lit(0)),
+            4,
+        ).alias("alpha_ratio"),
+        dround(
+            F.size(F.array_distinct(toks)) * 1.0 / F.nullif(n_tok, F.lit(0)), 4
+        ).alias("distinct_ratio"),
+        dround(n_chars * 1.0 / F.nullif(n_tok, F.lit(0)), 4).alias("mean_wordlen"),
+    )
+
+
+# ---------------------------------------------------------------- x03
+def _sql_lang_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({markers})))"
+
+
+@register(
+    "x03_lang_id",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, lang, {SQL_TOKS.format(x='text')} AS toks FROM documents
+        ), h AS (
+            SELECT doc_id, lang,
+                   {_sql_lang_hits('de')} AS h_de,
+                   {_sql_lang_hits('en')} AS h_en,
+                   {_sql_lang_hits('es')} AS h_es,
+                   {_sql_lang_hits('fr')} AS h_fr,
+                   {_sql_lang_hits('zh')} AS h_zh
+            FROM t
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE
+                   WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) AND greatest(h_de, h_en, h_es, h_fr, h_zh) > 0 THEN 'de'
+                   WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) AND greatest(h_de, h_en, h_es, h_fr, h_zh) > 0 THEN 'en'
+                   WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) AND greatest(h_de, h_en, h_es, h_fr, h_zh) > 0 THEN 'es'
+                   WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) AND greatest(h_de, h_en, h_es, h_fr, h_zh) > 0 THEN 'fr'
+                   WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) AND greatest(h_de, h_en, h_es, h_fr, h_zh) > 0 THEN 'zh'
+                   ELSE 'und'
+               END AS predicted_lang
+        FROM h
+    """,
+    doc="Language identification via fixed stopword-marker lists "
+    "(n-gram-heuristic family), pinned alphabetical tie-break. "
+    "Pure CASE/filter expressions — no UDF.",
+    tags=("text",),
+)
+def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predict_lang("text").alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------- x04
+@register(
+    "x04_fingerprint",
+    oracle=r"""
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
+                   ' ')) AS fingerprint
+        FROM documents
+    """,
+    doc="Document fingerprinting: canonical md5 over normalized "
+    "token stream (rolling-hash family).",
+    tags=("text", "dedup"),
+)
+def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------- x05
+@register(
+    "x05_ngram_jaccard_pairs",
+    oracle=rf"""
+        WITH {SQL_AUG_CORPUS.strip()},
+        sh AS (
+            SELECT doc_id, lang, source,
+                   {_sql_word_shingles3(SQL_TOKS.format(x='text'))} AS sh
+            FROM aug
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        ), scored AS (
+            SELECT id_a, id_b,
+                   {sql_dround('CAST(inter AS DOUBLE) / NULLIF(CAST(uni AS DOUBLE), 0.0)', 4)} AS jaccard
+            FROM pairs
+        )
+        SELECT * FROM scored WHERE jaccard >= 0.7
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs within (lang, "
+    "source) blocks on the augmented corpus — candidate generation "
+    "by blocking equi-join, never an all-pairs cross join.",
+    tags=("dedup", "text"),
+)
+def x05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_aug_corpus(spark, sf_dir), threshold=0.7)
+
+
+# ---------------------------------------------------------------- x06
+def _sql_minhash_terms(hs: str, num_hashes: int = 16) -> list[str]:
+    terms = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 1000003 * (i + 1)
+        terms.append(f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {MINHASH_P}))")
+    return terms
+
+
+@register(
+    "x06_minhash_signatures",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(
+                       {_sql_word_shingles3(SQL_TOKS.format(x='text'))},
+                       s -> ('0x' || substr(md5(s), 1, 7))::BIGINT
+                   ) AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               {', '.join(f'{t} AS mh{i:02d}' for i, t in enumerate(_sql_minhash_terms('hs')))}
+        FROM t
+    """,
+    doc="MinHash signatures (16 salted permutations over md5-derived "
+    "28-bit shingle hashes) — bit-reproducible across engines; the "
+    "building block of LSH dedup at 100 TB.",
+    tags=("dedup", "text"),
+)
+def x06_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = D._spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    hashed = docs.select(
+        "doc_id", T.shingle_hashes28(T.word_shingles("text", 3)).alias("hs")
+    )
+    sig = T.minhash_signature_from_hashes("hs", 16)
+    return hashed.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i:02d}") for i in range(16)],
+    )
+
+
+# ---------------------------------------------------------------- x07
+@register(
+    "x07_minhash_lsh_pairs",
+    oracle=rf"""
+        WITH {SQL_AUG_CORPUS.strip()},
+        sh AS (
+            SELECT doc_id,
+                   {_sql_word_shingles3(SQL_TOKS.format(x='text'))} AS sh
+            FROM aug
+        ), sig AS (
+            SELECT doc_id, sh,
+                   [{', '.join(_sql_minhash_terms("list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)"))}] AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, band, sig[band * 2 + 1 : band * 2 + 2] AS key
+            FROM sig, (SELECT UNNEST(generate_series(0, 7)) AS band) b
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), verified AS (
+            SELECT c.id_a, c.id_b,
+                   {sql_dround('CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / NULLIF(CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 0.0)', 4)} AS jaccard
+            FROM cand c
+            JOIN sh sa ON c.id_a = sa.doc_id
+            JOIN sh sb ON c.id_b = sb.doc_id
+        )
+        SELECT * FROM verified WHERE jaccard >= 0.7
+    """,
+    doc="MinHash + LSH near-dup pairs (16 hashes, 8 bands of 2), "
+    "verified with exact Jaccard — the scalable dedup path: the only "
+    "corpus-sized shuffle is the (band, signature) equi-join. Even "
+    "the banding join is oracle-checked (md5-derived hashes).",
+    headline=True,
+    tags=("dedup", "text"),
+)
+def x07_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _aug_corpus(spark, sf_dir), threshold=0.7, num_hashes=16, bands=8
+    )
+
+
+# ---------------------------------------------------------------- x08
+def _sql_simhash(hs: str) -> str:
+    terms = []
+    for b in range(60):
+        vote = f"list_sum(list_transform({hs}, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+@register(
+    "x08_simhash_values",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform({SQL_TOKS.format(x='text')},
+                                  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+            FROM documents
+        )
+        SELECT doc_id, {_sql_simhash('hs')} AS simhash
+        FROM t
+    """,
+    doc="SimHash fingerprints: 60 bit-votes over md5-derived token "
+    "hashes, built from higher-order functions (no UDF), "
+    "bit-reproducible in SQL.",
+    tags=("dedup", "text"),
+)
+def x08_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = D._spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    return docs.select("doc_id", T.simhash64(T.tokens("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------- x09
+@register(
+    "x09_simhash_pairs",
+    oracle=None,  # values oracle-verified in x08; the pair query's
+    # chunk-blocking join mirrors x07's oracle-verified banding.
+    doc="SimHash near-dup pairs: 4×15-bit chunk blocking (pigeonhole "
+    "guarantee for hamming ≤ 3) + exact hamming verification.",
+    tags=("dedup", "text"),
+)
+def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
+
+
+# ---------------------------------------------------------------- x10
+SQL_COSINE_PARTS = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+"""
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+
+@register(
+    "x10_embedding_cosine_topk",
+    oracle=rf"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   {sql_dround(SQL_COSINE_PARTS.format(a='e.embedding', b='q.qv') + f" / NULLIF({_sql_norm('e.embedding')} * {_sql_norm('q.qv')}, 0.0)", 4)} AS cosine
+            FROM embeddings e, q
+        )
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    doc="Similarity search, exactness baseline: brute-force cosine "
+    "top-k against a fixed query vector (vec_id 0). One scan, "
+    "JVM-side fold arithmetic, TakeOrdered — correct at any scale "
+    "that affords the scan.",
+    headline=True,
+    tags=("similarity", "vectors"),
+)
+def x10_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.brute_force_topk(emb, qvec, k=10)
+
+
+# ---------------------------------------------------------------- x11
+@register(
+    "x11_embedding_dup_pairs",
+    oracle=rf"""
+        WITH aug_e AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, embedding, label
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), blocked AS (
+            SELECT vec_id, embedding, label, vec_id % 20 AS sub FROM aug_e
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {sql_dround(SQL_COSINE_PARTS.format(a='a.embedding', b='b.embedding') + f" / NULLIF({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}, 0.0)", 4)} AS cosine
+            FROM blocked a JOIN blocked b
+              ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+        )
+        SELECT * FROM pairs WHERE cosine >= 0.95
+    """,
+    doc="Embedding-cosine near-duplicate pairs within (label, id%20) "
+    "blocks on an augmented corpus (every 50th vector duplicated) — "
+    "at 100 TB the block key comes from LSH/IVF cell assignment.",
+    tags=("dedup", "similarity", "vectors"),
+)
+def x11_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", "embedding", "label").unionByName(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    blocked = aug.withColumn("sub", F.col("vec_id") % 20)
+    a = blocked.select(
+        F.col("label"), F.col("sub"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+    )
+    b = blocked.select(
+        F.col("label"), F.col("sub"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"),
+    )
+    pairs = a.join(b, ["label", "sub"], "inner").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", dround(V.cosine_similarity("v_a", "v_b"), 4))
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------- x12
+@register(
+    "x12_similarity_lsh_topk",
+    oracle=None,  # bucket membership depends on data-derived
+    # hyperplanes; recall vs the oracle-checked brute force is
+    # asserted in tests/test_extensions.py.
+    doc="ANN top-k via random-hyperplane LSH bucketing (deterministic "
+    "data-derived planes): probes one bucket instead of the full "
+    "corpus — the scale path, recall measured against x10.",
+    tags=("similarity", "vectors"),
+)
+def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.lsh_topk(emb, qvec, k=10, bits=4)
+
+
+# ---------------------------------------------------------------- x13
+@register(
+    "x13_similarity_ivf_topk",
+    oracle=None,  # same rationale as x12 (deterministic centroid
+    # seeding; recall asserted in tests).
+    doc="ANN top-k via IVF coarse quantization (deterministic "
+    "centroids, nprobe=2): assignment join broadcasts the centroid "
+    "table; probes 2 of 8 cells.",
+    tags=("similarity", "vectors"),
+)
+def x13_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2)
+
+
+# ---------------------------------------------------------------- x14
+@register(
+    "x14_events_hourly",
+    oracle=f"""
+        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling-window event aggregation (batch): window(ts, 1h) ≡ "
+    "date_trunc hour. The batch twin of the streaming query x17.",
+    headline=True,
+    tags=("events", "window"),
+)
+def x14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / F.lit(100.0)
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- x15
+@register(
+    "x15_events_sessionize",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), lagged AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM ev
+        ), flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM lagged
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization: lag + conditional cumulative sum with "
+    "a 30-minute inactivity gap (guide 'Common OLAP patterns'); both "
+    "windows share one (user, ts) sort.",
+    tags=("events", "window"),
+)
+def x15_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    sess = W.sessionize(ev, "ts", "user_id", gap_minutes=30, tiebreak=["event_id"])
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------- x16
+@register(
+    "x16_events_json_extract",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: JSON property parse + aggregate "
+    "(get_json_object ≡ json_extract_string) — the props column is "
+    "the engine's nested-data surface.",
+    tags=("events", "json"),
+)
+def x16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("total_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- x17
+@register(
+    "x17_streaming_hourly",
+    oracle=f"""
+        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Structured Streaming: tumbling 1-hour windows + 10-minute "
+    "watermark over readStream(events), driven to completion with an "
+    "availableNow trigger into a memory sink. Bounded input + "
+    "complete mode ⇒ output equals the batch aggregation, so the "
+    "STREAMING result is oracle-checked against the same SQL as x14.",
+    tags=("events", "streaming"),
+)
+def x17_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    agg = SE.hourly_event_counts(stream)
+    return SE.run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+# ---------------------------------------------------------------- x18
+@register(
+    "x18_events_pivot",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix via "
+    "groupBy().pivot() with pinned value list (compiles to the same "
+    "conditional aggregation as the SQL twin).",
+    tags=("events", "pivot"),
+)
+def x18_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot-count yields NULL for absent combos; SQL COUNT gives 0
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+# ---------------------------------------------------------------- x19
+@register(
+    "x19_media_schema",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    doc="Multimodal column plumbing: opaque binary payload + typed "
+    "metadata (documents packed as media). Binary length is "
+    "oracle-checked; content-level features in x20.",
+    tags=("multimodal",),
+)
+def x19_media_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(tbl(spark, sf_dir, "documents"))
+    return media.select("media_id", "media_type", "n_bytes")
+
+
+# ---------------------------------------------------------------- x20
+@register(
+    "x20_media_features",
+    oracle=None,  # byte-entropy needs per-row histogramming — the
+    # Arrow/mapInPandas path; checked against a pure-python
+    # reference in tests/test_extensions.py.
+    doc="Arrow-batched feature extraction over binary media content "
+    "via mapInPandas (vectorized numpy per batch) — the decode stub "
+    "is the deterministic byte-stats fake; real codecs are absent in "
+    "this container (NotImplementedError path kept).",
+    tags=("multimodal", "pandas-udf"),
+)
+def x20_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(tbl(spark, sf_dir, "documents"))
+    return M.extract_features(media)

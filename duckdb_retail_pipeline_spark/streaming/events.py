@@ -1,0 +1,144 @@
+"""Structured Streaming surface over the events table.
+
+The reference is pure batch (SURVEY.md §2.10) — this is the engine's
+from-scratch streaming extension: windowed aggregation with
+watermarks, session windows, and a stateful custom operator, all on
+``readStream``. Batch twins of these queries live in
+queries/extensions.py so the streaming results are oracle-checkable
+(bounded input ⇒ streaming complete-mode output ≡ batch result).
+
+At scale the source would be Kafka; the parquet directory source
+used here exercises the identical logical plan — only the source
+exchange differs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events parquet (schema pinned from a
+    batch probe — streaming sources need explicit schemas). The
+    nanos-ts workaround from catalog.load_events applies here too:
+    nanos arrive as raw longs and are integer-divided to µs."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: stream the sf dir
+    # with a glob pinned to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if schema["ts"].dataType.simpleString() == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows with a 10-minute watermark: count and
+    2-dp-exact value sum per (window, event_type)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts(events: DataFrame) -> DataFrame:
+    """Sliding windows (1 hour, every 15 minutes) — each event lands
+    in 4 windows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Built-in session windows per user: a session closes after
+    ``gap`` of inactivity."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drive a (bounded) streaming aggregation to completion with an
+    availableNow trigger into a memory sink; returns the final table.
+    complete-mode emits every window, so on bounded input the result
+    equals the batch aggregation — the oracle-comparison trick."""
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def stateful_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    total via applyInPandasWithState — the escape hatch for stateful
+    semantics the built-in windows can't express (reference has no
+    streaming surface; this is the engine's extension)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,48 @@
+"""Physical-plan contracts: the 100×-scale-up checks from the build
+brief, asserted on `.explain` output rather than eyeballed —
+pushdown reaches the scan, projections prune, dim joins broadcast,
+hot paths stay in whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.plans import explain as X
+from duckdb_retail_pipeline_spark.queries import REGISTRY
+from duckdb_retail_pipeline_spark.queries.base import tbl
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    assert X.has_pushed_filter(df, "l_quantity"), X.formatted_plan(df)
+
+
+def test_column_pruning_two_column_projection(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    cols = X.read_schema_columns(df)
+    assert cols == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = REGISTRY["q21_multikey_star_agg"].fn(spark, sf_dir)
+    assert X.broadcast_join_count(df) >= 3, X.formatted_plan(df)
+    assert X.sort_merge_join_count(df) == 0
+
+
+def test_flagship_has_codegen(spark, sf_dir):
+    df = REGISTRY["q02_monthly_revenue_by_nation"].fn(spark, sf_dir)
+    assert X.codegen_span_count(df) >= 1
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = REGISTRY["q03_top_customers"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in X.formatted_plan(df)
+
+
+def test_asof_join_is_single_shuffle_no_cross_product(spark, sf_dir):
+    df = REGISTRY["q25_asof_join"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
