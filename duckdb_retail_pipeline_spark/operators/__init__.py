@@ -12,6 +12,7 @@ from duckdb_retail_pipeline_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    scale,
     similarity,
     windows,
 )

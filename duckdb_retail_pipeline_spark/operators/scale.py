@@ -1,0 +1,90 @@
+"""Scale-out operators: skew mitigation and shuffle-free co-location.
+
+These have no semantic surface of their own — they produce the same
+rows as a plain join/groupBy — but they are the knobs that keep those
+operators alive at 100 TB:
+
+  salted_join       — explicit key salting for skewed join keys
+                      (AQE's skew-join handles sort-merge skew at
+                      runtime; salting is the deterministic fallback
+                      and works for broadcast-resistant cases)
+  salted_group_sum  — two-phase aggregation for skewed group keys
+  write_bucketed /  — bucketBy table layout so repeated joins on the
+  bucketed_join_ready together bucket key co-locate without a shuffle
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side's hot keys spread over ``salt``
+    sub-keys and the RIGHT side replicated ``salt``× — turns one
+    monster partition into ``salt`` normal ones at the cost of
+    duplicating the (small) right side.
+
+    Same contract as ``left.join(right, on, how)``; use when one key
+    dominates the left side and the right side is too big to
+    broadcast but small enough to replicate ``salt``×."""
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
+def salted_group_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_col: str,
+    salt: int = 16,
+    out_col: str = "total",
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: partial sums per
+    (key, salt) — bounded partition size regardless of key skew —
+    then final sums per key. Spark's partial aggregation already does
+    this implicitly for algebraic aggregates; the explicit form
+    covers pipelines where an exchange on the raw key is forced."""
+    partial = (
+        df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(*group_cols, "__salt")
+        .agg(F.sum(sum_col).alias("__partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(out_col))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table —
+    repeated joins/aggs on ``bucket_col`` then read pre-partitioned
+    data and skip the exchange entirely (guide: 'Bucketing')."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join_ready(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — the plan
+    should contain no shuffle exchange on either side (asserted in
+    tests/test_advanced.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on, "inner")

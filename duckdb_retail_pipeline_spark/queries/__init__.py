@@ -12,6 +12,7 @@ from __future__ import annotations
 from duckdb_retail_pipeline_spark.queries.base import REGISTRY, QuerySpec, register
 
 # importing the modules populates REGISTRY via their register() calls
+from duckdb_retail_pipeline_spark.queries import advanced  # noqa: E402,F401
 from duckdb_retail_pipeline_spark.queries import core  # noqa: E402,F401
 from duckdb_retail_pipeline_spark.queries import retail  # noqa: E402,F401
 from duckdb_retail_pipeline_spark.queries import extensions  # noqa: E402,F401

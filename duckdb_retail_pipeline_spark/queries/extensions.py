@@ -648,6 +648,54 @@ def x18_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x21
+@register(
+    "x21_session_window_batch",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), lagged AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM ev
+        ), flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM lagged
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    doc="Spark's NATIVE session_window in batch mode, oracle-checked "
+    "against the classic lag+cumsum sessionization SQL — proves the "
+    "two formulations agree (same 30-min gap; session start = first "
+    "event ts).",
+    tags=("events", "window", "session"),
+)
+def x21_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------- x19
 @register(
     "x19_media_schema",

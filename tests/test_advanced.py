@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+
+
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.operators import scale
+from duckdb_retail_pipeline_spark.plans import explain as X
+from duckdb_retail_pipeline_spark.queries import REGISTRY
+from duckdb_retail_pipeline_spark.queries.base import tbl
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    row = REGISTRY["a05_approx_aggregates"].fn(spark, sf_dir).first()
+    assert abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"] < 0.1
+    assert (
+        abs(row["approx_median_price"] - row["exact_median_price"])
+        / row["exact_median_price"]
+        < 0.1
+    )
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        scale.salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"), customer, "c_custkey"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_group_sum_matches_plain(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: r["t"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("t"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["total"]
+        for r in scale.salted_group_sum(
+            li.withColumn("q", F.col("l_quantity").cast("bigint")),
+            ["l_returnflag"],
+            "q",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    scale.write_bucketed(
+        orders.select("o_orderkey", "o_totalprice").withColumnRenamed(
+            "o_orderkey", "key"
+        ),
+        "t_orders_b",
+        "key",
+        8,
+    )
+    scale.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "key"), "t_lineitem_b", "key", 8
+    )
+    joined = scale.bucketed_join_ready(spark, "t_orders_b", "t_lineitem_b", "key")
+    # disable broadcast so the join strategy must rely on bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert joined.count() > 0
+        assert X.exchange_count(joined) == 0, X.formatted_plan(joined)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
