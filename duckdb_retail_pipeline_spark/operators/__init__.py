@@ -11,6 +11,7 @@
 from duckdb_retail_pipeline_spark.operators import (  # noqa: F401
     dedup,
     joins,
+    merge,
     multimodal,
     scale,
     similarity,

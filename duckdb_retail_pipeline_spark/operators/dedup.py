@@ -106,18 +106,24 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     # Stage the md5 shingle hashes as their own column so the 16
-    # permutation minima reuse them (inline, each would re-md5).
+    # permutation minima reuse them (inline, each would re-md5), and
+    # persist (id, shingles, signature): it feeds the banding AND the
+    # two verification re-joins — at scale this is the materialized
+    # signature table every LSH dedup pipeline keeps.
     base = (
         _spread(docs, id_col)
         .select(F.col(id_col), T.word_shingles(text_col, shingle_n).alias("sh"))
         .withColumn("hs", T.shingle_hashes28(F.col("sh")))
         .withColumn("sig", T.minhash_signature_from_hashes(F.col("hs"), num_hashes))
         .drop("hs")
+        .persist()
     )
 
+    # Band on ids only: shipping the (large) shingle arrays through
+    # the banding shuffle would dominate the exchange; candidates are
+    # few, so re-joining shingles afterwards is far cheaper.
     banded = base.select(
         id_col,
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -129,22 +135,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "key"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "key"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"], "inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4)).filter(
-        F.col("jaccard") >= threshold
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
+        .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
 

@@ -60,11 +60,16 @@ def build_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dim_calendar = build_dim_calendar(
         raw["raw_retail_data"], raw["raw_uk_holidays"]
     )
-    dim_product = build_dim_product(raw["raw_retail_data"])
-    dim_customer = build_dim_customer(raw["raw_retail_data"])
+    # dims feed both fct_sales and the aggregation layer; fct_sales
+    # feeds fx/eur/agg — cache each so every downstream layer reads
+    # the computed result instead of replaying the mode windows and
+    # the three-way join (cache keys on the canonicalized plan, so
+    # repeated build_layers calls in one session share them)
+    dim_product = build_dim_product(raw["raw_retail_data"]).cache()
+    dim_customer = build_dim_customer(raw["raw_retail_data"]).cache()
     fct_sales = build_fct_sales(
         raw["raw_retail_data"], dim_calendar, dim_product, dim_customer
-    )
+    ).cache()
     daily_fx = build_daily_fx_rates(raw["raw_fx_rates"], fct_sales)
     fct_sales_eur = build_fct_sales_eur(fct_sales, daily_fx)
     agg_country_day = build_agg_country_day(

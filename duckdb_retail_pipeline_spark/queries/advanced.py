@@ -147,6 +147,196 @@ def a05_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- a07
+@register(
+    "a07_merge_upsert",
+    oracle=f"""
+        WITH updates AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 7 = 0
+        ), inserts AS (
+            SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+                   0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+            FROM customer WHERE c_custkey % 11 = 0
+        ), upd AS (
+            SELECT * FROM updates UNION ALL SELECT * FROM inserts
+        ), kept AS (
+            SELECT t.* FROM customer t LEFT JOIN upd u ON t.c_custkey = u.c_custkey
+            WHERE u.c_custkey IS NULL
+        ), merged AS (
+            SELECT * FROM kept UNION ALL SELECT * FROM upd
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_money_sum('c_acctbal')} AS total_balance
+        FROM merged
+        GROUP BY c_mktsegment
+    """,
+    doc="MERGE/upsert emulation (no Delta in the image): matched rows "
+    "replaced, new rows inserted, via anti-join + union "
+    "(operators/merge.py upsert) — summarized per segment.",
+    tags=("merge", "cdc"),
+)
+def a07_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators.merge import upsert
+
+    customer = tbl(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = customer.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = upsert(customer, updates.unionByName(inserts), ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("c_acctbal")).alias("total_balance"),
+    )
+
+
+# ---------------------------------------------------------------- a08
+@register(
+    "a08_scd2_history",
+    oracle="""
+        WITH v1 AS (
+            SELECT c_custkey, c_mktsegment,
+                   DATE '2020-01-01' AS effective_from
+            FROM customer
+        ), changes AS (
+            SELECT c_custkey, 'MOVED' AS c_mktsegment,
+                   DATE '2021-06-01' AS effective_from
+            FROM customer WHERE c_custkey % 4 = 0
+        ), combined AS (
+            SELECT * FROM v1 UNION ALL SELECT * FROM changes
+        ), hist AS (
+            SELECT *,
+                   LEAD(effective_from) OVER (
+                       PARTITION BY c_custkey ORDER BY effective_from
+                   ) AS effective_to
+            FROM combined
+        )
+        SELECT c_custkey, c_mktsegment, effective_from, effective_to,
+               effective_to IS NULL AS is_current
+        FROM hist
+    """,
+    doc="SCD2 dimension versioning: changes append as new versions; "
+    "a lead window closes superseded rows (operators/merge.py "
+    "scd2_apply). History stays as-of-queryable.",
+    tags=("merge", "scd2", "window"),
+)
+def a08_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators.merge import scd2_apply
+
+    customer = tbl(spark, sf_dir, "customer")
+    v1 = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("effective_from"),
+    )
+    changes = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("2021-06-01").cast("date").alias("effective_from"),
+    )
+    return scd2_apply(v1, changes, ["c_custkey"])
+
+
+# ---------------------------------------------------------------- a09
+@register(
+    "a09_moving_average",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS date,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ), win AS (
+            SELECT date,
+                   SUM(cents) OVER (
+                       ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS w_cents,
+                   SUM(n) OVER (
+                       ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS w_n
+            FROM daily
+        )
+        SELECT date,
+               CAST(w_cents / (w_n * 100.0) AS DOUBLE) AS avg_order_value_7d
+        FROM win
+    """,
+    doc="7-day moving average over a sliding ROWS frame — exact "
+    "integer-cents inside the window so the result is bit-stable.",
+    tags=("window",),
+)
+def a09_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("date")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("date").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "date",
+        (
+            F.sum("cents").over(w) / (F.sum("n").over(w) * F.lit(100.0))
+        ).alias("avg_order_value_7d"),
+    )
+
+
+# ---------------------------------------------------------------- a10
+@register(
+    "a10_string_functions",
+    oracle="""
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri_upper,
+               substr(o_orderpriority, 1, 1) AS pri_code,
+               CAST(length(o_orderclerk) AS BIGINT) AS clerk_len,
+               regexp_extract(o_orderclerk, '([0-9]+)', 1) AS clerk_num,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+               replace(o_orderpriority, '-', '_') AS pri_snake,
+               split_part(o_orderpriority, '-', 2) AS pri_word
+        FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   'Clerk#' || CAST(o_custkey AS VARCHAR) AS o_orderclerk
+            FROM orders
+        ) t
+    """,
+    doc="String-function surface: upper/substr/length/regexp_extract/"
+    "lpad/replace/split_part — dialect-aligned between engines.",
+    tags=("strings",),
+)
+def a10_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.concat(F.lit("Clerk#"), F.col("o_custkey").cast("string")).alias(
+            "o_orderclerk"
+        ),
+    )
+    return t.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderclerk").cast("bigint").alias("clerk_len"),
+        F.regexp_extract("o_orderclerk", "([0-9]+)", 1).alias("clerk_num"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("pri_snake"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias(
+            "pri_word"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- a06
 @register(
     "a06_grouping_sets_sql",

@@ -51,7 +51,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local default 8 MB: the testdata ships one small parquet per
+        # table, and 128 MB splits would serialize 600k-row scans onto
+        # 1-2 of 32 cores. On a real cluster (many files, fat
+        # executors) set SPARK_GRAFT_MAX_PARTITION_BYTES=134217728.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
