@@ -217,6 +217,37 @@ def predict_lang(col: Column | str) -> Column:
     return out
 
 
+def char_gram_hashes(col: Column | str, k: int = 5) -> Column:
+    """Ordered character-k-gram 28-bit hash sequence (winnowing
+    input). MUST be materialized as a real column value (behind an
+    exchange or cache) before ``winnow_from_hashes`` references it:
+    a lambda that references this expression re-evaluates the entire
+    gram+md5 pipeline per element — Catalyst has no cross-lambda
+    common-subexpression elimination (measured 400× slowdown)."""
+    c = _c(col)
+    grams = F.when(
+        F.length(c) >= k, F.sequence(F.lit(1), F.length(c) - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        F.transform(grams, lambda i: c.substr(i, F.lit(k))),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+    )
+
+
+def winnow_from_hashes(hs: Column | str, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al., MOSS) fingerprints from a
+    materialized k-gram hash sequence: the distinct minima of each
+    ``window``-sized sliding window. Any match of length ≥
+    k+window-1 shares a fingerprint."""
+    h = _c(hs)
+    positions = F.when(
+        F.size(h) >= window, F.sequence(F.lit(1), F.size(h) - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(positions, lambda p: F.array_min(F.slice(h, p, window)))
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical document fingerprint: md5 of the lower-cased,
     whitespace-normalized text. Exact-dedup key that survives

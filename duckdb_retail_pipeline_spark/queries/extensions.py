@@ -648,6 +648,92 @@ def x18_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x22
+@register(
+    "x22_term_frequency",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT lang, UNNEST({SQL_TOKS.format(x='text')}) AS token
+            FROM documents
+        ), counted AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY lang, token
+        ), ranked AS (
+            SELECT lang, token, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token ASC
+                   ) AS rn
+            FROM counted
+        )
+        SELECT lang, token, n FROM ranked WHERE rn <= 10
+    """,
+    doc="Corpus term statistics: explode tokens → per-(lang, token) "
+    "counts → top-10 per language (window rank, pinned tie-break). "
+    "The explode+groupBy shape is the scalable path for vocabulary/"
+    "TF-IDF builds.",
+    tags=("text",),
+)
+def x22_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = D._spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("lang", F.explode(T.tokens("text")).alias("token"))
+    counted = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "token", "n")
+    )
+
+
+# ---------------------------------------------------------------- x23
+@register(
+    "x23_winnowing_fingerprints",
+    oracle=rf"""
+        WITH hs AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 5 THEN
+                       [('0x' || substr(md5(substr(text, i, 5)), 1, 7))::BIGINT
+                        for i in generate_series(1, length(text) - 4)]
+                   ELSE []::BIGINT[] END AS hashes
+            FROM documents
+        ), fp AS (
+            SELECT doc_id,
+                   CASE WHEN len(hashes) >= 4 THEN
+                       list_distinct([list_min(hashes[p:p+3])
+                                      for p in generate_series(1, len(hashes) - 3)])
+                   ELSE []::BIGINT[] END AS fps
+            FROM hs
+        )
+        SELECT doc_id, UNNEST(fps) AS fp_hash FROM fp
+    """,
+    doc="Winnowing fingerprints (MOSS): sliding-window minima over "
+    "char-5-gram hashes (window 4) — any shared substring of length "
+    "≥ 8 shares a fingerprint. Exploded to (doc_id, fp_hash) rows; "
+    "md5-derived hashes keep it oracle-reproducible.",
+    tags=("text", "dedup"),
+)
+def x23_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    # the persist between the two selects is load-bearing: it
+    # materializes the hash sequence as a value so the sliding-window
+    # lambda reads it instead of re-evaluating the md5 pipeline per
+    # position (a repartition is NOT enough — the optimizer pushes
+    # the projection through the exchange; see functions/text.py
+    # char_gram_hashes)
+    hashed = (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", T.char_gram_hashes("text", k=5).alias("hs"))
+        .persist()
+    )
+    fps = hashed.select(
+        "doc_id", T.winnow_from_hashes("hs", window=4).alias("fps")
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fp_hash"))
+
+
 # ---------------------------------------------------------------- x21
 @register(
     "x21_session_window_batch",

@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.functions import datetime_fns as DT
+from duckdb_retail_pipeline_spark.functions.aggregates import deterministic_mode
+from duckdb_retail_pipeline_spark.operators import joins as J
+from duckdb_retail_pipeline_spark.operators import merge as MG
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 5)), (2, datetime.date(2020, 1, 20))],
+        "id bigint, t date",
+    )
+    right = spark.createDataFrame(
+        [(datetime.date(2020, 1, 10), 100.0), (datetime.date(2020, 1, 25), 200.0)],
+        "t date, v double",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in J.asof_join(left, right, on_time="t", direction="forward").collect()
+    }
+    # id 1 (Jan 5) → next at-or-after is Jan 10; id 2 (Jan 20) → Jan 25
+    assert out == {1: 100.0, 2: 200.0}
+
+
+def test_asof_join_backward_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, datetime.date(2020, 1, 10))], "id bigint, t date")
+    right = spark.createDataFrame([(datetime.date(2020, 1, 10), 7.0)], "t date, v double")
+    out = J.asof_join(left, right, on_time="t", direction="backward").collect()
+    assert out[0]["v"] == 7.0  # at-or-before includes the equal instant
+
+
+def test_range_join_bucketed(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(20)], "id bigint, v double")
+    intervals = spark.createDataFrame(
+        [(0.0, 5.0, "low"), (4.0, 10.0, "mid"), (15.0, 30.0, "high")],
+        "lo double, hi double, label string",
+    )
+    out = J.range_join_bucketed(points, intervals, "v", "lo", "hi", bucket_width=4.0)
+    got = sorted((r["id"], r["label"]) for r in out.collect())
+    expected = sorted(
+        (i, lab)
+        for i in range(20)
+        for lo, hi, lab in [(0, 5, "low"), (4, 10, "mid"), (15, 30, "high")]
+        if lo <= i <= hi
+    )
+    assert got == expected
+
+
+def test_deterministic_mode_tie_break(spark):
+    df = spark.createDataFrame(
+        [("k", "b"), ("k", "a"), ("k", "b"), ("k", "a"), ("k2", None), ("k2", "z")],
+        "g string, v string",
+    )
+    out = {r["g"]: r["v"] for r in deterministic_mode(df, ["g"], "v").collect()}
+    assert out["k"] == "a"  # tie (2 vs 2) → smallest value wins
+    assert out["k2"] == "z"  # NULLs excluded from mode
+
+
+def test_date_spine_dense_and_bounded(spark):
+    spine = DT.date_spine(spark, "2020-02-27", "2020-03-02")
+    dates = [r["date"] for r in spine.orderBy("date").collect()]
+    assert dates[0] == datetime.date(2020, 2, 27)
+    assert dates[-1] == datetime.date(2020, 3, 2)
+    assert len(dates) == 5  # leap day included, no gaps
+
+
+def test_iso_year_week_boundaries(spark):
+    # 2021-01-01 is a Friday of ISO week 53 of ISO year 2020
+    df = spark.createDataFrame([(datetime.date(2021, 1, 1),)], "d date")
+    row = df.select(
+        DT.iso_year("d").alias("iy"), DT.iso_week("d").alias("iw"),
+        DT.duck_dow("d").alias("dow"),
+    ).first()
+    assert (row["iy"], row["iw"], row["dow"]) == (2020, 53, 5)
+
+
+def test_scd2_as_of_view(spark):
+    dim = spark.createDataFrame(
+        [(1, "A", datetime.date(2020, 1, 1))],
+        "k bigint, attr string, effective_from date",
+    )
+    changes = spark.createDataFrame(
+        [(1, "B", datetime.date(2021, 1, 1))],
+        "k bigint, attr string, effective_from date",
+    )
+    hist = MG.scd2_apply(dim, changes, ["k"])
+    before = MG.as_of(hist, "2020-06-01").collect()
+    after = MG.as_of(hist, "2021-06-01").collect()
+    assert [r["attr"] for r in before] == ["A"]
+    assert [r["attr"] for r in after] == ["B"]
+    current = {r["attr"]: r["is_current"] for r in hist.collect()}
+    assert current == {"A": False, "B": True}
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "k bigint, v string")
+    updates = spark.createDataFrame([(1, "new"), (3, "ins")], "k bigint, v string")
+    out = {r["k"]: r["v"] for r in MG.upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
