@@ -41,7 +41,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_conventions(spark: SparkSession) -> None:
+    """Idempotent session guard applied on every table load: the
+    driver may hand us a session it built itself, and date/timestamp
+    semantics (and therefore the DuckDB oracle comparison) require
+    the UTC session timezone."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — never fail a read over a conf probe
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conventions(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))

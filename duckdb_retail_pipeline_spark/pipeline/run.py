@@ -71,7 +71,8 @@ def build_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         raw["raw_retail_data"], dim_calendar, dim_product, dim_customer
     ).cache()
     daily_fx = build_daily_fx_rates(raw["raw_fx_rates"], fct_sales)
-    fct_sales_eur = build_fct_sales_eur(fct_sales, daily_fx)
+    # eur facts feed the aggregation, the view chain and validation
+    fct_sales_eur = build_fct_sales_eur(fct_sales, daily_fx).cache()
     agg_country_day = build_agg_country_day(
         fct_sales_eur, dim_customer, dim_calendar
     )

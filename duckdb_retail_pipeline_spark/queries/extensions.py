@@ -110,6 +110,7 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                {sql_dround("length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / NULLIF(length(text), 0)", 4)} AS alpha_ratio,
                {sql_dround('len(list_distinct(toks)) * 1.0 / NULLIF(len(toks), 0)', 4)} AS distinct_ratio,
@@ -129,6 +130,13 @@ def x02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
+        # BPE-ish subword estimate: alpha runs, digit runs, and each
+        # remaining symbol count as one token (tokenizer-free proxy)
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)
+            )
+        ).cast("bigint").alias("n_bpe_tokens"),
         n_chars.cast("bigint").alias("n_chars"),
         dround(
             F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
