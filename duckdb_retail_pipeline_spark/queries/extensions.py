@@ -360,12 +360,37 @@ def x08_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- x09
+def _x09_oracle() -> str:
+    toks = SQL_TOKS.format(x="text")
+    hashes = f"list_transform({toks}, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    return rf"""
+        WITH {SQL_AUG_CORPUS.strip()},
+        sh AS (
+            SELECT doc_id, {_sql_simhash(hashes)} AS simhash FROM aug
+        ), chunks AS (
+            SELECT doc_id, simhash, i AS chunk_idx,
+                   (simhash >> (15 * i)) & 32767 AS chunk
+            FROM sh, (SELECT UNNEST(generate_series(0, 3)) AS i) t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS h_a, b.simhash AS h_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(h_a, h_b)) <= 6
+    """
+
+
 @register(
     "x09_simhash_pairs",
-    oracle=None,  # values oracle-verified in x08; the pair query's
-    # chunk-blocking join mirrors x07's oracle-verified banding.
+    oracle=_x09_oracle(),
     doc="SimHash near-dup pairs: 4×15-bit chunk blocking (pigeonhole "
-    "guarantee for hamming ≤ 3) + exact hamming verification.",
+    "guarantee for hamming ≤ 3; run at ≤ 6) + exact popcount-hamming "
+    "verification — blocking join AND hamming both oracle-checked.",
     tags=("dedup", "text"),
 )
 def x09_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
