@@ -30,20 +30,16 @@ def build_agg_country_day(
 
     orders excludes 'C'-prefixed cancellations via conditional
     count-distinct (A5); calendar context comes from broadcast dim
-    joins (J8)."""
-    base = fct_sales_eur.join(
-        F.broadcast(dim_customer), "customer_id", "inner"
-    ).join(F.broadcast(dim_calendar), "date", "inner")
-    return base.groupBy(
-        "date",
-        "country",
-        "is_weekend",
-        "is_uk_holiday",
-        "iso_week",
-        "iso_year",
-        "month",
-        "year",
-    ).agg(
+    joins (J8).
+
+    The calendar attributes are functionally dependent on ``date``
+    (one calendar row per spine day), so the join happens AFTER the
+    aggregation: the shuffle carries 2 grouping keys per fact row
+    instead of 8, and the broadcast calendar lands on the few-K
+    aggregated rows. Equivalent result, ~4× narrower shuffle — the
+    plan that survives a 100 TB fact table."""
+    base = fct_sales_eur.join(F.broadcast(dim_customer), "customer_id", "inner")
+    agg = base.groupBy("date", "country").agg(
         count_distinct_if(
             ~F.col("invoice_no").like("C%"), F.col("invoice_no")
         ).alias("orders"),
@@ -51,7 +47,8 @@ def build_agg_country_day(
         F.sum("qty").cast("bigint").alias("net_qty"),
         _money_sum(F.col("gross_amount_gbp"), 2).alias("net_revenue_gbp"),
         _money_sum(F.col("gross_amount_eur"), 4).alias("net_revenue_eur"),
-    ).select(
+    )
+    return agg.join(F.broadcast(dim_calendar), "date", "inner").select(
         "date",
         "country",
         "orders",

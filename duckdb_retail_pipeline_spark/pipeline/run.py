@@ -49,9 +49,29 @@ LAYER_ORDER = (
     "validation",
 )
 
+# One layer DAG per (session, dataset). Without this, every caller
+# that asks for a layer rebuilds the whole upstream chain: a fresh
+# spark.read.parquet produces a plan that does NOT canonicalize equal
+# to the one already cached (file-index identity), so the .cache()
+# calls below would register duplicate entries and recompute instead
+# of hitting memory. Memoizing the DataFrames themselves is the
+# engine analogue of the reference's persistent staging tables.
+_LAYERS_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
 
 def build_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Phase 1-4 of the reference pipeline as one declarative DAG."""
+    """Phase 1-4 of the reference pipeline as one declarative DAG,
+    memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    memo = _LAYERS_MEMO.get(key)
+    if memo is not None:
+        return memo
+    layers = _build_layers_uncached(spark, sf_dir)
+    _LAYERS_MEMO[key] = layers
+    return layers
+
+
+def _build_layers_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     raw = staging.load_staging(spark, sf_dir)
     # staging feeds four consumers (calendar bounds, both mode dims,
     # fct_sales) — cache it so the 5-way source join runs once per
