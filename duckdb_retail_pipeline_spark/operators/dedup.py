@@ -220,3 +220,76 @@ def embedding_dup_pairs(
     pairs = a.join(b, "blk", "inner").filter(F.col("id_a") < F.col("id_b"))
     sim = pairs.withColumn("cosine", F.round(V.cosine_similarity("v_a", "v_b"), 4))
     return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by
+    iterative min-label propagation: every node starts labeled with
+    itself; each round replaces a node's label with the minimum label
+    among itself and its neighbors; fixpoint = every node carries its
+    component's minimum id.
+
+    Each round is one equi-join + one groupBy-min — all hash
+    shuffles, no cross products — and the loop exits via a driver-side
+    convergence probe (limit-1 count), so rounds run ≤ graph diameter.
+    Near-dup graphs have tiny diameters (clusters are cliques-ish),
+    so 2-3 rounds is typical at any corpus size. Returns (node, lbl).
+
+    Lineage control: every round references the previous labels
+    twice, so the logical plan doubles per iteration — persist()
+    alone keeps the data but not the plan small. ``localCheckpoint``
+    (eager) truncates lineage each round; on a cluster with a
+    checkpoint dir, ``checkpoint()`` gives the fault-tolerant
+    equivalent.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Near-dup clusters from a verified pair set: connected
+    components labeled by component-minimum doc id (the canonical
+    "keeper"), plus the cluster size. Only documents that appear in
+    at least one pair are returned — singletons are by definition
+    already unique."""
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

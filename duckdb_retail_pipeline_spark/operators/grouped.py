@@ -1,0 +1,76 @@
+"""Grouped-map model scoring via ``applyInPandas``.
+
+The one place the engine deliberately leaves the JVM for relational
+work: fitting a small model per group, where the per-group logic is
+imperative (closed-form OLS here, but the same shape serves any
+scikit-style ``fit`` per group). Spark ships each group to Python as
+one Arrow batch; the input is pre-projected JVM-side to the narrow
+(group, x, y) frame so the Arrow transfer carries only what the model
+reads.
+
+Determinism contract (same discipline as queries/base.py): the sums
+are computed as exact Python integers (arbitrary precision — no
+float fold-order noise, no int64 overflow), and the only floating
+ops are the final divisions, performed in an order the DuckDB oracle
+reproduces literally. That makes a *Python UDF path* bit-exact
+against a SQL engine — the property that lets applyInPandas
+operators sit under the same differential gate as built-ins.
+
+At 100 TB: one group = one Arrow batch in one task, so groups must
+fit in executor memory — true for per-entity model fits (the group
+is already an aggregate-sized slice). Skewed group sizes are the
+risk; pre-aggregate per (group, x) first when x has duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form least squares y = intercept + slope*x.
+
+    ``x_col`` must be integer-valued; ``y_col`` integer-valued
+    ("cents" — scale fixed-point before calling). Returns one row per
+    group: (group, n, slope, intercept) with slope/intercept in
+    y-units/100 per x-unit (the /100.0 un-scales cents).
+    """
+    import pandas as pd
+
+    out_schema = f"{group_col} string, n bigint, slope double, intercept double"
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = [int(v) for v in pdf[x_col]]
+        ys = [int(v) for v in pdf[y_col]]
+        n = len(xs)
+        sx = sum(xs)
+        sy = sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = intercept = None
+        else:
+            # float() on the exact ints == SQL CAST(... AS DOUBLE);
+            # division order mirrors the oracle expression exactly
+            slope_c = float(n * sxy - sx * sy) / float(den)
+            inter_c = (float(sy) - slope_c * float(sx)) / float(n)
+            slope = slope_c / 100.0
+            intercept = inter_c / 100.0
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    narrow = df.select(group_col, x_col, y_col)
+    return narrow.groupBy(group_col).applyInPandas(fit, schema=out_schema)

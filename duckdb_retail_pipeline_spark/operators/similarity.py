@@ -99,33 +99,75 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _nearest_cell_expr(col, cents: list[list[float]]):
+    """Index of the nearest centroid by cosine, as a pure JVM
+    expression (no UDF): a when-chain over the broadcast-literal
+    centroid list. Ties break to the lower index (strict >)."""
+    best_idx = F.lit(0)
+    best_sim = F.lit(-2.0)
+    for i, cvec in enumerate(cents):
+        c = F.array(*[F.lit(x) for x in cvec])
+        sim = V.cosine_similarity(col, c)
+        better = sim > best_sim
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_idx
+
+
+def refine_centroids(
+    emb: DataFrame,
+    cents: list[list[float]],
+    iters: int,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd k-means refinement, one distributed pass per iteration:
+    assign every vector to its nearest centroid (JVM expression),
+    then recompute each centroid as the per-dimension mean via
+    posexplode + groupBy(cell, pos) — a single narrow shuffle of
+    (cell, pos, partial-sum). Only n_cells × dim floats ever reach
+    the driver. Cells that lose all members keep their old centroid
+    (standard empty-cluster fallback)."""
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = emb.withColumn("__cell", _nearest_cell_expr(F.col(vec_col), cents))
+        stats = (
+            assigned.select(
+                "__cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("__cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["__cell"], {})[r["pos"]] = float(r["m"])
+        cents = [
+            [by_cell[i][p] for p in range(dim)] if i in by_cell else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_cells: int = 8,
     nprobe: int = 2,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: centroids = first n_cells vectors by id (deterministic
-    seeding; one k-means pass would refine at scale), vectors assigned
-    to their nearest centroid at write time, query probes the nprobe
-    nearest cells. The assignment join broadcasts the centroid list."""
+    """IVF ANN: deterministic centroid seeds (first n_cells vectors
+    by id), optionally refined with ``kmeans_iters`` Lloyd passes,
+    vectors assigned to their nearest centroid at write time, query
+    probes the nprobe nearest cells. The assignment join broadcasts
+    the centroid list."""
     cents = [list(map(float, r[vec_col])) for r in emb.orderBy(id_col).limit(n_cells).collect()]
+    if kmeans_iters:
+        cents = refine_centroids(emb, cents, kmeans_iters, vec_col=vec_col)
 
-    def nearest_cell_expr(col):
-        best_idx = F.lit(0)
-        best_sim = F.lit(-2.0)
-        for i, cvec in enumerate(cents):
-            c = F.array(*[F.lit(x) for x in cvec])
-            sim = V.cosine_similarity(col, c)
-            better = sim > best_sim
-            best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-            best_sim = F.when(better, sim).otherwise(best_sim)
-        return best_idx
-
-    assigned = emb.withColumn("__cell", nearest_cell_expr(F.col(vec_col)))
+    assigned = emb.withColumn("__cell", _nearest_cell_expr(F.col(vec_col), cents))
 
     def cos(a, b):
         num = sum(x * y for x, y in zip(a, b))

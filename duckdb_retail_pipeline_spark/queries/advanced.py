@@ -361,3 +361,224 @@ def a06_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
         """
     )
+
+
+# ---------------------------------------------------------------- a11
+@register(
+    "a11_window_rank_surface",
+    oracle="""
+        SELECT n_name AS nation, c_custkey, c_acctbal,
+               CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+               PERCENT_RANK() OVER w AS bal_pct_rank,
+               CUME_DIST() OVER w AS bal_cume_dist,
+               CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile,
+               LEAD(c_custkey, 1, -1) OVER w AS next_custkey,
+               NTH_VALUE(c_custkey, 2) OVER (
+                   PARTITION BY n_name
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS runnerup_custkey
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Ranking-window surface in one pass: rank / dense_rank / "
+    "percent_rank / cume_dist / ntile / lead / nth_value per nation. "
+    "The window ORDER BY carries the unique custkey tie-break so "
+    "every function is total-ordered (base.py convention 4 applied "
+    "to window frames).",
+    tags=("window",),
+)
+def a11_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    base = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        F.col("n_name").alias("nation"),
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+        F.lead("c_custkey", 1, -1).over(w).alias("next_custkey"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("runnerup_custkey"),
+    )
+
+
+# ---------------------------------------------------------------- a12
+@register(
+    "a12_array_agg_surface",
+    oracle="""
+        SELECT n_name AS nation,
+               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               CAST(len(list_sort(list(DISTINCT o_orderpriority))) AS BIGINT)
+                   AS n_priorities,
+               list_contains(list(DISTINCT o_orderpriority), '1-URGENT')
+                   AS has_urgent,
+               list_sort(list(DISTINCT o_orderpriority))[1] AS first_priority
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="Array aggregation surface: collect_set → array_sort (pinned "
+    "element order makes the array column hash-comparable), size, "
+    "array_contains, element_at — Spark ArrayType vs DuckDB LIST.",
+    tags=("agg", "arrays"),
+)
+def a12_array_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    base = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    agg = base.groupBy(F.col("n_name").alias("nation")).agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
+    )
+    return agg.select(
+        "nation",
+        "priorities",
+        F.size("priorities").cast("bigint").alias("n_priorities"),
+        F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
+        F.element_at("priorities", 1).alias("first_priority"),
+    )
+
+
+# ---------------------------------------------------------------- a13
+@register(
+    "a13_correlated_subqueries",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '5-LOW')
+    """,
+    doc="Correlated subquery surface: EXISTS (semi), NOT EXISTS "
+    "(anti) and a correlated scalar COUNT — Catalyst decorrelates "
+    "all three into joins (RewritePredicateSubquery / "
+    "RewriteCorrelatedScalarSubquery), so the executed plan is "
+    "join-based, not nested-loop.",
+    tags=("subquery", "join"),
+)
+def a13_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '5-LOW')
+        """
+    )
+
+
+# ---------------------------------------------------------------- a14
+@register(
+    "a14_regex_surface",
+    oracle="""
+        SELECT p_partkey,
+               CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)
+                   AS brand_number,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               string_split(p_type, ' ')[1] AS type_head,
+               CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words,
+               regexp_matches(p_name, 'red|blue') AS has_color
+        FROM part
+    """,
+    doc="Regex + split surface: regexp_extract with capture group, "
+    "regexp_replace (global), split + element_at, rlike — patterns "
+    "kept to the RE2/Java-regex common subset so both engines agree.",
+    tags=("strings", "regex"),
+)
+def a14_regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("bigint").alias(
+            "brand_number"
+        ),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.size(F.split("p_type", " ")).cast("bigint").alias("type_words"),
+        F.col("p_name").rlike("red|blue").alias("has_color"),
+    )
+
+
+# ---------------------------------------------------------------- a15
+@register(
+    "a15_exact_percentiles",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(CAST(quantile_cont(bal_cents, 0.25) / 100.0
+                    AS DECIMAL(28,6)) AS DOUBLE) AS p25,
+               CAST(CAST(quantile_cont(bal_cents, 0.5) / 100.0
+                    AS DECIMAL(28,6)) AS DOUBLE) AS median,
+               CAST(CAST(quantile_cont(bal_cents, 0.75) / 100.0
+                    AS DECIMAL(28,6)) AS DOUBLE) AS p75,
+               CAST(CAST(quantile_cont(bal_cents, 0.9) / 100.0
+                    AS DECIMAL(28,6)) AS DOUBLE) AS p90
+        FROM (
+            SELECT n_name,
+                   CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        GROUP BY n_name
+    """,
+    doc="Exact (interpolated) percentiles per group — Spark "
+    "percentile() vs DuckDB quantile_cont over integer cents; the "
+    "linear interpolation on exact ints is bit-identical, decimal "
+    "rounding guards the /100 rescale.",
+    tags=("agg", "percentile"),
+)
+def a15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.queries.base import dround
+
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    base = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    agg = base.groupBy("nation").agg(
+        F.percentile("bal_cents", F.lit(0.25)).alias("p25_c"),
+        F.percentile("bal_cents", F.lit(0.5)).alias("med_c"),
+        F.percentile("bal_cents", F.lit(0.75)).alias("p75_c"),
+        F.percentile("bal_cents", F.lit(0.9)).alias("p90_c"),
+    )
+    return agg.select(
+        "nation",
+        dround(F.col("p25_c") / 100.0, 6).alias("p25"),
+        dround(F.col("med_c") / 100.0, 6).alias("median"),
+        dround(F.col("p75_c") / 100.0, 6).alias("p75"),
+        dround(F.col("p90_c") / 100.0, 6).alias("p90"),
+    )

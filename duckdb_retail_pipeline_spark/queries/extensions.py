@@ -502,17 +502,18 @@ def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- x13
 @register(
     "x13_similarity_ivf_topk",
-    oracle=None,  # same rationale as x12 (deterministic centroid
-    # seeding; recall asserted in tests).
-    doc="ANN top-k via IVF coarse quantization (deterministic "
-    "centroids, nprobe=2): assignment join broadcasts the centroid "
-    "table; probes 2 of 8 cells.",
+    oracle=None,  # same rationale as x12 (approximate index; recall
+    # vs brute force asserted in tests).
+    doc="ANN top-k via IVF coarse quantization: deterministic seeds "
+    "+ 2 Lloyd k-means refinement passes (distributed assign / "
+    "per-dimension-mean update), nprobe=2 of 8 cells; assignment "
+    "join broadcasts the centroid table.",
     tags=("similarity", "vectors"),
 )
 def x13_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2)
+    return S.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, kmeans_iters=2)
 
 
 # ---------------------------------------------------------------- x14
@@ -849,3 +850,144 @@ def x19_media_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x20_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.documents_as_media(tbl(spark, sf_dir, "documents"))
     return M.extract_features(media)
+
+
+# ---------------------------------------------------------------- x24
+@register(
+    "x24_grouped_ols_trend",
+    oracle="""
+        WITH base AS (
+            SELECT n_name AS nation,
+                   CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS x,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ), s AS (
+            SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS BIGINT)) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy,
+                   SUM(CAST(x AS BIGINT) * x) AS sxx
+            FROM base GROUP BY nation
+        ), fit AS (
+            SELECT nation, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_c,
+                   sx, sy
+            FROM s
+        )
+        SELECT nation, n,
+               CAST(CAST(slope_c / 100.0 AS DECIMAL(28,6)) AS DOUBLE) AS slope,
+               CAST(CAST((CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE) / 100.0 AS DECIMAL(28,6)) AS DOUBLE)
+                   AS intercept
+        FROM fit
+    """,
+    doc="Per-group model scoring via applyInPandas (operators/"
+    "grouped.py): closed-form OLS revenue trend per nation. Exact "
+    "integer sums inside the Python worker + a division order the "
+    "oracle mirrors literally make the Pandas-UDF path bit-exact "
+    "under the differential gate.",
+    tags=("pandas-udf", "grouped-map"),
+)
+def x24_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators.grouped import grouped_ols
+
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y"),
+        )
+    )
+    fit = grouped_ols(base, "nation", "x", "y")
+    return fit.select(
+        "nation",
+        "n",
+        dround("slope", 6).alias("slope"),
+        dround("intercept", 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------- x25
+@register(
+    "x25_streaming_sliding",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        ), slotted AS (
+            SELECT event_type,
+                   make_timestamp(
+                       (epoch_us(ts) // 900000000 - kk) * 900000000
+                   ) AS window_start
+            FROM e, (SELECT UNNEST(generate_series(0, 3)) AS kk) k
+        )
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM slotted
+        GROUP BY 1, 2
+    """,
+    doc="Structured Streaming: sliding windows (1 h long, 15 min "
+    "slide — every event lands in 4 overlapping windows) + watermark "
+    "over readStream(events), availableNow → memory sink. The oracle "
+    "re-derives the window assignment with epoch integer arithmetic "
+    "(both engines align windows to the epoch grid).",
+    tags=("events", "streaming", "window"),
+)
+def x25_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    agg = SE.sliding_event_counts(stream)
+    return SE.run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+# ---------------------------------------------------------------- x26
+def _x26_oracle() -> str:
+    # the verified SimHash pair set (x09's full oracle) as the edge
+    # list; a recursive CTE re-derives the transitive closure that
+    # the Spark side computes with iterative min-label propagation
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_x09_oracle()}) p
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(n, m) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+        ), lbl AS (
+            SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster_id
+            FROM reach GROUP BY n
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM lbl
+    """
+
+
+@register(
+    "x26_dedup_clusters",
+    oracle=_x26_oracle(),
+    doc="Near-dup cluster assignment: connected components over the "
+    "verified SimHash pair graph via iterative min-label propagation "
+    "(operators/dedup.py connected_components — equi-join + "
+    "groupBy-min per round, converges in ≤ diameter rounds), labeled "
+    "by component-minimum doc id with cluster sizes. The iterative "
+    "Spark computation is hash-checked against a recursive-CTE "
+    "transitive closure.",
+    tags=("dedup", "graph", "iterative"),
+)
+def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
+    return D.dedup_clusters(pairs)

@@ -42,6 +42,15 @@ def test_ivf_topk_recall(spark, sf_dir):
     # nprobe=2 of 8 cells: expect meaningful overlap with exact top-10
     overlap = len(set(exact_top) & set(ivf_top))
     assert overlap >= 3, f"IVF recall too low: {overlap}/10"
+    # k-means refinement must not degrade recall below the seeded index
+    refined = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            emb, q, k=10, n_cells=8, nprobe=2, kmeans_iters=2
+        ).collect()
+    ]
+    r_overlap = len(set(exact_top) & set(refined))
+    assert r_overlap >= 3, f"refined IVF recall too low: {r_overlap}/10"
 
 
 def test_media_features_match_python_reference(spark, sf_dir):
@@ -70,3 +79,54 @@ def test_frame_sample_plan(spark, sf_dir):
     rows = plan.collect()
     assert len(rows) >= 5  # at least frame 0 per media
     assert all(r["frame_idx"] % 30 == 0 for r in rows)
+
+
+def test_grouped_ols_exact_line(spark, sf_dir):
+    """Points lying exactly on y = 300 + 50x (cents) must recover
+    slope 0.5 and intercept 3.0 (GBP units) with zero residual."""
+    from duckdb_retail_pipeline_spark.operators.grouped import grouped_ols
+
+    rows = [("a", x, 300 + 50 * x) for x in range(1, 8)] + [
+        ("b", x, 1000 - 100 * x) for x in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y long")
+    out = {r["g"]: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert out["a"]["n"] == 7
+    assert abs(out["a"]["slope"] - 0.5) < 1e-12
+    assert abs(out["a"]["intercept"] - 3.0) < 1e-12
+    assert abs(out["b"]["slope"] + 1.0) < 1e-12
+    assert abs(out["b"]["intercept"] - 10.0) < 1e-12
+
+
+def test_grouped_ols_degenerate_x(spark, sf_dir):
+    """All-equal x within a group → undefined slope → NULLs, not a
+    crash (den == 0 guard)."""
+    from duckdb_retail_pipeline_spark.operators.grouped import grouped_ols
+
+    df = spark.createDataFrame(
+        [("a", 5, 100), ("a", 5, 200)], "g string, x int, y long"
+    )
+    row = grouped_ols(df, "g", "x", "y").collect()[0]
+    assert row["n"] == 2 and row["slope"] is None and row["intercept"] is None
+
+
+def test_connected_components_known_graph(spark, sf_dir):
+    """Chain 1-2-3, pair 10-11, and the labels must be the component
+    minima; convergence needs 2 rounds for the chain."""
+    from duckdb_retail_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["lbl"] for r in connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters[3] == (1, 3) and clusters[11] == (10, 2)

@@ -46,3 +46,37 @@ def test_asof_join_is_single_shuffle_no_cross_product(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS / correlated scalar must plan as semi /
+    anti / aggregate joins — never per-row nested-loop subqueries."""
+    df = REGISTRY["a13_correlated_subqueries"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    low = plan.lower()
+    assert "semi" in low and "anti" in low, plan
+
+
+def test_window_surface_single_shuffle(spark, sf_dir):
+    """All seven ranking functions in a11 share one window spec →
+    exactly one exchange (plus the broadcast for the dim join)."""
+    df = REGISTRY["a11_window_rank_surface"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    # nth_value uses a different frame, but the partitioning matches,
+    # so Catalyst must not add a second hash exchange
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_agg_country_day_post_agg_calendar_join(spark, sf_dir):
+    """pl09's shuffle must carry only (date, country) grouping keys;
+    the calendar attributes join on the aggregated rows (broadcast),
+    so no 8-key exchange appears in the plan."""
+    df = REGISTRY["pl09_agg_country_day"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    shuffles = plan.split("hashpartitioning(")[1:]
+    assert shuffles, plan
+    for seg in shuffles:
+        keys = seg.split(")")[0]
+        assert "is_weekend" not in keys, keys
