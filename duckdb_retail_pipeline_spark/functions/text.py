@@ -254,3 +254,25 @@ def fingerprint(col: Column | str) -> Column:
     formatting noise."""
     c = _c(col)
     return F.md5(F.concat_ws(" ", tokens(F.lower(c))))
+
+
+def chunk_starts(toks: Column | str, chunk_size: int, overlap: int) -> Column:
+    """0-based token offsets of overlapping chunks: 0, stride, 2·stride
+    … up to the last token (stride = chunk_size − overlap). Empty
+    docs still yield one (empty) chunk at offset 0, which keeps the
+    per-doc chunk count ≥ 1 for downstream bookkeeping."""
+    t = _c(toks)
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    return F.sequence(
+        F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride)
+    )
+
+
+def chunk_text(toks: Column | str, start: Column, chunk_size: int) -> Column:
+    """The chunk at token offset ``start``: chunk_size tokens re-joined
+    with single spaces (the canonical whitespace form the fingerprint
+    and dedup operators already assume)."""
+    t = _c(toks)
+    return F.array_join(F.slice(t, start + 1, chunk_size), " ")

@@ -582,3 +582,46 @@ def a15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("p75_c") / 100.0, 6).alias("p75"),
         dround(F.col("p90_c") / 100.0, 6).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------- a16
+@register(
+    "a16_correlated_avg_filter",
+    oracle=f"""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               {sql_money_sum('l_extendedprice')} AS small_line_revenue
+        FROM lineitem l1
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < (
+            SELECT AVG(l_quantity) / CAST(5 AS DOUBLE)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        GROUP BY p_brand
+    """,
+    doc="Correlated scalar AGGREGATE subquery (the TPC-H Q17 "
+    "pattern): lines below 20%% of their part's average quantity. "
+    "Catalyst decorrelates into an aggregate + join on l_partkey — "
+    "the fact-fact correlated pattern, distinct from a13's "
+    "dim-correlated probes.",
+    tags=("subquery", "agg", "join"),
+)
+def a16_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    tbl(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               {sql_money_sum('l_extendedprice')} AS small_line_revenue
+        FROM lineitem l1
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < (
+            SELECT AVG(l_quantity) / CAST(5 AS DOUBLE)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        GROUP BY p_brand
+        """
+    )

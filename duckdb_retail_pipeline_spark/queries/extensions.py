@@ -991,3 +991,140 @@ def _x26_oracle() -> str:
 def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
     return D.dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------- x27
+@register(
+    "x27_text_chunking",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   UNNEST([s for s in generate_series(
+                       0, GREATEST(len(toks) - 1, 0), 96)]) AS chunk_start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               array_to_string(toks[chunk_start + 1 : chunk_start + 128], ' ')
+                   AS chunk,
+               CAST(len(toks[chunk_start + 1 : chunk_start + 128]) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM s
+    """,
+    doc="LLM-training text chunking: 128-token chunks with 32-token "
+    "overlap (stride 96) — chunk offsets via sequence(), chunk text "
+    "via slice + array_join, exploded to one row per chunk. Pure "
+    "JVM column arithmetic: no UDF, fully parallel, pushdown-safe.",
+    tags=("text", "chunking"),
+)
+def x27_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", T.tokens("text").alias("toks")).withColumn(
+        "chunk_start", F.explode(T.chunk_starts("toks", 128, 32))
+    )
+    return staged.select(
+        "doc_id",
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        T.chunk_text("toks", F.col("chunk_start"), 128).alias("chunk"),
+        F.size(F.slice("toks", F.col("chunk_start") + 1, 128))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------- x28
+def _x28_oracle() -> str:
+    toks = SQL_TOKS.format(x="text")
+    lang_case = """
+        CASE
+            WHEN h_de = g AND g > 0 THEN 'de'
+            WHEN h_en = g AND g > 0 THEN 'en'
+            WHEN h_es = g AND g > 0 THEN 'es'
+            WHEN h_fr = g AND g > 0 THEN 'fr'
+            WHEN h_zh = g AND g > 0 THEN 'zh'
+            ELSE 'und'
+        END
+    """
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, text, {toks} AS toks FROM documents
+        ), keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(array_to_string(
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+                ' '))
+        ), scored AS (
+            SELECT doc_id, toks,
+                   len(toks) AS n_tokens,
+                   {sql_dround("length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / NULLIF(length(text), 0)", 4)} AS alpha_ratio,
+                   {sql_dround('len(list_distinct(toks)) * 1.0 / NULLIF(len(toks), 0)', 4)} AS distinct_ratio,
+                   {_sql_lang_hits('de')} AS h_de,
+                   {_sql_lang_hits('en')} AS h_en,
+                   {_sql_lang_hits('es')} AS h_es,
+                   {_sql_lang_hits('fr')} AS h_fr,
+                   {_sql_lang_hits('zh')} AS h_zh
+            FROM t
+        ), lang AS (
+            SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS g FROM scored
+        )
+        SELECT l.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               alpha_ratio,
+               distinct_ratio,
+               {lang_case} AS predicted_lang
+        FROM lang l JOIN keep k ON l.doc_id = k.doc_id
+        WHERE n_tokens BETWEEN 20 AND 2000
+          AND alpha_ratio >= 0.5
+          AND distinct_ratio >= 0.3
+          AND {lang_case} != 'und'
+    """
+
+
+@register(
+    "x28_corpus_curation",
+    oracle=_x28_oracle(),
+    doc="End-to-end corpus curation — the LLM-training data filter "
+    "chain in one query: exact-dedup keep-list (canonical copy per "
+    "fingerprint, semi join), Gopher-style quality gates (token "
+    "count, alphabetic ratio, repetition), and language-ID 'und' "
+    "rejection. Composes x01+x02+x03's primitives; one shuffle for "
+    "the dedup keep-list, everything else scan-local.",
+    tags=("text", "dedup", "curation"),
+)
+def x28_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = T.tokens("text")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    scored = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        dround(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
+            / F.nullif(n_chars, F.lit(0)),
+            4,
+        ).alias("alpha_ratio"),
+        dround(
+            F.size(F.array_distinct(toks)) * 1.0 / F.nullif(n_tok, F.lit(0)), 4
+        ).alias("distinct_ratio"),
+        T.predict_lang("text").alias("predicted_lang"),
+    )
+    return (
+        scored.join(keep, "doc_id", "left_semi")
+        .filter(
+            F.col("n_tokens").between(20, 2000)
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("distinct_ratio") >= 0.3)
+            & (F.col("predicted_lang") != "und")
+        )
+    )
