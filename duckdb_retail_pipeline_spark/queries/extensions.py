@@ -1128,3 +1128,56 @@ def x28_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("predicted_lang") != "und")
         )
     )
+
+
+# ---------------------------------------------------------------- x29
+@register(
+    "x29_stratified_split",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % 100 AS bucket
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, lang, bucket
+            FROM b
+            WHERE bucket < CASE lang
+                WHEN 'en' THEN 50
+                WHEN 'zh' THEN 80
+                ELSE 100 END
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+    """,
+    doc="Corpus mixing + split assignment, fully deterministic: "
+    "per-language downsampling (en 50%, zh 80%, rest kept) and "
+    "train/val/test assignment from an md5 hash bucket — no RNG, so "
+    "membership is stable across runs, engines, and cluster sizes "
+    "(the property a reproducible training-data pipeline needs; "
+    "rand()-based sampling has none of it).",
+    tags=("text", "sampling", "curation"),
+)
+def x29_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = T.md5_int28(F.col("doc_id").cast("string")) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 80)
+        .otherwise(100)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

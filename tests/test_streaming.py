@@ -45,3 +45,57 @@ def test_stateful_running_totals(spark, sf_dir):
     for r in rows:  # update mode may emit per-batch rows; last wins
         got[r["user_id"]] = r["n_events"]
     assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The real (documented) watermark semantic, demonstrated with
+    one file per micro-batch (maxFilesPerTrigger=1, ordered by
+    mtime): a window is finalized + its state evicted in the batch
+    where the watermark passes its end; a late row arriving AFTER
+    eviction is dropped (numRowsDroppedByWatermark) and never
+    reopens the window. A row that is merely behind the watermark
+    but whose window is still live is best-effort merged — Spark
+    only guarantees drops after eviction, which is why the late
+    event here must trail by two batches."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+
+    def write(name, times):
+        t = pa.table(
+            {
+                "ts": pa.array(times, type=pa.timestamp("us", tz="UTC")),
+                "event_type": pa.array(["click"] * len(times)),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    write("b1.parquet", [dt.datetime(2024, 1, 1, 12, 0), dt.datetime(2024, 1, 1, 12, 59)])
+    write("b2.parquet", [dt.datetime(2024, 1, 1, 15, 0)])   # wm → 14:50
+    write("b3.parquet", [dt.datetime(2024, 1, 1, 15, 30)])  # 12:00 window evicted here
+    write("b4.parquet", [dt.datetime(2024, 1, 1, 12, 30)])  # late: window already gone
+    for i, f in enumerate(["b1", "b2", "b3", "b4"]):
+        os.utime(str(d / f"{f}.parquet"), (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    out = SE.run_stream_to_memory(agg, spark, output_mode="append")
+    rows = {r["window_start"]: r["n"] for r in out.collect()}
+    # the finalized noon window counts only the 2 on-time events —
+    # the 12:30 straggler was dropped, not merged or re-emitted
+    assert rows[dt.datetime(2024, 1, 1, 12, 0)] == 2, rows
