@@ -1181,3 +1181,32 @@ def x29_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------- x30
+@register(
+    "x30_variant_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(props, '$.k') IS NULL AS k_missing,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+                   AS k_mod
+        FROM events
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once "
+    "into a VARIANT column, then typed try_variant_get extraction — "
+    "the shredded alternative to per-path get_json_object string "
+    "re-parsing (x16). Missing-path handling via NULL-safe probe.",
+    tags=("events", "json", "variant"),
+)
+def x30_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        k.isNull().alias("k_missing"),
+        (k % 7).alias("k_mod"),
+    )

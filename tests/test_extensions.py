@@ -130,3 +130,29 @@ def test_connected_components_known_graph(spark, sf_dir):
         for r in dedup_clusters(pairs).collect()
     }
     assert clusters[3] == (1, 3) and clusters[11] == (10, 2)
+
+
+def test_udtf_lateral_tokenize(spark, sf_dir):
+    """Python UDTF surface: SQL LATERAL expansion must agree with
+    the JVM explode(tokens()) path on the same document."""
+    from duckdb_retail_pipeline_spark.functions import text as T
+    from duckdb_retail_pipeline_spark.operators.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = tbl(spark, sf_dir, "documents").limit(5)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM udtf_docs d, LATERAL tokenize(d.text) t"
+    ).collect()
+    via_explode = (
+        docs.select(
+            "doc_id", F.posexplode(T.tokens("text")).alias("pos", "token")
+        )
+    ).collect()
+    assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, via_explode))
+    pairs = spark.sql(
+        "SELECT p.* FROM (SELECT array(3, 1, 2) AS ids) v, "
+        "LATERAL adjacent_pairs(v.ids) p"
+    ).collect()
+    assert [tuple(r) for r in pairs] == [("1-2", 1, 2), ("2-3", 2, 3)]
