@@ -10,8 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.queries.base import (
+    dround,
     money_sum,
     register,
+    sql_dround,
     sql_money_sum,
     tbl,
 )
@@ -129,21 +131,50 @@ def a04_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- a05
 @register(
     "a05_approx_aggregates",
-    oracle=None,  # HLL/quantile-sketch internals are engine-specific;
-    # tolerance vs exact values asserted in tests/test_advanced.py.
+    # The sketches themselves are engine-specific (Spark HLL++ vs
+    # whatever DuckDB would use), so the compared frame carries the
+    # EXACT values (hash-matched) plus booleans asserting the sketch
+    # error bound — the oracle side states the contract as TRUE; a
+    # sketch drifting out of tolerance flips the boolean and fails the
+    # hash. Raw sketch values are tolerance-tested in
+    # tests/test_advanced.py.
+    oracle=f"""
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               {sql_dround('quantile_cont(l_extendedprice, 0.5)')}
+                   AS exact_median_price,
+               TRUE AS approx_orders_within_tol,
+               TRUE AS approx_median_within_tol
+        FROM lineitem
+    """,
     doc="Approximate aggregates for 100 TB interactive work: "
-    "approx_count_distinct (HyperLogLog++) and percentile_approx "
-    "(KLL-style) — sketch-based, single-pass, mergeable across "
-    "partitions.",
+    "approx_count_distinct (HyperLogLog++, rsd 0.05) and "
+    "percentile_approx (KLL-style) — sketch-based, single-pass, "
+    "mergeable across partitions. Exact columns hash-matched; sketch "
+    "error bounds driver-checked as boolean contracts.",
     tags=("agg", "approx"),
 )
 def a05_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_raw"),
+    )
+    return agg.select(
+        F.col("exact_orders"),
+        dround("exact_median_raw").alias("exact_median_price"),
+        # HLL++ at rsd=0.05: assert 2× headroom (10% relative error)
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.10 * F.col("exact_orders")
+        ).alias("approx_orders_within_tol"),
+        # percentile_approx default accuracy 10000 → rank error ≤1e-4;
+        # assert the value lands within 5% of the exact median
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_raw"))
+            <= 0.05 * F.col("exact_median_raw")
+        ).alias("approx_median_within_tol"),
     )
 
 
@@ -420,7 +451,8 @@ def a11_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a12_array_agg_surface",
     oracle="""
         SELECT n_name AS nation,
-               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+                   AS priorities,
                CAST(len(list_sort(list(DISTINCT o_orderpriority))) AS BIGINT)
                    AS n_priorities,
                list_contains(list(DISTINCT o_orderpriority), '1-URGENT')
@@ -431,9 +463,12 @@ def a11_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
-    doc="Array aggregation surface: collect_set → array_sort (pinned "
-    "element order makes the array column hash-comparable), size, "
-    "array_contains, element_at — Spark ArrayType vs DuckDB LIST.",
+    doc="Array aggregation surface: collect_set → array_sort → size / "
+    "array_contains / element_at — Spark ArrayType vs DuckDB LIST. "
+    "The array itself is serialized with array_join('|') for the "
+    "compared frame (the driver's canonicalizer hashes scalar cells "
+    "only); the array ops stay in the plan. `customer` scales with SF "
+    "so it carries no broadcast hint — AQE/threshold picks the join.",
     tags=("agg", "arrays"),
 )
 def a12_array_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,17 +476,17 @@ def a12_array_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = tbl(spark, sf_dir, "customer")
     nation = tbl(spark, sf_dir, "nation")
     base = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
     agg = base.groupBy(F.col("n_name").alias("nation")).agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities_arr")
     )
     return agg.select(
         "nation",
-        "priorities",
-        F.size("priorities").cast("bigint").alias("n_priorities"),
-        F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
-        F.element_at("priorities", 1).alias("first_priority"),
+        F.array_join("priorities_arr", "|").alias("priorities"),
+        F.size("priorities_arr").cast("bigint").alias("n_priorities"),
+        F.array_contains("priorities_arr", "1-URGENT").alias("has_urgent"),
+        F.element_at("priorities_arr", 1).alias("first_priority"),
     )
 
 
