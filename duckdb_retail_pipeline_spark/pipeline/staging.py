@@ -49,10 +49,14 @@ def build_raw_retail_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = tbl(spark, sf_dir, "part")
 
     base = (
+        # customer/part scale linearly with SF, so they carry no
+        # broadcast hint — AQE/threshold broadcasts them at small SF
+        # and falls back to shuffle join at cluster scale. nation is
+        # fixed at 25 rows → explicit hint stays.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
     )
     is_return = F.col("l_returnflag") == "R"
     okey = F.col("l_orderkey")

@@ -131,7 +131,9 @@ def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     customer = tbl(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # no broadcast hint: customer grows with SF — AQE/threshold
+        # broadcasts it at small SF and degrades to shuffle at 100×
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             money_sum(F.col("o_totalprice")).alias("total_spend"),
@@ -398,8 +400,10 @@ def q12_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     customer = tbl(spark, sf_dir, "customer")
     nation = tbl(spark, sf_dir, "nation")
+    # customer scales with SF → no hint (AQE/threshold decides);
+    # nation is fixed 25 rows → hint stays
     base = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
     return base.groupBy(F.col("n_name").alias("nation")).agg(
         (
@@ -724,7 +728,8 @@ def q20_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="8-key groupBy over the full star (SURVEY §2.4 A6 — the "
     "reference's agg_country_day, src/models/facts.py:366-412). "
-    "All dims broadcast; one fact shuffle on the grouping keys.",
+    "Fixed-size dims broadcast by hint, customer by AQE/threshold "
+    "only; one fact shuffle on the grouping keys.",
     headline=True,
     tags=("agg", "join"),
 )
@@ -734,7 +739,8 @@ def q21_multikey_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = tbl(spark, sf_dir, "nation")
     region = tbl(spark, sf_dir, "region")
     base = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF → no hint; nation/region are fixed
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )

@@ -897,7 +897,8 @@ def x24_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = tbl(spark, sf_dir, "customer")
     nation = tbl(spark, sf_dir, "nation")
     base = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF → no broadcast hint (AQE decides)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),

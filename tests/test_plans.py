@@ -31,6 +31,26 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
     assert X.sort_merge_join_count(df) == 0
 
 
+def test_scaling_tables_broadcast_via_threshold_not_hint(spark, sf_dir):
+    """customer/part scale with SF, so they carry NO F.broadcast()
+    hint (a hint bypasses the 64 MB threshold and would OOM at 100×).
+    At small SF the threshold must still pick broadcast-hash joins —
+    the hint removal costs nothing locally while the same plan
+    degrades gracefully to shuffle at cluster scale."""
+    for name in ("q03_top_customers", "q12_ratio_nullif", "q21_multikey_star_agg"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert X.broadcast_join_count(df) >= 1, (name, X.formatted_plan(df))
+        assert X.sort_merge_join_count(df) == 0, (name, X.formatted_plan(df))
+
+
+def test_staging_star_broadcasts_via_threshold(spark, sf_dir):
+    """pl01's customer/part joins are unhinted; threshold-driven
+    broadcast must still fire at test SF."""
+    df = REGISTRY["pl01_staging_retail"].fn(spark, sf_dir)
+    assert X.broadcast_join_count(df) >= 2, X.formatted_plan(df)
+    assert X.sort_merge_join_count(df) == 0, X.formatted_plan(df)
+
+
 def test_flagship_has_codegen(spark, sf_dir):
     df = REGISTRY["q02_monthly_revenue_by_nation"].fn(spark, sf_dir)
     assert X.codegen_span_count(df) >= 1
