@@ -40,3 +40,36 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 ("Rademacher") hyperplanes derived from md5 —
+    data-independent and seed-free, so the exact same constants can be
+    embedded in a Spark plan and in an ANSI-SQL oracle. Sign-of-dot
+    against such planes is the classic random-hyperplane LSH for
+    cosine similarity (Charikar, STOC'02)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def signed_sum(vec: Column | str, plane: list[float]) -> Column:
+    """Dot product against a ±1 hyperplane as a compact
+    zip_with/aggregate pair (an explicit per-element chain of adds
+    would work too, but 32 planes × 64 dims of literal chains blow up
+    codegen/driver memory). The fold is a plain left-to-right double
+    accumulation starting at 0.0 — the same element order and IEEE op
+    sequence as DuckDB's ``list_sum(list_transform(list_zip(...)))``,
+    so the sign bit (which tolerates zero divergence) matches the SQL
+    oracle bit-for-bit; tests/test_extensions.py re-verifies the full
+    band keys across engines on real data."""
+    p = F.array(*[F.lit(float(s)) for s in plane])
+    return dot(vec, p)

@@ -3,17 +3,20 @@
 Five strategies, orderered by cost:
 
   exact_dedup          — hash-groupBy on a canonical fingerprint
-  ngram_jaccard_pairs  — exact n-gram Jaccard within cheap blocks
+  ngram_jaccard_pairs  — exact n-gram Jaccard, prefix-filter
+                         candidate generation (guaranteed recall)
   minhash_lsh_pairs    — MinHash signatures + LSH banding, verified
                          with exact Jaccard (the 100 TB path)
   simhash_pairs        — 60-bit SimHash + hamming-distance blocking
-  embedding_dup_pairs  — cosine near-dup over embeddings
+  embedding_dup_pairs  — cosine near-dup, hyperplane-LSH banding
 
 Scale notes: every strategy is candidate-generation-by-equi-join
-(hash buckets / LSH bands / blocks) followed by verification on the
-candidate pairs only — never an all-pairs cross join. MinHash hashes
-are md5-derived (functions.text) so results are reproducible in an
-ANSI-SQL oracle.
+(hash buckets / LSH bands / prefix shingles) followed by verification
+on the candidate pairs only — never an all-pairs cross join, and
+never a metadata-keyed block whose population grows with the corpus.
+MinHash hashes are md5-derived (functions.text) and hyperplanes are
+md5-derived ±1 vectors, so results are reproducible in an ANSI-SQL
+oracle.
 """
 
 from __future__ import annotations
@@ -52,35 +55,82 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def prefix_index(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The AllPairs prefix index: returns ``(d, pre)`` where ``d`` is
+    the persisted (id, distinct-shingle-set) table and ``pre`` is the
+    exploded (id, prefix-shingle) index — each document contributes
+    only its first ``L − ceil(t·L) + 1`` shingles under the global
+    ascending-document-frequency order, which is exactly the set that
+    guarantees any Jaccard ≥ t pair shares at least one index entry."""
+    d = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), T.word_shingles(text_col, n).alias("sh"))
+        .persist()
+    )
+    ex = d.select(id_col, F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-doc shingles in global (cnt, s) order; array_sort on the
+    # struct normalizes collect_list's nondeterministic arrival order
+    ordered = (
+        ex.join(freq, "s")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "s"))).alias("op"))
+        .select(id_col, F.transform("op", lambda x: x["s"]).alias("os"))
+    )
+    plen = (
+        F.size("os") - F.ceil(F.size("os") * F.lit(threshold)) + F.lit(1)
+    ).cast("int")
+    pre = ordered.select(id_col, F.explode(F.slice("os", F.lit(1), plen)).alias("s"))
+    return d, pre
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
-    block_cols: tuple[str, ...] = ("lang", "source"),
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard ≥ threshold among pairs sharing a
-    block key. Blocking bounds the quadratic term: pairs form only
-    within (lang, source) groups, which stay small and numerous as
-    data grows — the join is an equi-join on the block key."""
-    d = _spread(docs, id_col).select(
-        *block_cols, F.col(id_col), T.word_shingles(text_col, n).alias("sh")
+    """Global exact word-n-gram Jaccard ≥ threshold pairs via prefix
+    filtering (the AllPairs/PPJoin family — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08).
+
+    Candidate generation: order every document's distinct shingles by
+    ascending global document frequency (ties by shingle value — a
+    total order shared by all documents), keep only the first
+    ``L − ceil(t·L) + 1`` of them (the "prefix"). Any pair with
+    Jaccard ≥ t MUST share at least one prefix shingle, so the
+    equi-join on prefix shingles has guaranteed recall — unlike
+    metadata blocking there is no quadratic blow-up inside a dominant
+    (lang, source) block: candidate blocks are keyed by CONTENT, and
+    frequency-ascending ordering puts only RARE shingles in prefixes,
+    so block populations stay small however the corpus metadata skews.
+    Exact set-Jaccard then verifies candidates. The document-frequency
+    aggregation is one extra corpus-sized shuffle — the standard
+    AllPairs indexing pass."""
+    d, pre = prefix_index(docs, threshold, n, id_col=id_col, text_col=text_col)
+    pa = pre.select(F.col(id_col).alias("id_a"), "s")
+    pb = pre.select(F.col(id_col).alias("id_b"), "s")
+    cand = (
+        pa.join(pb, "s", "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = d.select(
-        *[F.col(c).alias(f"{c}") for c in block_cols],
-        F.col(id_col).alias("id_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = d.select(
-        *[F.col(c).alias(f"{c}") for c in block_cols],
-        F.col(id_col).alias("id_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    pairs = a.join(b, list(block_cols), "inner").filter(F.col("id_a") < F.col("id_b"))
-    sim = pairs.withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
-    return sim.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    sh_a = d.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = d.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -203,23 +253,79 @@ def simhash_pairs(
     )
 
 
-def embedding_dup_pairs(
+def hyperplane_bands(
     emb: DataFrame,
-    threshold: float = 0.95,
-    block_col: str = "label",
+    planes: list[list[float]],
+    bands: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within blocks. At 100 TB the
-    block key comes from a coarse LSH / IVF assignment (see
-    operators.similarity); with labeled testdata the label column
-    stands in as the block."""
-    d = emb.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col))
-    a = d.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = d.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    pairs = a.join(b, "blk", "inner").filter(F.col("id_a") < F.col("id_b"))
-    sim = pairs.withColumn("cosine", F.round(V.cosine_similarity("v_a", "v_b"), 4))
-    return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    """LSH band assignment: ``len(planes)`` sign bits split into
+    ``bands`` integer band keys, exploded to (id, band, key) — the
+    content-derived block table behind ``embedding_dup_pairs``."""
+    if len(planes) % bands:
+        raise ValueError("len(planes) must divide evenly into bands")
+    k = len(planes) // bands
+    bits = [
+        F.when(V.signed_sum(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    band_structs = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(k):
+            key = key + bits[b * k + j] * F.lit(2**j)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
+        )
+    return emb.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by random-hyperplane
+    LSH sign bands (Charikar, STOC'02) — the block key is derived
+    from the vector CONTENT, so identical vectors always collide
+    (recall 1.0 for exact duplicates) and block populations follow
+    the sign-bit distribution instead of metadata skew.
+
+    ``n_planes`` sign bits against deterministic md5-derived ±1
+    hyperplanes are split into ``bands`` bands of ``n_planes/bands``
+    bits; a pair becomes a candidate iff one whole band matches — the
+    same banding amplification as MinHash LSH (x07). Exact cosine
+    then verifies candidates, so output = true near-dups ∩ LSH
+    recall. At 100 TB, bits-per-band scales with log2(corpus/target
+    block size) to keep per-bucket populations flat; the only
+    corpus-sized shuffle is the (band, key) equi-join carrying ids."""
+    planes = V.rademacher_planes(n_planes, dim)
+    base = emb.select(F.col(id_col), F.col(vec_col)).persist()
+    banded = hyperplane_bands(base, planes, bands, id_col=id_col, vec_col=vec_col)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(V.cosine_similarity("v_a", "v_b"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def connected_components(

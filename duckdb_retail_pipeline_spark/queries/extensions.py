@@ -220,25 +220,39 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
         WITH {SQL_AUG_CORPUS.strip()},
         sh AS (
-            SELECT doc_id, lang, source,
+            SELECT doc_id,
                    {_sql_word_shingles3(SQL_TOKS.format(x='text'))} AS sh
             FROM aug
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh)) AS inter,
-                   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-            FROM sh a JOIN sh b
-              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        ), scored AS (
-            SELECT id_a, id_b,
-                   {sql_dround('CAST(inter AS DOUBLE) / NULLIF(CAST(uni AS DOUBLE), 0.0)', 4)} AS jaccard
-            FROM pairs
+        ), ex AS (
+            SELECT doc_id, UNNEST(sh) AS s FROM sh
+        ), freq AS (
+            SELECT s, COUNT(*) AS cnt FROM ex GROUP BY s
+        ), ordr AS (
+            SELECT ex.doc_id, list(ex.s ORDER BY f.cnt ASC, ex.s ASC) AS os
+            FROM ex JOIN freq f ON ex.s = f.s
+            GROUP BY ex.doc_id
+        ), pre AS (
+            SELECT doc_id,
+                   UNNEST(os[1 : CAST(len(os) - ceil(len(os) * 0.7) + 1 AS INT)]) AS s
+            FROM ordr
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+        ), verified AS (
+            SELECT c.id_a, c.id_b,
+                   {sql_dround('CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / NULLIF(CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 0.0)', 4)} AS jaccard
+            FROM cand c
+            JOIN sh sa ON c.id_a = sa.doc_id
+            JOIN sh sb ON c.id_b = sb.doc_id
         )
-        SELECT * FROM scored WHERE jaccard >= 0.7
+        SELECT * FROM verified WHERE jaccard >= 0.7
     """,
-    doc="Exact word-3-gram Jaccard near-dup pairs within (lang, "
-    "source) blocks on the augmented corpus — candidate generation "
-    "by blocking equi-join, never an all-pairs cross join.",
+    doc="Global exact word-3-gram Jaccard near-dup pairs via prefix "
+    "filtering (AllPairs/PPJoin): shingles ordered by ascending "
+    "document frequency, equi-join on the L-ceil(tL)+1 prefix — "
+    "guaranteed recall with content-derived candidate blocks that "
+    "stay small under metadata skew. Even the prefix join is "
+    "oracle-checked.",
     tags=("dedup", "text"),
 )
 def x05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,50 +449,88 @@ def x10_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- x11
+# Hyperplane constants shared by the Spark operator and the SQL
+# oracle: 32 md5-derived ±1 planes over 64 dims, 4 bands × 8 bits.
+_X11_PLANES = V.rademacher_planes(32, 64)
+_X11_BANDS, _X11_BITS = 4, 8
+
+
+def _sql_signed_sum(col: str, plane: list[float]) -> str:
+    """SQL twin of vectors.signed_sum: the same left-to-right double
+    fold over the same element order (list_sum of the per-element
+    products), so the sign bit cannot diverge between engines —
+    re-verified bit-for-bit on real data in tests/test_extensions.py."""
+    signs = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in plane) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({col}, {signs}), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    )
+
+
+def _sql_band_key(col: str, band: int) -> str:
+    bits = []
+    for j in range(_X11_BITS):
+        plane = _X11_PLANES[band * _X11_BITS + j]
+        bits.append(
+            f"(CASE WHEN {_sql_signed_sum(col, plane)} >= 0 "
+            f"THEN {2 ** j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _x11_oracle() -> str:
+    banded_arms = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {b} AS band, {_sql_band_key('embedding', b)} AS key FROM aug_e"
+        for b in range(_X11_BANDS)
+    )
+    cosine = sql_dround(
+        SQL_COSINE_PARTS.format(a="ea.embedding", b="eb.embedding")
+        + f" / NULLIF({_sql_norm('ea.embedding')} * {_sql_norm('eb.embedding')}, 0.0)",
+        4,
+    )
+    return rf"""
+        WITH aug_e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, embedding
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), banded AS (
+            {banded_arms}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        ), verified AS (
+            SELECT c.id_a, c.id_b, {cosine} AS cosine
+            FROM cand c
+            JOIN aug_e ea ON c.id_a = ea.vec_id
+            JOIN aug_e eb ON c.id_b = eb.vec_id
+        )
+        SELECT * FROM verified WHERE cosine >= 0.95
+    """
+
+
 @register(
     "x11_embedding_dup_pairs",
-    oracle=rf"""
-        WITH aug_e AS (
-            SELECT vec_id, embedding, label FROM embeddings
-            UNION ALL
-            SELECT vec_id + 1000000, embedding, label
-            FROM embeddings WHERE vec_id % 50 = 0
-        ), blocked AS (
-            SELECT vec_id, embedding, label, vec_id % 20 AS sub FROM aug_e
-        ), pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   {sql_dround(SQL_COSINE_PARTS.format(a='a.embedding', b='b.embedding') + f" / NULLIF({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}, 0.0)", 4)} AS cosine
-            FROM blocked a JOIN blocked b
-              ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
-        )
-        SELECT * FROM pairs WHERE cosine >= 0.95
-    """,
-    doc="Embedding-cosine near-duplicate pairs within (label, id%20) "
-    "blocks on an augmented corpus (every 50th vector duplicated) — "
-    "at 100 TB the block key comes from LSH/IVF cell assignment.",
+    oracle=_x11_oracle(),
+    doc="Embedding-cosine near-duplicate pairs blocked by "
+    "random-hyperplane LSH sign bands (4 bands × 8 bits against "
+    "md5-derived ±1 planes) on an augmented corpus (every 50th "
+    "vector duplicated) — content-derived blocks: identical vectors "
+    "always collide, and bucket sizes follow the sign-bit "
+    "distribution instead of metadata skew. Even the banding join is "
+    "oracle-checked.",
     tags=("dedup", "similarity", "vectors"),
 )
 def x11_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
-    aug = emb.select("vec_id", "embedding", "label").unionByName(
+    aug = emb.select("vec_id", "embedding").unionByName(
         emb.filter(F.col("vec_id") % 50 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
     )
-    blocked = aug.withColumn("sub", F.col("vec_id") % 20)
-    a = blocked.select(
-        F.col("label"), F.col("sub"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-    )
-    b = blocked.select(
-        F.col("label"), F.col("sub"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("v_b"),
-    )
-    pairs = a.join(b, ["label", "sub"], "inner").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cosine", dround(V.cosine_similarity("v_a", "v_b"), 4))
-        .filter(F.col("cosine") >= 0.95)
-        .select("id_a", "id_b", "cosine")
+    return D.embedding_dup_pairs(
+        aug, threshold=0.95, dim=64, n_planes=32, bands=_X11_BANDS
     )
 
 
@@ -798,9 +850,12 @@ def x23_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, session_seq
     """,
     doc="Spark's NATIVE session_window in batch mode, oracle-checked "
-    "against the classic lag+cumsum sessionization SQL — proves the "
-    "two formulations agree (same 30-min gap; session start = first "
-    "event ts).",
+    "against the classic lag+cumsum sessionization SQL. The gap test "
+    "is strictly > 1800: session_window MERGES an event that arrives "
+    "exactly gap seconds after the previous one (its window is "
+    "[ts, ts+gap) and a new event extends the session when its ts is "
+    "<= the current end) — pinned on the exact-boundary pair in "
+    "tests/test_operators.py::test_session_boundary_exactly_gap_apart.",
     tags=("events", "window", "session"),
 )
 def x21_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

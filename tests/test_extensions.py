@@ -156,3 +156,111 @@ def test_udtf_lateral_tokenize(spark, sf_dir):
         "LATERAL adjacent_pairs(v.ids) p"
     ).collect()
     assert [tuple(r) for r in pairs] == [("1-2", 1, 2), ("2-3", 2, 3)]
+
+
+def test_prefix_filter_exact_recall_and_bounded_blocks(spark):
+    """Prefix filtering must find EVERY Jaccard >= t pair (the AllPairs
+    guarantee) while candidate blocks stay small under metadata skew —
+    this corpus is 100% one (lang, source), which the old metadata
+    block key would collapse into a single all-pairs block."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    n_docs, t = 60, 0.7
+    words = [f"w{i:03d}" for i in range(400)]
+    texts = {}
+    for i in range(n_docs):
+        base = [words[(i * 37 + j * 11) % 400] for j in range(30)]
+        texts[i] = " ".join(base)
+    # inject near-dups: copy with a 2-word tail change (high jaccard)
+    for i in range(0, n_docs, 10):
+        texts[1000 + i] = texts[i] + " zz88 zz99"
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    truth = set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if sa and len(sa & sb) / len(sa | sb) >= t:
+                truth.add((a, b))
+    assert truth, "fixture must contain true near-dup pairs"
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert got == truth  # exact: guaranteed recall, verified precision
+
+    # block populations: the largest prefix-shingle block must be far
+    # below the corpus size (the all-pairs degenerate case)
+    _, pre = D.prefix_index(docs, t)
+    biggest = (
+        pre.groupBy("s").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    assert biggest <= len(ids) // 4, f"prefix block too large: {biggest}"
+
+
+def test_hyperplane_bands_exact_dup_recall_and_bounded_buckets(spark):
+    """Identical vectors share every sign bit, so exact-duplicate
+    recall is 1.0 by construction; band buckets must split a corpus
+    that shares one metadata label (the old block key's worst case)."""
+    from duckdb_retail_pipeline_spark.functions import vectors as V
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    dim, n = 16, 80
+    rows = []
+    for i in range(n):
+        vec = [float(((i * 31 + d * 7) % 19) - 9) for d in range(dim)]
+        rows.append((i, vec))
+    for i in range(0, n, 8):  # exact duplicates of every 8th vector
+        rows.append((10000 + i, rows[i][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = D.embedding_dup_pairs(
+        emb, threshold=0.999, dim=dim, n_planes=16, bands=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected_dups = {(i, 10000 + i) for i in range(0, n, 8)}
+    assert expected_dups <= got  # recall 1.0 on exact duplicates
+
+    planes = V.rademacher_planes(16, dim)
+    banded = D.hyperplane_bands(emb, planes, bands=4)
+    biggest = (
+        banded.groupBy("band", "key")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    assert biggest < len(rows) // 2, f"band bucket too large: {biggest}"
+
+
+def test_hyperplane_band_keys_bitwise_match_oracle(spark, duck, sf_dir):
+    """The x11 LSH bits tolerate ZERO cross-engine divergence (a
+    last-ulp difference near zero would flip a candidate block), so
+    re-derive every band key in DuckDB with the mirrored list_sum
+    fold and require exact equality on the real embeddings."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        _X11_BANDS,
+        _X11_PLANES,
+        _sql_band_key,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    spark_keys = {
+        (r["vec_id"], r["band"]): r["key"]
+        for r in D.hyperplane_bands(emb, _X11_PLANES, bands=_X11_BANDS).collect()
+    }
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_sql_band_key('embedding', b)} AS key "
+        "FROM embeddings"
+        for b in range(_X11_BANDS)
+    )
+    duck_keys = {(r[0], r[1]): r[2] for r in duck.execute(arms).fetchall()}
+    assert spark_keys == duck_keys
