@@ -102,3 +102,39 @@ def test_upsert_semantics(spark):
     updates = spark.createDataFrame([(1, "new"), (3, "ins")], "k bigint, v string")
     out = {r["k"]: r["v"] for r in MG.upsert(target, updates, ["k"]).collect()}
     assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_session_boundary_exactly_gap_apart(spark):
+    """Pin the session-gap boundary contract: Spark's native
+    session_window MERGES an event arriving exactly gap seconds after
+    the previous one (a new event extends the session when its ts is
+    <= the current session end), which is exactly the strict-> gap
+    test of operators.windows.sessionize — so the lag+cumsum x21/x15
+    oracles (gap > 1800) agree with session_window AT the boundary,
+    and both split only strictly beyond it."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.operators import windows as W
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t0),
+            (2, 7, t0 + dt.timedelta(seconds=1800)),  # exactly the gap
+            (3, 7, t0 + dt.timedelta(seconds=1800 + 1801)),  # just over
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r["n"] for r in native) == [1, 2]  # merge at, split past
+
+    sess = W.sessionize(ev, "ts", "user_id", gap_minutes=30, tiebreak=["event_id"])
+    per_session = sorted(
+        r["n"]
+        for r in sess.groupBy("session_seq").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_session == [1, 2]  # identical boundary behavior
