@@ -110,7 +110,14 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # a silently-partial memory table would surface later as a
+        # confusing oracle mismatch; fail loudly at the source
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_s}s"
+        )
     return spark.table(name)
 
 

@@ -99,3 +99,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the finalized noon window counts only the 2 on-time events —
     # the 12:30 straggler was dropped, not merged or re-emitted
     assert rows[dt.datetime(2024, 1, 1, 12, 0)] == 2, rows
+
+
+def test_run_stream_to_memory_raises_on_timeout(spark, sf_dir, monkeypatch):
+    """A timeout must raise (and stop the query), never return a
+    silently partial memory table. awaitTermination's False return is
+    simulated so the test is deterministic at any machine speed."""
+    import pytest
+    from pyspark.sql.streaming.query import StreamingQuery
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    monkeypatch.setattr(StreamingQuery, "awaitTermination", lambda self, t=None: False)
+    stopped = []
+    real_stop = StreamingQuery.stop
+    monkeypatch.setattr(
+        StreamingQuery, "stop", lambda self: (stopped.append(1), real_stop(self))[1]
+    )
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    agg = SE.hourly_event_counts(stream)
+    with pytest.raises(TimeoutError, match="did not finish"):
+        SE.run_stream_to_memory(agg, spark, timeout_s=5)
+    assert stopped  # the timed-out query was stopped, not leaked
