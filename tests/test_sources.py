@@ -75,3 +75,38 @@ def test_excel_without_lib_raises(spark):
         pytest.skip("openpyxl installed")
     with pytest.raises(NotImplementedError):
         excel.read_excel_sheets(spark, "missing.xlsx")
+
+
+def test_excel_csv_fallback_roundtrip(spark, tmp_path):
+    """No openpyxl, no injected reader: sheet CSVs exported next to
+    the workbook path feed the same union-and-tag path, and
+    to_parquet_once lands them as a splittable parquet scan."""
+    (tmp_path / "retail.2009-2010.csv").write_text("a,b\n1,x\n2,y\n")
+    (tmp_path / "retail.2010-2011.csv").write_text("a,b\n3,z\n")
+    wb = str(tmp_path / "retail.xlsx")
+
+    df = excel.read_excel_sheets(spark, wb, reader=excel._csv_fallback_reader)
+    assert df.count() == 3
+    tags = {r["source_sheet"] for r in df.select("source_sheet").distinct().collect()}
+    assert tags == {"2009-2010", "2010-2011"}
+
+    out = excel.to_parquet_once(
+        spark, wb, str(tmp_path / "pq"), reader=excel._csv_fallback_reader
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 3 and "source_sheet" in back.columns
+
+
+def test_excel_csv_single_file_and_directory(spark, tmp_path):
+    single = tmp_path / "holidays.csv"
+    single.write_text("d,name\n2024-01-01,new year\n")
+    df = excel.read_excel_sheets(spark, str(single))  # .csv needs no lib
+    assert df.count() == 1
+    assert df.first()["source_sheet"] == "holidays"
+
+    d = tmp_path / "sheets"
+    d.mkdir()
+    (d / "s1.csv").write_text("a\n1\n")
+    (d / "s2.csv").write_text("a\n2\n3\n")
+    df2 = excel.read_excel_sheets(spark, str(d), reader=excel._csv_fallback_reader)
+    assert df2.count() == 3
