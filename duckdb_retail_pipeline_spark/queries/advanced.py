@@ -138,9 +138,13 @@ def a04_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch drifting out of tolerance flips the boolean and fails the
     # hash. Raw sketch values are tolerance-tested in
     # tests/test_advanced.py.
+    # median over integer cents, one /100 division at the end (the
+    # a15 pattern): interpolation between two raw 2-dp doubles can
+    # land exactly on a .xx5 boundary where a last-ulp difference in
+    # the engines' lerp flips dround(2); on exact ints it can't.
     oracle=f"""
         SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-               {sql_dround('quantile_cont(l_extendedprice, 0.5)')}
+               {sql_dround('quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.5) / 100.0', 6)}
                    AS exact_median_price,
                TRUE AS approx_orders_within_tol,
                TRUE AS approx_median_within_tol
@@ -155,15 +159,17 @@ def a04_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a05_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     agg = li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_raw"),
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("exact_median_cents"),
     )
     return agg.select(
         F.col("exact_orders"),
-        dround("exact_median_raw").alias("exact_median_price"),
+        dround("exact_median_cents", 6).alias("exact_median_price"),
         # HLL++ at rsd=0.05: assert 2× headroom (10% relative error)
         (
             F.abs(F.col("approx_orders") - F.col("exact_orders"))

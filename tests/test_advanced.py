@@ -17,6 +17,24 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     # the driver-compared contract columns: sketch error within bound
     assert row["approx_orders_within_tol"] is True
     assert row["approx_median_within_tol"] is True
+    # independently RE-DERIVE the tolerances rather than trusting the
+    # plan's own booleans: a sketch regression inside the generous
+    # in-plan bounds must still be visible somewhere
+    li = tbl(spark, sf_dir, "lineitem")
+    raw = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    ).first()
+    assert (
+        abs(raw["approx_orders"] - raw["exact_orders"]) / raw["exact_orders"]
+        <= 0.10
+    )
+    assert (
+        abs(raw["approx_median"] - raw["exact_median"]) / raw["exact_median"]
+        <= 0.05
+    )
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
