@@ -77,7 +77,12 @@ def sessionize(
     be deterministic)."""
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
     prev_ts = F.lag(ts_col).over(w)
-    gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    # TIMESTAMP_NTZ (tz-less parquet) can't cast straight to long in
+    # Spark 4; ltz first is identity for tz-aware input and uses the
+    # session tz (pinned UTC, session.py) for NTZ — matching the
+    # oracle's epoch() on the same naive values.
+    epoch = lambda c: c.cast("timestamp_ltz").cast("long")  # noqa: E731
+    gap_s = epoch(F.col(ts_col)) - epoch(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("__new_session", is_new).withColumn(
         "session_seq", F.sum("__new_session").over(w)
