@@ -60,24 +60,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with a usable TimestampType ``ts``.
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) from any of
+    the source layouts the testdata has shipped over time:
 
-    The testdata writes ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL).
-    The Spark-native workaround: read nanos as raw longs
-    (spark.sql.legacy.parquet.nanosAsLong) and integer-divide to
-    microseconds — `DIV 1000` stays exact where double division
-    would lose precision above 2^53. Matches DuckDB's ns→µs cast
-    (truncation) for the oracle."""
+    - ``bigint``: parquet TIMESTAMP(NANOS) read as raw longs via
+      spark.sql.legacy.parquet.nanosAsLong — integer-divide to µs
+      (``DIV 1000`` stays exact where double division would lose
+      precision above 2^53; matches DuckDB's truncating ns→µs cast).
+    - ``timestamp_ntz``: parquet TIMESTAMP(µs, isAdjustedToUTC=false)
+      — cast to TIMESTAMP, which interprets the naive value in the
+      session timezone. Exact under the pinned-UTC session
+      (session.py / ensure_session_conventions), matching the
+      oracle's epoch() semantics on the same naive values.
+    - ``timestamp``: already LTZ — no-op.
+
+    The single normalization point for batch load, streaming read,
+    and any operator that needs watermark-able event time (Spark
+    requires TIMESTAMP, not NTZ, for ``withWatermark``).
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    ts_type = df.schema["ts"].dataType.simpleString()
+    ts_type = df.schema[ts_col].dataType.simpleString()
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a usable TIMESTAMP (LTZ) ``ts`` regardless of the
+    parquet layout — see normalize_event_ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

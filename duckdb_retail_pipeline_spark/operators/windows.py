@@ -75,12 +75,27 @@ def sessionize(
     Spark plans a single sort+shuffle. Pass unique ``tiebreak``
     columns when timestamps can collide (lag needs a total order to
     be deterministic)."""
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    if ts_type == "timestamp_ntz":
+        # A naive timestamp has no instant: the epoch cast below
+        # interprets it in the session timezone, so a non-UTC session
+        # would skew gaps across DST transitions. Callers should
+        # normalize event time first (catalog.normalize_event_ts);
+        # refuse the silent skew otherwise.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"sessionize on a TIMESTAMP_NTZ column requires the UTC "
+                f"session convention (got session timeZone={tz!r}); "
+                "normalize with catalog.normalize_event_ts first"
+            )
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
     prev_ts = F.lag(ts_col).over(w)
-    # TIMESTAMP_NTZ (tz-less parquet) can't cast straight to long in
-    # Spark 4; ltz first is identity for tz-aware input and uses the
-    # session tz (pinned UTC, session.py) for NTZ — matching the
-    # oracle's epoch() on the same naive values.
+    # Gap = difference of per-timestamp epoch-second floors (NOT full
+    # elapsed seconds — timestampdiff would shift session boundaries
+    # on sub-second data), matching the oracle's epoch() convention.
+    # The ltz cast is identity for tz-aware input; for NTZ it uses
+    # the UTC session enforced above.
     epoch = lambda c: c.cast("timestamp_ltz").cast("long")  # noqa: E731
     gap_s = epoch(F.col(ts_col)) - epoch(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)

@@ -24,9 +24,12 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events parquet (schema pinned from a
-    batch probe — streaming sources need explicit schemas). The
-    nanos-ts workaround from catalog.load_events applies here too:
-    nanos arrive as raw longs and are integer-divided to µs."""
+    batch probe — streaming sources need explicit schemas). Event
+    time is normalized through the same catalog.normalize_event_ts
+    used by the batch path, so ``ts`` is always TIMESTAMP (LTZ) —
+    a watermark on TIMESTAMP_NTZ is an AnalysisException."""
+    from ..catalog import normalize_event_ts
+
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -37,9 +40,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if schema["ts"].dataType.simpleString() == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def hourly_event_counts(events: DataFrame) -> DataFrame:

@@ -47,6 +47,44 @@ def test_stateful_running_totals(spark, sf_dir):
     assert got == expected
 
 
+def test_normalize_event_ts_all_source_layouts(spark, tmp_path):
+    """One normalization point for every ts layout the testdata has
+    shipped: nanos-as-bigint, TIMESTAMP_NTZ(µs), and tz-aware LTZ all
+    come out as TIMESTAMP (LTZ) with identical instant values — and
+    the result is watermark-able (the r3 regression: a TIMESTAMP_NTZ
+    ts made withWatermark throw EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.catalog import normalize_event_ts
+
+    instants = [dt.datetime(2024, 3, 1, 8, 30, 15), dt.datetime(2024, 3, 2, 23, 59, 59)]
+    layouts = {
+        "ntz": pa.array(instants, type=pa.timestamp("us")),
+        "ltz": pa.array(
+            [t.replace(tzinfo=dt.timezone.utc) for t in instants],
+            type=pa.timestamp("us", tz="UTC"),
+        ),
+        "nanos_bigint": pa.array(
+            [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+             for t in instants],
+            type=pa.int64(),
+        ),
+    }
+    results = {}
+    for name, arr in layouts.items():
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({"ts": arr}), p)
+        df = normalize_event_ts(spark.read.parquet(p))
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", name
+        # watermark-ability is the contract that broke in r3
+        df.withWatermark("ts", "10 minutes")
+        results[name] = sorted(r["ts"] for r in df.collect())
+    assert results["ntz"] == results["ltz"] == results["nanos_bigint"]
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The real (documented) watermark semantic, demonstrated with
     one file per micro-batch (maxFilesPerTrigger=1, ordered by
