@@ -44,10 +44,22 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("n_distinct_bytes", LongType()),
         StructField("mean_byte", DoubleType()),
         StructField("byte_entropy", DoubleType()),
     ]
 )
+
+
+def _dround4(x: float) -> float:
+    """Python twin of queries.base.dround(·, 4): quantize the
+    shortest decimal repr HALF_UP — Python's round() is banker's,
+    which diverges from both engines on exact ties (e.g. byte means
+    over power-of-two lengths are dyadic and CAN tie at 4 dp)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP))
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -80,9 +92,17 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     counts: dict[int, int] = {}
     for byte in content:
         counts[byte] = counts.get(byte, 0) + 1
+    # mean as ONE double division of exact integers — bit-identical
+    # in any IEEE-754 engine (the money_sum convention)
     mean = sum(content) / n if n else 0.0
     ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
-    return {"n_bytes": n, "mean_byte": mean, "byte_entropy": ent}
+    return {
+        "n_bytes": n,
+        "byte_sum": sum(content),
+        "n_distinct_bytes": len(counts),
+        "mean_byte": mean,
+        "byte_entropy": ent,
+    }
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -95,7 +115,16 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: worker processes may not have the
+        # package on sys.path (the driver harness runs from outside
+        # the repo), so no module-level references may leak in here
         import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def dr4(x: float) -> float:
+            return float(
+                Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            )
 
         for pdf in batches:
             out_rows = []
@@ -104,14 +133,25 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 n = int(buf.size)
                 if n:
                     counts = np.bincount(buf, minlength=256)
+                    bsum = int(buf.sum(dtype=np.int64))
+                    ndis = int((counts > 0).sum())
                     p = counts[counts > 0] / n
                     ent = float(-(p * np.log2(p)).sum())
-                    mean = float(buf.mean())
+                    # exact-int division: deterministic across engines
+                    mean = bsum / n
                 else:
-                    ent, mean = 0.0, 0.0
-                out_rows.append((int(mid), n, round(mean, 4), round(ent, 4)))
+                    bsum, ndis, ent, mean = 0, 0, 0.0, 0.0
+                out_rows.append((int(mid), n, bsum, ndis, dr4(mean), dr4(ent)))
             yield pd.DataFrame(
-                out_rows, columns=["media_id", "n_bytes", "mean_byte", "byte_entropy"]
+                out_rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "byte_sum",
+                    "n_distinct_bytes",
+                    "mean_byte",
+                    "byte_entropy",
+                ],
             )
 
     return media.select("media_id", "content").mapInPandas(_extract, FEATURE_SCHEMA)

@@ -99,6 +99,58 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ann_contract(
+    emb: DataFrame,
+    query_vec: list[float],
+    ann: DataFrame,
+    k: int = 10,
+    min_recall_hits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row boolean contract over an ANN result, computed entirely
+    in-plan against brute force — the a05 sketch-contract pattern:
+    the driver's oracle states each boolean as TRUE, so an ANN
+    regression (lost recall, wrong scores, dropped self-match) flips
+    a bit and fails the value hash even though the approximate result
+    itself is not SQL-reproducible.
+
+      recall_ge_bound — ≥ min_recall_hits of the exact top-k ids
+                        appear in the ANN result
+      scores_exact    — every ANN cosine equals the exact cosine for
+                        that id (the index must never change scores,
+                        only the candidate set)
+      self_found      — the ANN result contains a cosine≈1 match
+                        (the query vector is drawn from the corpus,
+                        so its own bucket/cell must return it)
+      returned_k      — the ANN result has exactly k rows
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored_all = emb.select(
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("exact_cosine"),
+    )
+    exact_ids = (
+        scored_all.orderBy(F.col("exact_cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.lit(1).alias("__in_exact"))
+    )
+    j = (
+        ann.join(scored_all, id_col, "left")
+        .join(exact_ids, id_col, "left")
+    )
+    return j.agg(
+        (
+            F.sum(F.coalesce(F.col("__in_exact"), F.lit(0))) >= F.lit(min_recall_hits)
+        ).alias("recall_ge_bound"),
+        F.bool_and(
+            F.abs(F.col("cosine") - F.col("exact_cosine")) < 1e-9
+        ).alias("scores_exact"),
+        F.max(F.col("exact_cosine") >= 0.9999).alias("self_found"),
+        (F.count(F.lit(1)) == k).alias("returned_k"),
+    )
+
+
 def _nearest_cell_expr(col, cents: list[list[float]]):
     """Index of the nearest centroid by cosine, as a pure JVM
     expression (no UDF): a when-chain over the broadcast-literal

@@ -28,37 +28,48 @@ from duckdb_retail_pipeline_spark.queries import extensions  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs ALL 82).
 #
-# Round-3 window (see ROTATION.md): the 32 queries without any driver
-# row yet (a01-a04, a06-a11, a13-a16; x02-x06, x08, x11-x13, x15, x16,
-# x18-x23, x25) + 18 guards covering the r2→r3 diff (broadcast-hint
-# removal touched pl01/pl06/q03/q12/q21; x05/x11 block-key and x21
-# boundary changes are in the rotated-in set) and the headline bench
-# queries.
+# Round-4 window (see ROTATION.md): the 4 queries still lacking a
+# green driver row (x12/x13/x20 rotated in with their NEW value-level
+# oracles; x25 erred in r3) + guards for the r3→r4 diff (the
+# normalize_event_ts centralization + sessionize epoch revert touch
+# every events consumer x14-x18/x21/x25; the multimodal frame grew
+# exact-integer columns → x19/x20; ann_contract touches the
+# similarity path → x10/x12/x13; x05/x11 keep a second green row on
+# the r3 dedup rewrites) + the bench-implicated pl03/pl06/pl09 and
+# headline queries + the oldest-green rotation (everything whose last
+# driver row is r2). Two-consecutive-green queries rotate out
+# (a01-a16, pl01, pl08, pl11, q03, q12, q25, x02-x04, x06, x08,
+# x22, x23, x26, x28, x29).
 _ROTATED_IN = [
-    # 14 a-queries: driver-green in r1, rotated out of the r2 window
-    "a01_rollup", "a02_cube", "a03_intersect_except", "a04_unpivot",
-    "a06_grouping_sets_sql", "a07_merge_upsert", "a08_scd2_history",
-    "a09_moving_average", "a10_string_functions", "a11_window_rank_surface",
-    "a13_correlated_subqueries", "a14_regex_surface", "a15_exact_percentiles",
-    "a16_correlated_avg_filter",
-    # 18 x-queries: never driver-checked in any round
-    "x02_text_stats", "x03_lang_id", "x04_fingerprint",
-    "x05_ngram_jaccard_pairs", "x06_minhash_signatures", "x08_simhash_values",
-    "x11_embedding_dup_pairs", "x12_similarity_lsh_topk",
-    "x13_similarity_ivf_topk", "x15_events_sessionize",
-    "x16_events_json_extract", "x18_events_pivot", "x19_media_schema",
-    "x20_media_features", "x21_session_window_batch", "x22_term_frequency",
-    "x23_winnowing_fingerprints", "x25_streaming_sliding",
+    # never driver-green (x25) or newly oracle'd (x12/x13/x20)
+    "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
+    "x20_media_features", "x25_streaming_sliding",
+    # r3→r4 diff guards: events/streaming + multimodal + similarity +
+    # one-green r3 rewrites
+    "x14_events_hourly", "x15_events_sessionize", "x16_events_json_extract",
+    "x17_streaming_hourly", "x18_events_pivot", "x21_session_window_batch",
+    "x19_media_schema", "x10_embedding_cosine_topk",
+    "x05_ngram_jaccard_pairs", "x11_embedding_dup_pairs",
+    # bench-implicated + headline
+    "pl03_dim_calendar", "pl06_fct_sales", "pl09_agg_country_day",
+    "q01_pricing_summary", "q02_monthly_revenue_by_nation",
+    "q21_multikey_star_agg", "x01_dedup_exact", "x07_minhash_lsh_pairs",
 ]
 _GUARDS = [
-    "pl01_staging_retail", "pl06_fct_sales", "pl08_fct_sales_eur",
-    "pl09_agg_country_day", "pl11_validation",
-    "q01_pricing_summary", "q02_monthly_revenue_by_nation",
-    "q03_top_customers", "q12_ratio_nullif", "q21_multikey_star_agg",
-    "q25_asof_join",
-    "a05_approx_aggregates", "a12_array_agg_surface",
-    "x07_minhash_lsh_pairs", "x17_streaming_hourly", "x26_dedup_clusters",
-    "x28_corpus_curation", "x29_stratified_split",
+    # oldest-green rotation: last driver row was r2
+    "pl02_staging_fx", "pl04_dim_product", "pl05_dim_customer",
+    "pl07_daily_fx_rates", "pl10_monthly_sales_summary",
+    "q04_filter_like_prefix", "q05_null_sentinel_filters",
+    "q06_semi_join_in_subquery", "q07_anti_join_orphans",
+    "q08_composite_key_join", "q09_conditional_agg",
+    "q10_conditional_count_distinct", "q11_scalar_multi_agg",
+    "q13_weekend_cohort", "q14_date_parts", "q15_forward_fill",
+    "q16_lag_gap_detection", "q17_union_all_checks",
+    "q18_cte_scalar_subquery", "q19_view_over_join",
+    "q20_deterministic_mode", "q22_distinct_dedup", "q23_top_per_group",
+    "q24_between_range_scan",
+    "x09_simhash_pairs", "x24_grouped_ols_trend", "x27_text_chunking",
+    "x30_variant_extract",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

@@ -62,8 +62,10 @@ def test_media_features_match_python_reference(spark, sf_dir):
         ref = M.decode_image(content, fake=True)
         got = feats[row["doc_id"]]
         assert got["n_bytes"] == ref["n_bytes"]
-        assert abs(got["mean_byte"] - round(ref["mean_byte"], 4)) < 1e-9
-        assert abs(got["byte_entropy"] - round(ref["byte_entropy"], 4)) < 1e-9
+        assert got["byte_sum"] == ref["byte_sum"]
+        assert got["n_distinct_bytes"] == ref["n_distinct_bytes"]
+        assert abs(got["mean_byte"] - M._dround4(ref["mean_byte"])) < 1e-9
+        assert abs(got["byte_entropy"] - M._dround4(ref["byte_entropy"])) < 1e-9
 
 
 def test_decode_image_real_path_is_stubbed():
