@@ -208,6 +208,48 @@ def test_prefix_filter_exact_recall_and_bounded_blocks(spark):
     assert biggest <= len(ids) // 4, f"prefix block too large: {biggest}"
 
 
+def test_prefix_filter_exact_threshold_boundary(spark):
+    """Pin the prefix-theorem boundary: a pair at Jaccard EXACTLY t
+    must be found (>= is inclusive), a pair just below t must not,
+    and each document's prefix must be exactly L - ceil(t*L) + 1
+    entries — the minimal set the recall guarantee needs; one entry
+    fewer and an exact-threshold pair could share no index key."""
+    import math
+
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    t = 0.8
+    common = " ".join(f"c{i:02d}" for i in range(10))
+    texts = {
+        # A/B: 11 words -> 9 shingles each, 8 shared, union 10:
+        # Jaccard = 8/10 = t exactly
+        1: common + " xa",
+        2: common + " xb",
+        # C: 12 words -> 10 shingles, 8 shared with A, union 11:
+        # Jaccard = 8/11 < t
+        3: common + " xc xd",
+        # D: minimal doc, L=1 -> prefix length 1 - ceil(t) + 1 = 1
+        4: "d00 d01 d02",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - t) < 1e-9  # exact-threshold pair kept
+    assert (1, 3) not in got and (2, 3) not in got  # just-below pair dropped
+
+    _, pre = D.prefix_index(docs, t)
+    plens = {r["doc_id"]: r["n"] for r in pre.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for doc_id, n_shingles in [(1, 9), (2, 9), (3, 10), (4, 1)]:
+        expected = n_shingles - math.ceil(t * n_shingles) + 1
+        assert plens[doc_id] == expected, (doc_id, plens[doc_id], expected)
+
+
 def test_hyperplane_bands_exact_dup_recall_and_bounded_buckets(spark):
     """Identical vectors share every sign bit, so exact-duplicate
     recall is 1.0 by construction; band buckets must split a corpus
