@@ -75,23 +75,35 @@ def lsh_topk(
     query_vec: list[float],
     k: int = 10,
     bits: int = 4,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket, exact cosine
-    within it. Recall < 1 by construction; pair with
-    ``brute_force_topk`` to measure (tests do)."""
+    """ANN top-k: probe the query's LSH bucket (plus, with
+    ``nprobe > 1``, the buckets reached by flipping the query's
+    least-confident sign bits — multi-probe LSH, Lv et al. VLDB'07:
+    a vector near a hyperplane is equally likely on either side, so
+    flipping the smallest-|dot| bits finds the likeliest misses
+    without growing the index), exact cosine within the probed set.
+    Recall < 1 by construction; pair with ``brute_force_topk`` to
+    measure (tests and the x12 driver contract do). Candidate cost
+    scales with nprobe/2^bits of the corpus — the probe list is a
+    driver-side O(nprobe) int list, never a scan."""
     planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
     bucketed = emb.withColumn("__bucket", _bucket_expr(vec_col, planes))
 
     # compute the query's bucket driver-side with the same planes
-    qb = 0
-    for i, p in enumerate(planes):
-        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
-            qb += 2**i
+    dots = [
+        sum(float(a) * float(b) for a, b in zip(query_vec, p)) for p in planes
+    ]
+    qb = sum(2**i for i, d in enumerate(dots) if d >= 0)
+    # multi-probe order: flip bits ascending by |dot| (ties by index
+    # — deterministic), one flipped bucket per extra probe
+    flip_order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
+    probes = [qb] + [qb ^ (1 << i) for i in flip_order[: max(0, nprobe - 1)]]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = bucketed.filter(F.col("__bucket") == qb)
+    cand = bucketed.filter(F.col("__bucket").isin(probes))
     scored = cand.select(
         F.col(id_col),
         F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),

@@ -78,14 +78,13 @@ def insights(pdf: pd.DataFrame) -> dict[str, object]:
 
 
 def render_dashboard(pdf: pd.DataFrame, out_path: str) -> str:
-    """4-panel dashboard (analyze_monthly_sales.py:140-143). Needs
-    matplotlib; raises NotImplementedError without it."""
-    if not HAS_MPL:
-        raise NotImplementedError(
-            "matplotlib is not installed in this environment; "
-            "insight_frames()/insights() carry the computed analytics"
-        )
+    """4-panel dashboard (analyze_monthly_sales.py:140-143): the same
+    four frames the reference plots. matplotlib when available;
+    otherwise the stdlib PNG fallback (pipeline/plotpng.py) renders
+    bars/lines + 5x7-font titles — a real, openable PNG either way."""
     frames = insight_frames(pdf)
+    if not HAS_MPL:
+        return _render_dashboard_fallback(frames, out_path)
     fig, axes = plt.subplots(2, 2, figsize=(16, 10))
     frames["top5_countries"].plot.bar(ax=axes[0][0], title="Top 5 countries (GBP)")
     frames["monthly_orders"].plot(ax=axes[0][1], title="Monthly orders")
@@ -97,6 +96,45 @@ def render_dashboard(pdf: pd.DataFrame, out_path: str) -> str:
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
     return out_path
+
+
+def _render_dashboard_fallback(frames: dict, out_path: str) -> str:
+    import numpy as np
+
+    from duckdb_retail_pipeline_spark.pipeline import plotpng as P
+
+    w, h, pad, title_h = 1280, 800, 28, 26
+    canvas = np.full((h, w, 3), 250, dtype=np.uint8)
+    pw, ph = (w - 3 * pad) // 2, (h - 3 * pad) // 2
+    panels = [
+        (pad, pad, pad + ph, pad + pw),
+        (pad, 2 * pad + pw, pad + ph, 2 * pad + 2 * pw),
+        (2 * pad + ph, pad, 2 * pad + 2 * ph, pad + pw),
+        (2 * pad + ph, 2 * pad + pw, 2 * pad + 2 * ph, 2 * pad + 2 * pw),
+    ]
+    titles = [
+        "TOP 5 COUNTRIES (GBP)",
+        "MONTHLY ORDERS",
+        "AVG ORDER VALUE (GBP)",
+        "REVENUE BY COUNTRY",
+    ]
+    series = [
+        list(frames["top5_countries"].values),
+        list(frames["monthly_orders"].values),
+        list(frames["monthly_aov"].values),
+        list(frames["country_totals"]["revenue_gbp"].values),
+    ]
+    kinds = ["bar", "line", "line", "bar"]
+    for panel, title, vals, kind in zip(panels, titles, series, kinds):
+        y0, x0, y1, x1 = panel
+        P.draw_text(canvas, x0, y0 - 20, title)
+        inner = (y0 + title_h, x0 + 4, y1 - 4, x1 - 4)
+        if kind == "bar":
+            P.draw_bars(canvas, inner, vals)
+        else:
+            P.draw_polyline(canvas, inner, vals)
+        P.panel_frame(canvas, panel)
+    return P.write_png(canvas, out_path)
 
 
 def analyze(spark: SparkSession, sf_dir: str) -> dict[str, object]:

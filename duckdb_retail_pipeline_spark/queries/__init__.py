@@ -67,7 +67,10 @@ _GUARDS = [
     "q16_lag_gap_detection", "q17_union_all_checks",
     "q18_cte_scalar_subquery", "q19_view_over_join",
     "q20_deterministic_mode", "q22_distinct_dedup", "q23_top_per_group",
-    "q24_between_range_scan",
+    # x31 is new this round (stateful streaming) and needs its first
+    # driver row; q24 (green r2, trivial BETWEEN scan) yields its slot
+    # and re-enters on the next oldest-green rotation
+    "x31_streaming_stateful_totals",
     "x09_simhash_pairs", "x24_grouped_ols_trend", "x27_text_chunking",
     "x30_variant_extract",
 ]

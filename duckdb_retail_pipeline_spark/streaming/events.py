@@ -126,21 +126,27 @@ def stateful_user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count + value
     total via applyInPandasWithState — the escape hatch for stateful
     semantics the built-in windows can't express (reference has no
-    streaming surface; this is the engine's extension)."""
+    streaming surface; this is the engine's extension).
+
+    State carries integer CENTS (the money_sum convention): a double
+    accumulator's value would depend on the order rows reach the
+    state update (not deterministic under shuffle), while integer
+    sums are associative — so the emitted totals are bit-exact
+    against a batch/DuckDB oracle at any partitioning."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id bigint, n_events bigint, total_value double"
-    state_schema = "n bigint, total double"
+    state_schema = "n bigint, cents bigint"
 
     def update(key, pdf_iter, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

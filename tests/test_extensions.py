@@ -34,6 +34,28 @@ def test_lsh_results_subset_of_bruteforce_scores(spark, sf_dir):
     assert approx[0]["vec_id"] == 0 and abs(approx[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_lsh_multiprobe_recall(spark, sf_dir):
+    """Multi-probe (flip least-confident sign bits) must not lose
+    recall vs single-probe, must meet the x12 contract bound at
+    nprobe=3, and must keep scores exact (probing only widens the
+    candidate set)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact_top = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    exact_all = {
+        r["vec_id"]: r["cosine"]
+        for r in S.brute_force_topk(emb, q, k=10**6).collect()
+    }
+    hits = {}
+    for nprobe in (1, 3):
+        rows = S.lsh_topk(emb, q, k=10, bits=4, nprobe=nprobe).collect()
+        for r in rows:
+            assert abs(exact_all[r["vec_id"]] - r["cosine"]) < 1e-9
+        hits[nprobe] = len(exact_top & {r["vec_id"] for r in rows})
+    assert hits[3] >= hits[1], hits  # wider probes can only add candidates
+    assert hits[3] >= 2, hits  # the x12 driver-contract bound
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = tbl(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
