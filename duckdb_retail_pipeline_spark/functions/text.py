@@ -78,6 +78,17 @@ def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
     )
 
 
+def word_ngrams_all(col: Column | str, n: int = 2, sep: str = " ") -> Column:
+    """ALL word n-gram occurrences (non-distinct, in order) — the
+    repetition metrics need occurrence counts, not the set that
+    ``word_shingles`` returns for dedup."""
+    toks = tokens(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)))
+
+
 def jaccard(a: Column | str, b: Column | str) -> Column:
     """Exact Jaccard similarity of two array-typed sets."""
     a, b = _c(a), _c(b)

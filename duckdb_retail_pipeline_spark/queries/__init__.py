@@ -66,11 +66,11 @@ _GUARDS = [
     "q13_weekend_cohort", "q14_date_parts", "q15_forward_fill",
     "q16_lag_gap_detection", "q17_union_all_checks",
     "q18_cte_scalar_subquery", "q19_view_over_join",
-    "q20_deterministic_mode", "q22_distinct_dedup", "q23_top_per_group",
-    # x31 is new this round (stateful streaming) and needs its first
-    # driver row; q24 (green r2, trivial BETWEEN scan) yields its slot
-    # and re-enters on the next oldest-green rotation
-    "x31_streaming_stateful_totals",
+    "q20_deterministic_mode", "q22_distinct_dedup",
+    # x31/x32 are new this round (stateful streaming; repetition
+    # filter) and need their first driver rows; q23/q24 (green r2)
+    # yield their slots and re-enter on the next oldest-green rotation
+    "x31_streaming_stateful_totals", "x32_repetition_filter",
     "x09_simhash_pairs", "x24_grouped_ols_trend", "x27_text_chunking",
     "x30_variant_extract",
 ]

@@ -1122,6 +1122,112 @@ def x31_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------- x32
+@register(
+    "x32_repetition_filter",
+    # Gopher-style repetition metrics (Rae et al. 2021, §A1.1): the
+    # concentration of the most frequent word / word-2-gram and the
+    # duplicate-2-gram fraction. All fractions are ONE double
+    # division of exact integer counts (bit-identical cross-engine),
+    # then dround(4); the keep flag compares the already-rounded
+    # values so the boolean cannot diverge at a threshold boundary.
+    oracle=rf"""
+        WITH d AS (
+            SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, toks,
+                   list_transform(range(1, greatest(len(toks), 1)),
+                                  i -> toks[i] || ' ' || toks[i+1]) AS grams
+            FROM d
+        ), wtop AS (
+            SELECT doc_id, MAX(c) AS top_w FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS w FROM g)
+                GROUP BY doc_id, w
+            ) GROUP BY doc_id
+        ), gtop AS (
+            SELECT doc_id, MAX(c) AS top_g FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gm FROM g)
+                GROUP BY doc_id, gm
+            ) GROUP BY doc_id
+        ), stats AS (
+            SELECT g.doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   COALESCE({sql_dround('top_w * 1.0 / NULLIF(len(toks), 0)', 4)}, 0.0)
+                       AS top_word_frac,
+                   COALESCE({sql_dround('top_g * 1.0 / NULLIF(len(grams), 0)', 4)}, 0.0)
+                       AS top_2gram_frac,
+                   COALESCE({sql_dround('(len(grams) - len(list_distinct(grams))) * 1.0 / NULLIF(len(grams), 0)', 4)}, 0.0)
+                       AS dup_2gram_frac
+            FROM g
+            LEFT JOIN wtop ON g.doc_id = wtop.doc_id
+            LEFT JOIN gtop ON g.doc_id = gtop.doc_id
+        )
+        SELECT *, (n_words < 10 OR top_word_frac <= 0.2)
+                  AND dup_2gram_frac <= 0.2 AS keep
+        FROM stats
+    """,
+    doc="Repetition-based quality filter (the Gopher rules, Rae et "
+    "al. 2021 §A1.1): per-document top-word concentration, top-2-gram "
+    "concentration, duplicate-2-gram fraction, and the keep flag. "
+    "Occurrence counting is explode + content-keyed groupBy (two "
+    "narrow shuffles keyed by (doc, term) — no skew pivot at 100 TB).",
+    tags=("text", "quality"),
+)
+def x32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        T.tokens("text").alias("toks"),
+        T.word_ngrams_all("text", 2).alias("grams"),
+    )
+    wtop = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_w"))
+    )
+    gtop = (
+        base.select("doc_id", F.explode("grams").alias("gm"))
+        .groupBy("doc_id", "gm").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_g"))
+    )
+    n_words = F.size("toks")
+    n_grams = F.size("grams")
+    stats = (
+        base.join(wtop, "doc_id", "left")
+        .join(gtop, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            F.coalesce(
+                dround(F.col("top_w") * 1.0 / F.nullif(n_words, F.lit(0)), 4),
+                F.lit(0.0),
+            ).alias("top_word_frac"),
+            F.coalesce(
+                dround(F.col("top_g") * 1.0 / F.nullif(n_grams, F.lit(0)), 4),
+                F.lit(0.0),
+            ).alias("top_2gram_frac"),
+            F.coalesce(
+                dround(
+                    (n_grams - F.size(F.array_distinct("grams"))) * 1.0
+                    / F.nullif(n_grams, F.lit(0)),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("dup_2gram_frac"),
+        )
+    )
+    # concentration thresholds only apply above a minimum length —
+    # a 3-word doc trivially concentrates (the Gopher filters gate on
+    # document length before the repetition rules)
+    return stats.withColumn(
+        "keep",
+        ((F.col("n_words") < 10) | (F.col("top_word_frac") <= 0.2))
+        & (F.col("dup_2gram_frac") <= 0.2),
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge

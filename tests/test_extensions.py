@@ -272,6 +272,38 @@ def test_prefix_filter_exact_threshold_boundary(spark):
         assert plens[doc_id] == expected, (doc_id, plens[doc_id], expected)
 
 
+def test_repetition_filter_flags_degenerate_docs(spark, tmp_path):
+    """The Gopher-rule metrics must separate a pathological repeated
+    doc from clean prose, and the fractions must be exact rationals
+    of the occurrence counts."""
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        x32_repetition_filter,
+    )
+
+    rows = [
+        (1, "spam " * 50),                                   # one word repeated
+        (2, "the quick brown fox jumps over a lazy dog"),    # all distinct
+        (3, "ab cd " * 20),                                  # one 2-gram repeated
+        (4, "one"),                                          # no 2-grams at all
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in x32_repetition_filter(spark, str(sf)).collect()}
+
+    assert out[1]["top_word_frac"] == 1.0 and not out[1]["keep"]
+    assert out[2]["top_word_frac"] == round(1 / 9, 4) and out[2]["keep"]
+    # doc 3: 40 tokens alternating -> top word 20/40, dup 2-grams high
+    assert out[3]["top_word_frac"] == 0.5
+    assert out[3]["dup_2gram_frac"] > 0.9 and not out[3]["keep"]
+    assert out[4]["n_words"] == 1 and out[4]["top_2gram_frac"] == 0.0
+    # below the 10-word length gate, concentration rules don't apply
+    assert out[4]["keep"]
+    assert out[2]["keep"]  # 9 words, also under the gate and clean
+
+
 def test_hyperplane_bands_exact_dup_recall_and_bounded_buckets(spark):
     """Identical vectors share every sign bit, so exact-duplicate
     recall is 1.0 by construction; band buckets must split a corpus
