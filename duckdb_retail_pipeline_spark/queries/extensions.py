@@ -1228,6 +1228,82 @@ def x32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x33
+@register(
+    "x33_sequence_packing",
+    # Packing = concatenate documents in deterministic order and cut
+    # at the context budget: a doc belongs to the sequence where its
+    # first token lands (floor(cum_before / budget)). The budget is a
+    # power of two so the float division is exact and FLOOR cannot
+    # misbin on either engine.
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % 16 AS shard,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t != '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM d
+        ), a AS (
+            SELECT shard, doc_id, n_tokens,
+                   CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id
+            FROM c
+        )
+        SELECT shard, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               CAST(CAST(SUM(n_tokens) / 2048.0 AS DECIMAL(28,4)) AS DOUBLE)
+                   AS fill_frac
+        FROM a GROUP BY shard, seq_id
+    """,
+    doc="Sequence packing for training batches: documents are "
+    "concatenated in deterministic (shard, doc_id) order and cut "
+    "into 2048-token context windows — each doc assigned to the "
+    "sequence where its first token lands. Sharding is the md5 "
+    "bucket (the x29 convention), so packing runs as 16 independent "
+    "partitioned windows instead of one global cumsum — the only "
+    "shape that scales: at 100 TB each shard packs in parallel and "
+    "the window never needs a single global sort.",
+    tags=("text", "packing", "window"),
+)
+def x33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (T.md5_int28(F.col("doc_id").cast("string")) % 16).alias("shard"),
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    assigned = base.withColumn(
+        # 2048 is a power of two: int/2048.0 is exact in binary, so
+        # FLOOR agrees across engines even at exact multiples
+        "seq_id", F.floor(cum_before / F.lit(2048.0)).cast("bigint")
+    )
+    return assigned.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        dround(F.sum("n_tokens") / F.lit(2048.0), 4).alias("fill_frac"),
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge

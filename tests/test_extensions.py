@@ -304,6 +304,39 @@ def test_repetition_filter_flags_degenerate_docs(spark, tmp_path):
     assert out[2]["keep"]  # 9 words, also under the gate and clean
 
 
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing must be a partition of the corpus: every document in
+    exactly one sequence, per-shard sequence ids contiguous from 0,
+    and every non-final sequence in a shard filled past the budget
+    boundary (a doc only opens sequence k+1 once k holds >= budget
+    tokens' worth of starts)."""
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        x33_sequence_packing,
+    )
+
+    from duckdb_retail_pipeline_spark.functions import text as T
+
+    docs = tbl(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(F.sum(F.size(T.tokens("text"))).alias("t")).first()["t"]
+    seqs = x33_sequence_packing(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in seqs) == n_docs
+    assert sum(r["seq_tokens"] for r in seqs) == total_tokens
+    by_shard: dict[int, list] = {}
+    for r in seqs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        ids = sorted(r["seq_id"] for r in rows)
+        assert ids == list(range(len(ids))), (shard, ids)  # contiguous
+        # all but the shard's last sequence must reach the boundary:
+        # cumulative tokens through seq k must exceed k+1 boundaries
+        rows.sort(key=lambda r: r["seq_id"])
+        cum = 0
+        for r in rows[:-1]:
+            cum += r["seq_tokens"]
+            assert cum >= (r["seq_id"] + 1) * 2048, (shard, r["seq_id"], cum)
+
+
 def test_hyperplane_bands_exact_dup_recall_and_bounded_buckets(spark):
     """Identical vectors share every sign bit, so exact-duplicate
     recall is 1.0 by construction; band buckets must split a corpus
