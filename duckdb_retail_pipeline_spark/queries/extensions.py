@@ -1304,6 +1304,34 @@ def x33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x34
+@register(
+    "x34_streaming_dedup",
+    # same canonical fingerprint as x01's oracle; the streaming
+    # result is the distinct-fingerprint SET (which physical copy
+    # survives dropDuplicates is arrival-order dependent, the set is
+    # not)
+    oracle=r"""
+        SELECT DISTINCT md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
+                   ' ')) AS fp
+        FROM documents
+    """,
+    doc="Streaming ingestion dedup: stateful dropDuplicates on the "
+    "canonical fingerprint over readStream(documents) — Spark holds "
+    "seen keys as streaming state so each fingerprint passes exactly "
+    "once across micro-batches; availableNow → append-mode memory "
+    "sink. The batch DISTINCT oracle checks the emitted set.",
+    tags=("dedup", "streaming", "text"),
+)
+def x34_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    stream = SE.read_documents_stream(spark, sf_dir)
+    deduped = SE.streaming_exact_dedup(stream)
+    return SE.run_stream_to_memory(deduped, spark, output_mode="append")
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge

@@ -122,6 +122,35 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the documents parquet (schema pinned from a
+    batch probe, same shape as read_events_stream)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming ingestion dedup: canonical fingerprint + stateful
+    ``dropDuplicates`` — Spark keeps the set of seen keys as
+    streaming state, so each fingerprint is emitted exactly once
+    across all micro-batches (the shape of a training-corpus
+    ingestion pipeline that must never admit a duplicate document).
+
+    Emits only the fingerprint: WHICH physical duplicate survives is
+    an arrival-order artifact, the fingerprint set itself is
+    deterministic. Unbounded state by design here (bounded input);
+    a production stream would add ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` to cap state."""
+    from ..functions import text as T
+
+    return docs.select(T.fingerprint(text_col).alias("fp")).dropDuplicates(["fp"])
+
+
 def stateful_user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count + value
     total via applyInPandasWithState — the escape hatch for stateful

@@ -139,6 +139,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows[dt.datetime(2024, 1, 1, 12, 0)] == 2, rows
 
 
+def test_streaming_dedup_holds_state_across_batches(spark, tmp_path):
+    """dropDuplicates state must span micro-batches: a document
+    arriving again in a LATER batch is suppressed, not re-emitted —
+    the property a batch-per-file distinct would not have."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    b1 = ["alpha beta", "gamma delta", "alpha beta"]          # intra-batch dup
+    b2 = ["gamma delta", "epsilon zeta"]                      # cross-batch dup
+    for name, texts in [("b1.parquet", b1), ("b2.parquet", b2)]:
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+            str(d / name),
+        )
+    os.utime(str(d / "b1.parquet"), (1_000_000, 1_000_000))
+    os.utime(str(d / "b2.parquet"), (2_000_000, 2_000_000))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = SE.run_stream_to_memory(
+        SE.streaming_exact_dedup(stream), spark, output_mode="append"
+    )
+    fps = [r["fp"] for r in out.collect()]
+    assert len(fps) == 3  # alpha-beta, gamma-delta, epsilon-zeta: once each
+    assert len(set(fps)) == 3
+
+
 def test_run_stream_to_memory_raises_on_timeout(spark, sf_dir, monkeypatch):
     """A timeout must raise (and stop the query), never return a
     silently partial memory table. awaitTermination's False return is
