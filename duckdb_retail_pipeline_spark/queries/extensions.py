@@ -1332,6 +1332,45 @@ def x34_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.run_stream_to_memory(deduped, spark, output_mode="append")
 
 
+# ---------------------------------------------------------------- x35
+@register(
+    "x35_salted_agg",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum('value')} AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Skew-proof two-phase aggregation under the driver gate: "
+    "rows are salted into 16 sub-keys, partially aggregated per "
+    "(key, salt) — bounded partition size however skewed the key "
+    "distribution — then finalized per key (operators/scale.py "
+    "salted_group_sum). Values are integer cents BEFORE salting, so "
+    "the total is exact under any salt assignment; the oracle is the "
+    "plain GROUP BY the salted plan must reproduce bit-for-bit.",
+    tags=("events", "agg", "scale"),
+)
+def x35_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators.scale import salted_group_sum
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    totals = salted_group_sum(ev, ["event_type"], "cents", salt=16, out_col="cents_total")
+    counts = salted_group_sum(ev, ["event_type"], "one", salt=16, out_col="n_events")
+    return (
+        totals.join(counts, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (F.col("cents_total") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge

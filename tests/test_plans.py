@@ -79,14 +79,48 @@ def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
     assert "semi" in low and "anti" in low, plan
 
 
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """x33's window partitions by shard and the follow-up groupBy
+    keys on (shard, seq_id) — HashPartitioning(shard) already
+    clusters those groups, so Catalyst must plan exactly ONE
+    exchange. A second exchange would mean the packing cumsum and
+    the per-sequence rollup stopped sharing their partitioning (the
+    property that makes packing scale as independent shards)."""
+    df = REGISTRY["x33_sequence_packing"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    # formatted mode lists each shuffle as an "Arguments:
+    # hashpartitioning(...)" detail line — one per exchange
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_repetition_filter_no_cross_product(spark, sf_dir):
+    df = REGISTRY["x32_repetition_filter"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """x35 must actually plan the salted shape: a partial aggregate
+    keyed by (event_type, salt) before the final per-key aggregate —
+    visible as aggregates over the salt column in the plan."""
+    df = REGISTRY["x35_salted_agg"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "__salt" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_window_surface_single_shuffle(spark, sf_dir):
     """All seven ranking functions in a11 share one window spec →
     exactly one exchange (plus the broadcast for the dim join)."""
     df = REGISTRY["a11_window_rank_surface"].fn(spark, sf_dir)
     plan = X.formatted_plan(df)
     # nth_value uses a different frame, but the partitioning matches,
-    # so Catalyst must not add a second hash exchange
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # so Catalyst must not add a second hash exchange. (Counted via
+    # the formatted-mode "Arguments: hashpartitioning" detail lines —
+    # the old "Exchange hashpartitioning" literal never occurs in
+    # formatted output, which made this assertion vacuous.)
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan
 
 
 def test_agg_country_day_post_agg_calendar_join(spark, sf_dir):
