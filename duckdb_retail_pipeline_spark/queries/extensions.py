@@ -1371,6 +1371,80 @@ def x35_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x36
+@register(
+    "x36_decontamination",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), t -> t != '') AS t
+            FROM documents
+        ), grams AS (
+            -- 4-gram starts are 1..len-3: range() excludes its stop,
+            -- so the stop is len-2 (and t[i:i+3] slices inclusively)
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS g
+            FROM toks
+        ), ev AS (
+            SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 100 = 0
+        ), tr AS (
+            SELECT doc_id, g FROM grams WHERE doc_id % 100 != 0
+        ), hits AS (
+            SELECT tr.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+                   CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+            FROM tr JOIN ev USING (g)
+            GROUP BY tr.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+               COALESCE(h.n_eval_docs, 0) AS n_eval_docs,
+               COALESCE(h.n_shared_grams, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 100 != 0) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+    "any word-4-gram with the held-out eval set (every 100th doc "
+    "stands in for a benchmark) — the GPT-3-style n-gram "
+    "decontamination pass every training corpus needs. Eval-set "
+    "grams broadcast (benchmarks are small by construction); the "
+    "train side streams through one broadcast-hash join keyed by "
+    "gram content, so no shuffle scales with the corpus. All-integer "
+    "output — no float hazards in the oracle.",
+    tags=("text", "dedup", "curation"),
+)
+def x36_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(T.word_shingles("text", 4)).alias("g")
+    )
+    ev = grams.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    tr = grams.filter(F.col("doc_id") % 100 != 0)
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"),
+            F.count_distinct("eval_id").cast("bigint").alias("n_eval_docs"),
+        )
+    )
+    return (
+        docs.filter(F.col("doc_id") % 100 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge
