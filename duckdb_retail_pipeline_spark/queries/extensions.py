@@ -1445,6 +1445,88 @@ def x36_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x37
+@register(
+    "x37_embedding_quantization",
+    # Every float here is bit-deterministic cross-engine: absmax is a
+    # MAX over input values (no accumulation), scale is ONE division,
+    # q_i = floor(v/scale + 0.5) is identical double arithmetic on
+    # both engines (never ROUND, whose half-way rule differs), the L1
+    # norm is an exact integer sum, and the error sums use the same
+    # left-to-right fold as the x10/x11 oracles (list_sum vs
+    # aggregate — verified bit-exact there).
+    oracle=rf"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))) AS absmax,
+                   embedding
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, absmax, embedding,
+                   absmax / 127.0 AS scale
+            FROM q
+        ), qq AS (
+            SELECT vec_id, scale,
+                   CASE WHEN absmax = 0 THEN list_transform(embedding, v -> 0)
+                        ELSE list_transform(embedding,
+                            v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))
+                   END AS qv,
+                   embedding
+            FROM s
+        )
+        SELECT vec_id,
+               scale,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+               {sql_dround('list_max(list_transform(list_zip(embedding, qv), p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale)))', 6)} AS max_abs_err,
+               {sql_dround('list_sum(list_transform(list_zip(embedding, qv), p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale)))', 6)} AS sum_abs_err
+        FROM qq
+    """,
+    doc="Embedding int8 quantization (absmax scalar quantization): "
+    "per-vector scale = max|v|/127, q_i = floor(v/scale + 0.5), plus "
+    "reconstruction-error stats — the storage-compression pass a "
+    "100 TB embedding store runs before ANN indexing (4x smaller, "
+    "dot products in integer SIMD). Pure higher-order functions, no "
+    "UDF; every output is either exact-integer or bit-deterministic "
+    "double arithmetic.",
+    tags=("vectors", "similarity", "quantization"),
+)
+def x37_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    v = lambda x: x.cast("double")  # noqa: E731
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(v(x))))
+    base = emb.select(
+        "vec_id", "embedding", absmax.alias("absmax"),
+        (absmax / F.lit(127.0)).alias("scale"),
+    )
+    qv = F.when(
+        F.col("absmax") == 0,
+        F.transform("embedding", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(v(x) / F.col("scale") + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    qd = base.withColumn("qv", qv)
+    err = F.zip_with(
+        "embedding", "qv", lambda e, q: F.abs(v(e) - q * F.col("scale"))
+    )
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.transform("qv", lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q_l1"),
+        dround(F.array_max(err), 6).alias("max_abs_err"),
+        dround(
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sum_abs_err"),
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge
