@@ -28,8 +28,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     time is normalized through the same catalog.normalize_event_ts
     used by the batch path, so ``ts`` is always TIMESTAMP (LTZ) —
     a watermark on TIMESTAMP_NTZ is an AnalysisException."""
-    from ..catalog import normalize_event_ts
+    from ..catalog import ensure_session_conventions, normalize_event_ts
 
+    # the NTZ->LTZ normalization below interprets naive event time in
+    # the session timezone — enforce the pinned-UTC convention here
+    # too (batch loads get it via load_table; a stream read might be
+    # the session's first touch)
+    ensure_session_conventions(spark)
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
