@@ -64,16 +64,16 @@ _GUARDS = [
     "q08_composite_key_join", "q09_conditional_agg",
     "q10_conditional_count_distinct", "q11_scalar_multi_agg",
     "q13_weekend_cohort", "q14_date_parts", "q15_forward_fill",
-    "q16_lag_gap_detection",
-    # x31-x37 are new this round (stateful streaming totals;
+    # x31-x38 are new this round (stateful streaming totals;
     # repetition filter; sequence packing; streaming dedup; salted
-    # agg; decontamination; embedding quantization) and need their
-    # first driver rows; q17/q18/q19/q20/q22/q23/q24 (green r2)
-    # yield their slots and re-enter on the next oldest-green
-    # rotation
+    # agg; decontamination; embedding quantization; stream-static
+    # join) and need their first driver rows; q16-q20/q22-q24
+    # (green r2) yield their slots and re-enter on the next
+    # oldest-green rotation
     "x31_streaming_stateful_totals", "x32_repetition_filter",
     "x33_sequence_packing", "x34_streaming_dedup", "x35_salted_agg",
     "x36_decontamination", "x37_embedding_quantization",
+    "x38_stream_static_join",
     "x09_simhash_pairs", "x24_grouped_ols_trend", "x27_text_chunking",
     "x30_variant_extract",
 ]

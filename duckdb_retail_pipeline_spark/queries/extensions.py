@@ -1527,6 +1527,47 @@ def x37_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x38
+@register(
+    "x38_stream_static_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id,
+                   CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT d.cohort_day, e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Stream-static join: the events STREAM is enriched against a "
+    "static batch-derived dimension (per-user first-seen cohort day) "
+    "via a broadcast join inside the streaming plan — the standard "
+    "enrichment shape where dimensions live in a warehouse table and "
+    "facts arrive on a stream. Complete-mode aggregation per "
+    "(cohort_day, event_type) on bounded input equals the batch "
+    "join+group, which is the oracle.",
+    tags=("events", "streaming", "join"),
+)
+def x38_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.catalog import load_events
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    dim = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    )
+    stream = SE.read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.groupBy("cohort_day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return SE.run_stream_to_memory(agg, spark, output_mode="complete")
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge
