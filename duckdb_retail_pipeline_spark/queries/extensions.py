@@ -1568,6 +1568,84 @@ def x38_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.run_stream_to_memory(agg, spark, output_mode="complete")
 
 
+# ---------------------------------------------------------------- x39
+def _x39_oracle() -> str:
+    cosine = sql_dround(
+        SQL_COSINE_PARTS.format(a="c.embedding", b="q.embedding")
+        + f" / NULLIF({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')}, 0.0)",
+        4,
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id % 500 = 0
+        ), scored AS (
+            SELECT q.query_id, c.vec_id, {cosine} AS cosine
+            FROM embeddings c, q
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+            ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """
+
+
+@register(
+    "x39_similarity_batch_topk",
+    oracle=_x39_oracle(),
+    doc="Batch similarity join (RAG retrieval shape): exact top-3 "
+    "cosine neighbors for EVERY query in a query set, computed with "
+    "hierarchical top-k — local rank within (query, corpus-bucket) "
+    "first, global rank over the <= 3*64 survivors second. Both "
+    "window partitions are bounded (bucket-local corpus slice; "
+    "192 rows per query), so no partition ever holds a corpus-sized "
+    "slice — the failure mode of a naive rank-over-query partition "
+    "at 100 TB. The result is provably identical to the flat rank "
+    "(any global top-3 row is top-3 within its bucket), which is "
+    "the SQL oracle.",
+    tags=("similarity", "vectors", "window"),
+)
+def x39_similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cosine"),
+        )
+    )
+    bucket = F.crc32(F.col("vec_id").cast("string")) % 64
+    w_local = Window.partitionBy("query_id", "__b").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    partial = (
+        scored.withColumn("__b", bucket)
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= 3)
+        .drop("__b", "__lr")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w_global).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge
