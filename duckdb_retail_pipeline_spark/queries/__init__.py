@@ -63,18 +63,19 @@ _GUARDS = [
     "q06_semi_join_in_subquery", "q07_anti_join_orphans",
     "q08_composite_key_join", "q09_conditional_agg",
     "q10_conditional_count_distinct", "q11_scalar_multi_agg",
-    "q13_weekend_cohort", "q15_forward_fill",
-    # x31-x39 are new this round (stateful streaming totals;
+    "q15_forward_fill",
+    # x31-x40 are new this round (stateful streaming totals;
     # repetition filter; sequence packing; streaming dedup; salted
     # agg; decontamination; embedding quantization; stream-static
-    # join; batch top-k similarity) and need their first driver
-    # rows; q14/q16-q20/q22-q24 (green r2) yield their slots and
-    # re-enter on the next oldest-green rotation (q15 stays: it is
-    # a headline bench query)
+    # join; batch top-k similarity; robust stats) and need their
+    # first driver rows; q13/q14/q16-q20/q22-q24 (green r2) yield
+    # their slots and re-enter on the next oldest-green rotation
+    # (q15 stays: it is a headline bench query)
     "x31_streaming_stateful_totals", "x32_repetition_filter",
     "x33_sequence_packing", "x34_streaming_dedup", "x35_salted_agg",
     "x36_decontamination", "x37_embedding_quantization",
     "x38_stream_static_join", "x39_similarity_batch_topk",
+    "x40_robust_stats",
     "x09_simhash_pairs", "x24_grouped_ols_trend", "x27_text_chunking",
     "x30_variant_extract",
 ]

@@ -1646,6 +1646,90 @@ def x39_similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x40
+@register(
+    "x40_robust_stats",
+    # Exactness: percentiles run over integer cents (the a05/a15
+    # convention), so the interpolated median is an exact dyadic
+    # (k or k.5) and every |cents - median| is dyadic too — double
+    # arithmetic on in-range dyadics is EXACT, so the second-stage
+    # median (MAD) cannot diverge between engines whatever lerp
+    # formula each uses. The only irrational constant (1.4826)
+    # enters one deterministic multiply; the outlier threshold
+    # comparison happens on identical doubles.
+    oracle=f"""
+        WITH base AS (
+            SELECT n_name AS nation,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ), med AS (
+            SELECT nation, quantile_cont(cents, 0.5) AS med_cents
+            FROM base GROUP BY nation
+        ), dev AS (
+            SELECT b.nation, b.cents, m.med_cents,
+                   abs(b.cents - m.med_cents) AS adev
+            FROM base b JOIN med m ON b.nation = m.nation
+        ), mad AS (
+            SELECT nation, quantile_cont(adev, 0.5) AS mad_cents
+            FROM dev GROUP BY nation
+        )
+        SELECT d.nation,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dround('ANY_VALUE(d.med_cents) / 100.0', 4)} AS median_price,
+               {sql_dround('ANY_VALUE(m.mad_cents) / 100.0', 4)} AS mad_price,
+               CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.nation = m.nation
+        GROUP BY d.nation
+    """,
+    doc="Per-group robust statistics for data-quality screening: "
+    "exact median and MAD (median absolute deviation) of order "
+    "totals per nation, plus the count of 3-sigma-equivalent "
+    "(3 * 1.4826 * MAD) outliers — the outlier rule that survives "
+    "the heavy tails that break mean/stddev. Two percentile "
+    "aggregations over integer cents; broadcast joins of the "
+    "25-row per-group stats back onto the facts.",
+    tags=("agg", "quality", "robust"),
+)
+def x40_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    med = base.groupBy("nation").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = base.join(F.broadcast(med), "nation").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("nation").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.any_value("med_cents") / F.lit(100.0), 4).alias("median_price"),
+            dround(F.any_value("mad_cents") / F.lit(100.0), 4).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3 * 1.4826) * F.col("mad_cents"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge
