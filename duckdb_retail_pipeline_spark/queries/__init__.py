@@ -75,8 +75,10 @@ _GUARDS = [
     "x33_sequence_packing", "x34_streaming_dedup", "x35_salted_agg",
     "x36_decontamination", "x37_embedding_quantization",
     "x38_stream_static_join", "x39_similarity_batch_topk",
-    "x40_robust_stats",
-    "x09_simhash_pairs", "x24_grouped_ols_trend", "x27_text_chunking",
+    "x40_robust_stats", "x41_fixed_count_sample",
+    # x09 yields its slot to x41 (the dedup family keeps x05/x07/x11
+    # in-window this round; x09 re-enters next rotation)
+    "x24_grouped_ols_trend", "x27_text_chunking",
     "x30_variant_extract",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS

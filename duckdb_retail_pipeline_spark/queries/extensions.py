@@ -1730,6 +1730,45 @@ def x40_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- x41
+@register(
+    "x41_fixed_count_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rnk
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank
+        FROM ranked WHERE rnk <= 50
+    """,
+    doc="Fixed-count stratified sampling: exactly min(50, |stratum|) "
+    "documents per language, ordered by md5(doc_id) — the "
+    "count-based twin of x29's rate-based split. Hash-ordered rank "
+    "is a reproducible shuffle: membership is stable across runs, "
+    "engines, and cluster sizes, and adding documents only perturbs "
+    "the sample locally (rand()-based reservoir sampling has neither "
+    "property). One window per stratum — partition-bounded since "
+    "strata are languages.",
+    tags=("text", "sampling", "curation"),
+)
+def x41_fixed_count_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 50)
+    )
+
+
 # ---------------------------------------------------------------- x26
 def _x26_oracle() -> str:
     # the verified SimHash pair set (x09's full oracle) as the edge
