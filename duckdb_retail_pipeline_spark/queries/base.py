@@ -6,9 +6,19 @@ Conventions that make the DuckDB differential gate deterministic
 - **dround, never ROUND**: Spark's ROUND rounds the shortest decimal
   representation (BigDecimal.valueOf) while DuckDB's ROUND rounds the
   binary value — round(1.275, 2) differs (1.28 vs 1.27). Casting to
-  DECIMAL and back to DOUBLE takes the shortest-repr HALF_UP path in
-  *both* engines, so every compared float goes through
-  ``dround`` / ``SQL_DROUND``.
+  DECIMAL and back to DOUBLE agrees between the engines for every
+  value class the queries compare, so compared floats go through
+  ``dround`` / ``SQL_DROUND``. Precise contract (pinned by
+  tests/test_conventions.py): the paths are bit-identical EXCEPT for
+  doubles within ~1 ulp of a decimal tie (e.g. 2.3649999999999998 at
+  scale 2) and dyadics exactly ON a tie (e.g. 7760.78125 at scale 4:
+  DuckDB's double-to-decimal tie rounding is magnitude-dependent,
+  Spark's is decimal HALF_UP), where they can differ by one
+  quantum — which is why compared columns must derive from exact
+  integer arithmetic (the cents conventions below; integer-floor
+  ratios for dyadic fractions like x33's fill_frac) or from
+  quantities with no probability mass at tie boundaries (cosines,
+  entropies, count ratios).
 - **bigint integers**: DuckDB SUM(int) is int128; every integer
   output is cast to bigint on both sides.
 - **dates as DATE**: testdata date columns are parquet timestamps;

@@ -1261,7 +1261,12 @@ def x32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
                CAST(MIN(doc_id) AS BIGINT) AS first_doc,
                CAST(MAX(doc_id) AS BIGINT) AS last_doc,
-               CAST(CAST(SUM(n_tokens) / 2048.0 AS DECIMAL(28,4)) AS DOUBLE)
+               -- integer-floor at 4 dp, NOT dround: tokens/2048 is
+               -- dyadic and can land exactly on a decimal tie
+               -- (tokens % 128 == 64), where DuckDB's double->decimal
+               -- tie rounding is magnitude-dependent while Spark's is
+               -- HALF_UP. All-integer floor is exact on both engines.
+               CAST((SUM(n_tokens) * 10000) // 2048 AS DOUBLE) / 10000.0
                    AS fill_frac
         FROM a GROUP BY shard, seq_id
     """,
@@ -1300,7 +1305,12 @@ def x33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
-        dround(F.sum("n_tokens") / F.lit(2048.0), 4).alias("fill_frac"),
+        # integer-floor at 4 dp (see oracle comment: dround on a
+        # dyadic ratio can hit exact decimal ties)
+        (
+            F.expr("CAST(sum(n_tokens) * 10000 DIV 2048 AS DOUBLE)")
+            / F.lit(10000.0)
+        ).alias("fill_frac"),
     )
 
 
