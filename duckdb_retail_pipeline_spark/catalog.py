@@ -29,10 +29,13 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension-sized tables: always broadcast-join candidates. Facts
-# (orders/lineitem/events/documents/embeddings) scale with SF; dims
-# stay small even at 100 TB.
-DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+# Fixed-cardinality tables (5 regions / 25 nations at ANY scale
+# factor): always safe to broadcast. Everything else — including
+# customer/part/supplier — scales with SF (the r2 lesson that removed
+# the static broadcast hints: at 100 TB those are multi-TB tables),
+# so broadcast decisions for them belong to AQE's runtime sizing, not
+# a static list.
+FIXED_SIZE_TABLES = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

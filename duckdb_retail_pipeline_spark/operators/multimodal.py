@@ -92,9 +92,9 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
     counts: dict[int, int] = {}
     for byte in content:
         counts[byte] = counts.get(byte, 0) + 1
-    # mean as ONE double division of exact integers — bit-identical
-    # in any IEEE-754 engine (the money_sum convention)
-    mean = sum(content) / n if n else 0.0
+    # integer-floor mean at 4 dp (the floor_ratio convention) —
+    # matches extract_features / the x20 oracle exactly
+    mean = (sum(content) * 10000 // n) / 10000.0 if n else 0.0
     ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if n else 0.0
     return {
         "n_bytes": n,
@@ -137,11 +137,15 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     ndis = int((counts > 0).sum())
                     p = counts[counts > 0] / n
                     ent = float(-(p * np.log2(p)).sum())
-                    # exact-int division: deterministic across engines
-                    mean = bsum / n
+                    # integer-floor at 4 dp (the x33/floor_ratio
+                    # convention): byte_sum/n_bytes is dyadic on
+                    # power-of-two lengths and can tie exactly at
+                    # 4 dp, where HALF_UP and DuckDB's double→decimal
+                    # cast disagree — all-integer floor cannot.
+                    mean = (bsum * 10000 // n) / 10000.0
                 else:
                     bsum, ndis, ent, mean = 0, 0, 0.0, 0.0
-                out_rows.append((int(mid), n, bsum, ndis, dr4(mean), dr4(ent)))
+                out_rows.append((int(mid), n, bsum, ndis, mean, dr4(ent)))
             yield pd.DataFrame(
                 out_rows,
                 columns=[

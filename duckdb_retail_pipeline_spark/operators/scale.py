@@ -35,7 +35,16 @@ def salted_join(
 
     Same contract as ``left.join(right, on, how)``; use when one key
     dominates the left side and the right side is too big to
-    broadcast but small enough to replicate ``salt``×."""
+    broadcast but small enough to replicate ``salt``×.
+
+    Memory bound (the contract `salted_group_sum` states for its
+    precision): the exploded right side is ``salt`` × |right| rows
+    spread across the shuffle, so each executor must hold at most
+    ~(salt × |right|) / num_partitions rows of the right side per
+    task — replication trades right-side shuffle volume for bounded
+    left-side partition size. Keep ``salt`` small (8–32); if
+    salt × |right| approaches the left side's size, a plain
+    AQE-skew-join is the better tool."""
     salted_l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

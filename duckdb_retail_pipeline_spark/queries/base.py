@@ -18,7 +18,11 @@ Conventions that make the DuckDB differential gate deterministic
   integer arithmetic (the cents conventions below; integer-floor
   ratios for dyadic fractions like x33's fill_frac) or from
   quantities with no probability mass at tie boundaries (cosines,
-  entropies, count ratios).
+  entropies). Count ratios are NOT in the safe class: a ratio of
+  integers with a 2^a·5^b denominator (odd/32, odd/160, …) sits
+  exactly ON a scale-4 tie — route any ratio column through the
+  x33 integer-floor idiom (``(num * 10000) DIV den / 10000.0`` on
+  both sides) instead of dround.
 - **bigint integers**: DuckDB SUM(int) is int128; every integer
   output is cast to bigint on both sides.
 - **dates as DATE**: testdata date columns are parquet timestamps;
@@ -98,6 +102,32 @@ def sql_dround(expr: str, scale: int = 2) -> str:
 # engines at any partition count. `dp` is the per-row decimal scale
 # of the expression (2 for raw money, 4 for price*(1-disc), 6 for
 # price*(1-disc)*(1+tax)).
+
+
+def floor_ratio(num: Column, den: Column, dp: int = 4) -> Column:
+    """Integer-floor ratio at ``dp`` decimals — the x33 fill_frac
+    idiom, for ratio columns whose denominator can reduce to
+    2^a·5^b form (count ratios): ``(num·10^dp) DIV den / 10^dp``.
+    All-integer until one exact double division, so bit-identical on
+    both engines even exactly ON a decimal tie, where dround's
+    double→decimal rounding diverges (conventions #10/#13). A zero
+    denominator yields NULL (nullif guard; ANSI-safe). Operands must
+    be non-negative: Spark's DIV truncates toward zero while
+    DuckDB's // floors — they agree only there."""
+    scale = 10**dp
+    q = F.call_function(
+        "div", num.cast("bigint") * F.lit(scale), F.nullif(den.cast("bigint"), F.lit(0))
+    )
+    return q.cast("double") / F.lit(float(scale))
+
+
+def sql_floor_ratio(num: str, den: str, dp: int = 4) -> str:
+    """DuckDB twin of ``floor_ratio`` (// is integer floor-div)."""
+    scale = 10**dp
+    return (
+        f"CAST((CAST(({num}) AS BIGINT) * {scale})"
+        f" // NULLIF(CAST(({den}) AS BIGINT), 0) AS DOUBLE) / {scale}.0"
+    )
 
 
 def money_sum(col: Column, dp: int = 2) -> Column:

@@ -30,8 +30,10 @@ from duckdb_retail_pipeline_spark.operators import similarity as S
 from duckdb_retail_pipeline_spark.operators import windows as W
 from duckdb_retail_pipeline_spark.queries.base import (
     dround,
+    floor_ratio,
     register,
     sql_dround,
+    sql_floor_ratio,
     sql_money_sum,
     tbl,
 )
@@ -946,11 +948,12 @@ def x19_media_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Full value-level oracle for the mapInPandas path: DuckDB
     # re-derives per-byte stats by unnesting a generate_series per
     # blob (hex-digit pairs → byte values) — byte_sum/n_distinct are
-    # exact integers, mean is ONE double division of exact ints
-    # (bit-identical cross-engine), and entropy() is DuckDB's log2
-    # Shannon aggregate; both sides round via the dround convention
-    # (Python round() is banker's and ties on dyadic means — found
-    # empirically on power-of-two-length docs).
+    # exact integers; mean_byte goes through the integer-floor idiom
+    # (byte_sum·10^4 // n_bytes) because byte_sum/n_bytes is dyadic
+    # on power-of-two-length docs and CAN land exactly on a 4-dp tie,
+    # where HALF_UP (Spark/Python-Decimal) and DuckDB's double→
+    # decimal cast disagree (round-4 ADVICE finding); entropy() is
+    # DuckDB's log2 Shannon aggregate, tie-free, dround'd.
     oracle=f"""
         WITH m AS (
             SELECT doc_id AS media_id, hex(encode(text)) AS h,
@@ -969,7 +972,7 @@ def x19_media_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT media_id, n_bytes,
                    CAST(SUM(bv) AS BIGINT) AS byte_sum,
                    CAST(COUNT(DISTINCT bv) AS BIGINT) AS n_distinct_bytes,
-                   {sql_dround('CAST(SUM(bv) AS DOUBLE) / n_bytes', 4)} AS mean_byte,
+                   {sql_floor_ratio('SUM(bv)', 'n_bytes', 4)} AS mean_byte,
                    {sql_dround('entropy(bv)', 4)} AS byte_entropy
             FROM bytes GROUP BY media_id, n_bytes
         )
@@ -1127,10 +1130,13 @@ def x31_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     "x32_repetition_filter",
     # Gopher-style repetition metrics (Rae et al. 2021, §A1.1): the
     # concentration of the most frequent word / word-2-gram and the
-    # duplicate-2-gram fraction. All fractions are ONE double
-    # division of exact integer counts (bit-identical cross-engine),
-    # then dround(4); the keep flag compares the already-rounded
-    # values so the boolean cannot diverge at a threshold boundary.
+    # duplicate-2-gram fraction. All fractions go through the
+    # integer-floor idiom (floor_ratio, the x33 convention): count
+    # ratios are dyadic when the denominator reduces to 2^a·5^b
+    # (odd/32, …) and dround on an exact scale-4 tie diverges between
+    # the engines (DuckDB rounds exact decimal ties down, Spark
+    # HALF_UP — round-4 ADVICE finding). The keep flag compares the
+    # already-floored values so the boolean cannot diverge either.
     oracle=rf"""
         WITH d AS (
             SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents
@@ -1154,11 +1160,11 @@ def x31_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         ), stats AS (
             SELECT g.doc_id,
                    CAST(len(toks) AS BIGINT) AS n_words,
-                   COALESCE({sql_dround('top_w * 1.0 / NULLIF(len(toks), 0)', 4)}, 0.0)
+                   COALESCE({sql_floor_ratio('top_w', 'len(toks)', 4)}, 0.0)
                        AS top_word_frac,
-                   COALESCE({sql_dround('top_g * 1.0 / NULLIF(len(grams), 0)', 4)}, 0.0)
+                   COALESCE({sql_floor_ratio('top_g', 'len(grams)', 4)}, 0.0)
                        AS top_2gram_frac,
-                   COALESCE({sql_dround('(len(grams) - len(list_distinct(grams))) * 1.0 / NULLIF(len(grams), 0)', 4)}, 0.0)
+                   COALESCE({sql_floor_ratio('len(grams) - len(list_distinct(grams))', 'len(grams)', 4)}, 0.0)
                        AS dup_2gram_frac
             FROM g
             LEFT JOIN wtop ON g.doc_id = wtop.doc_id
@@ -1201,18 +1207,14 @@ def x32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n_words.cast("bigint").alias("n_words"),
             F.coalesce(
-                dround(F.col("top_w") * 1.0 / F.nullif(n_words, F.lit(0)), 4),
-                F.lit(0.0),
+                floor_ratio(F.col("top_w"), n_words, 4), F.lit(0.0)
             ).alias("top_word_frac"),
             F.coalesce(
-                dround(F.col("top_g") * 1.0 / F.nullif(n_grams, F.lit(0)), 4),
-                F.lit(0.0),
+                floor_ratio(F.col("top_g"), n_grams, 4), F.lit(0.0)
             ).alias("top_2gram_frac"),
             F.coalesce(
-                dround(
-                    (n_grams - F.size(F.array_distinct("grams"))) * 1.0
-                    / F.nullif(n_grams, F.lit(0)),
-                    4,
+                floor_ratio(
+                    n_grams - F.size(F.array_distinct("grams")), n_grams, 4
                 ),
                 F.lit(0.0),
             ).alias("dup_2gram_frac"),

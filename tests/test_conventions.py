@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.queries.base import (
     dround,
+    floor_ratio,
     money_sum,
     sql_dround,
+    sql_floor_ratio,
     sql_money_sum,
 )
 
@@ -118,6 +120,90 @@ def test_money_sum_partition_invariant_and_matches_oracle(spark, duck):
     oracle = duck.execute(f"SELECT {sql_money_sum('v')} FROM __m").fetchone()[0]
     duck.execute("DROP TABLE __m")
     assert results == {oracle}
+
+
+def test_floor_ratio_exact_on_dyadic_tie_ratios(spark, duck):
+    """The count-ratio hazard the r4 ADVICE named, closed: ratios
+    whose denominator reduces to 2^a·5^b (odd/32, odd/160, …) sit
+    exactly ON a scale-4 decimal tie, where dround diverges one
+    quantum between the engines (DuckDB rounds exact ties down,
+    Spark HALF_UP — e.g. 1/32: 0.0312 vs 0.0313). floor_ratio routes
+    the ratio through all-integer floor division and must be
+    bit-identical — including on every tie-landing pair."""
+    rng = np.random.default_rng(20260814)
+    pairs = [(int(2 * b + 1), 32) for b in rng.integers(0, 500, 200)]  # odd/32
+    pairs += [(int(2 * b + 1), 160) for b in rng.integers(0, 500, 100)]
+    pairs += [  # arbitrary non-negative count ratios num <= den
+        (int(n), int(d))
+        for n, d in zip(rng.integers(0, 1000, 300), rng.integers(1, 1000, 300))
+    ]
+    pairs += [(0, 5), (3, 0), (7, 7)]  # zero num, zero den (NULL), exact 1
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(pairs)], "i long, n long, d long"
+    )
+    srows = {
+        r["i"]: r["q"]
+        for r in df.select(
+            "i", floor_ratio(F.col("n"), F.col("d"), 4).alias("q")
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE __fr(i BIGINT, n BIGINT, d BIGINT)")
+    duck.executemany(
+        "INSERT INTO __fr VALUES (?, ?, ?)", [(i, n, d) for i, (n, d) in enumerate(pairs)]
+    )
+    drows = dict(
+        duck.execute(
+            f"SELECT i, {sql_floor_ratio('n', 'd', 4)} FROM __fr"
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE __fr")
+    mismatches = [(i, pairs[i], srows[i], drows[i]) for i in srows if srows[i] != drows[i]]
+    assert not mismatches, mismatches[:5]
+    # (the dround hazard this replaces is pinned by the companion
+    # divergence test above — DuckDB's tie rounding is magnitude-
+    # dependent, so not every individual dyadic tie diverges, but
+    # the class does)
+
+
+def test_money_sum_int64_boundary(spark, duck):
+    """Where the integer-cent convention stops: cent sums must stay
+    below 2^63. Just under the boundary both engines agree exactly;
+    one row past it Spark (ANSI bigint SUM) raises ARITHMETIC_OVERFLOW
+    while DuckDB (int128 SUM) would keep going — a loud failure, not
+    silent divergence, which is the property the convention needs.
+    2^52 dollars/row keeps round(v*100) exactly representable."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    big = float(2**52)  # 4.5e17 cents/row; 20 rows ~ 9.0e18 < 2^63
+    df20 = spark.createDataFrame([(big,) for _ in range(20)], "v double")
+    got = df20.agg(money_sum(F.col("v")).alias("s")).first()["s"]
+    duck.execute("CREATE OR REPLACE TABLE __b(v DOUBLE)")
+    duck.executemany("INSERT INTO __b VALUES (?)", [(big,)] * 20)
+    oracle = duck.execute(f"SELECT {sql_money_sum('v')} FROM __b").fetchone()[0]
+    duck.execute("DROP TABLE __b")
+    assert got == oracle == 20.0 * big
+    df21 = spark.createDataFrame([(big,) for _ in range(21)], "v double")
+    with pytest.raises(ArithmeticException):
+        df21.agg(money_sum(F.col("v")).alias("s")).first()
+
+
+def test_dround_normalizes_negative_zero(spark, duck):
+    """Values that round to zero from below (-0.001 at scale 2, -0.0
+    itself) must come out as +0.0 on BOTH engines — a -0.0 leaking
+    from one side would value-hash differently despite comparing
+    equal. The decimal-cast path normalizes the sign; pinned here."""
+    import math
+
+    vals = [-0.001, -0.0, -1e-9, -0.004999]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    for r in df.select("i", dround(F.col("v"), 2).alias("d")).collect():
+        assert r["d"] == 0.0 and math.copysign(1.0, r["d"]) == 1.0, (r["i"], r["d"])
+    duck.execute("CREATE OR REPLACE TABLE __z(i BIGINT, v DOUBLE)")
+    duck.executemany("INSERT INTO __z VALUES (?, ?)", list(enumerate(vals)))
+    for i, d in duck.execute(f"SELECT i, {sql_dround('v', 2)} FROM __z").fetchall():
+        assert d == 0.0 and math.copysign(1.0, d) == 1.0, (i, d)
+    duck.execute("DROP TABLE __z")
 
 
 def test_scale_testdata_tool_shifts_keys_disjointly(spark, tmp_path):
