@@ -587,16 +587,17 @@ def _ann_contract_frame(spark, sf_dir, ann_fn, min_recall_hits: int) -> DataFram
     "data-derived planes) with multi-probe (Lv et al. VLDB'07): "
     "probes the query bucket + the 2 least-confident bit flips — "
     "3/16 of the corpus instead of a full scan. Driver-hashed frame "
-    "= exact top-k + in-plan ANN contract booleans (recall ≥ 1/10 is "
-    "structural — the query vector hashes into its own bucket; "
-    "multi-probe observed 4-8/10 across SFs, bound set at 2 for "
-    "regeneration headroom).",
+    "= exact top-k + in-plan ANN contract booleans. Recall bound 4: "
+    "the measured multi-probe floor (4/6/8 of 10 at sf0.01/0.001/"
+    "0.1, r5 measurement) — an index regression that collapses "
+    "recall toward the structural 1/10 (the query hashes into its "
+    "own bucket) now fails the driver hash.",
     tags=("similarity", "vectors"),
 )
 def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract_frame(
         spark, sf_dir, lambda emb, q: S.lsh_topk(emb, q, k=10, bits=4, nprobe=3),
-        min_recall_hits=2,
+        min_recall_hits=4,
     )
 
 
@@ -608,15 +609,17 @@ def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ 2 Lloyd k-means refinement passes (distributed assign / "
     "per-dimension-mean update), nprobe=2 of 8 cells; assignment "
     "join broadcasts the centroid table. Driver-hashed frame = exact "
-    "top-k + in-plan ANN contract booleans (observed recall 9-10/10; "
-    "bound 3/10 matches the pytest gate).",
+    "top-k + in-plan ANN contract booleans. Recall bound 8: measured "
+    "9-10/10 across all SFs (r5), bound one hit under the floor for "
+    "data-regeneration headroom — any real index regression (cell "
+    "assignment, probe order, centroid drift) lands far below 8.",
     tags=("similarity", "vectors"),
 )
 def x13_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract_frame(
         spark, sf_dir,
         lambda emb, q: S.ivf_topk(emb, q, k=10, n_cells=8, nprobe=2, kmeans_iters=2),
-        min_recall_hits=3,
+        min_recall_hits=8,
     )
 
 

@@ -53,7 +53,7 @@ def test_lsh_multiprobe_recall(spark, sf_dir):
             assert abs(exact_all[r["vec_id"]] - r["cosine"]) < 1e-9
         hits[nprobe] = len(exact_top & {r["vec_id"] for r in rows})
     assert hits[3] >= hits[1], hits  # wider probes can only add candidates
-    assert hits[3] >= 2, hits  # the x12 driver-contract bound
+    assert hits[3] >= 4, hits  # the x12 driver-contract bound (measured floor r5)
 
 
 def test_ivf_topk_recall(spark, sf_dir):
@@ -72,7 +72,9 @@ def test_ivf_topk_recall(spark, sf_dir):
         ).collect()
     ]
     r_overlap = len(set(exact_top) & set(refined))
-    assert r_overlap >= 3, f"refined IVF recall too low: {r_overlap}/10"
+    # the x13 driver-contract bound: measured 9-10/10 across SFs (r5),
+    # bound 8 leaves one hit of regeneration headroom
+    assert r_overlap >= 8, f"refined IVF recall too low: {r_overlap}/10"
 
 
 def test_media_features_match_python_reference(spark, sf_dir):
