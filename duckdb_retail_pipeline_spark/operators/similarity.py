@@ -163,6 +163,111 @@ def ann_contract(
     )
 
 
+def hierarchical_topk(
+    scored: DataFrame,
+    k: int,
+    n_shards: int = 64,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Top-k per query over a (query_id, vec_id, score) frame via
+    bounded-partition two-stage rank: local row_number within
+    (query, crc32-shard of id) keeps at most k rows per shard, then a
+    global rank per query runs over ≤ n_shards × k survivors. Neither
+    window partition ever holds a corpus-sized slice — the failure
+    mode of a naive rank-over-query partition at 100 TB. Provably
+    identical to the flat rank: any global top-k row is top-k within
+    its shard. Ties break on id ascending (total order)."""
+    from pyspark.sql import Window
+
+    shard = F.crc32(F.col(id_col).cast("string")) % n_shards
+    w_local = Window.partitionBy(query_col, "__shard").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    partial = (
+        scored.withColumn("__shard", shard)
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__shard", "__lr")
+    )
+    w_global = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w_global).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def batch_ann_topk(
+    emb: DataFrame,
+    qset: DataFrame,
+    k: int = 3,
+    bits: int = 4,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN-backed batch retrieval (the scale path for batch top-k
+    similarity joins): every corpus vector is LSH-bucketed once
+    (sign bits against data-derived hyperplanes, as ``lsh_topk``);
+    every QUERY row computes its own bucket plus its multi-probe
+    flips (Lv et al. VLDB'07) entirely in-plan — per-plane |dot|
+    structs, array_sort picks the nprobe−1 least-confident bits, a
+    power-of-two lookup array turns each into a bucket xor. The
+    candidate join is (broadcast exploded query-probes) × corpus on
+    bucket equality, so per-query scoring cost is ~nprobe/2^bits of
+    the corpus instead of all of it — O(|Q|·corpus·nprobe/2^bits)
+    total, vs the exact join's O(|Q|·corpus). Final ranking reuses
+    ``hierarchical_topk`` (bounded window partitions).
+
+    ``qset`` must have columns (query_id, qvec). Recall < 1 by
+    construction; pair with the exact rank to measure (the x42
+    driver contract does). Each corpus vector lives in exactly one
+    bucket and a query's probe buckets are distinct, so no
+    per-(query, vector) duplicates arise."""
+    planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
+    corpus = emb.withColumn("__b", _bucket_expr(vec_col, planes))
+
+    # per-query bucket + probe list, all JVM expressions
+    dot_structs = F.array(
+        *[
+            F.struct(
+                F.abs(V.dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in p]))).alias("a"),
+                F.lit(i).alias("i"),
+            )
+            for i, p in enumerate(planes)
+        ]
+    )
+    pow2 = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
+    q = qset.withColumn("__qb", _bucket_expr("qvec", planes))
+    if nprobe > 1:
+        flips = F.slice(F.array_sort(dot_structs), 1, nprobe - 1)
+        probes = F.concat(
+            F.array(F.col("__qb")),
+            F.transform(
+                flips,
+                lambda s: F.col("__qb")
+                .bitwiseXOR(F.element_at(pow2, s["i"] + F.lit(1)))
+                .cast("long"),
+            ),
+        )
+    else:
+        probes = F.array(F.col("__qb"))
+    probed = q.select("query_id", "qvec", F.explode(probes).alias("__probe"))
+
+    cand = corpus.join(
+        F.broadcast(probed), F.col("__b") == F.col("__probe")
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), F.col("qvec")), 4).alias("cosine"),
+    )
+    return hierarchical_topk(scored, k, id_col=id_col)
+
+
 def _nearest_cell_expr(col, cents: list[list[float]]):
     """Index of the nearest centroid by cosine, as a pure JVM
     expression (no UDF): a when-chain over the broadcast-literal

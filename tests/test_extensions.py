@@ -77,6 +77,66 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert r_overlap >= 8, f"refined IVF recall too low: {r_overlap}/10"
 
 
+def test_hierarchical_topk_equals_flat_rank(spark, sf_dir):
+    """The bounded two-stage rank must be provably identical to the
+    naive flat rank-over-query partition it replaces."""
+    from pyspark.sql import Window
+
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        _exact_batch_scored,
+        _x39_qset,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    scored = _exact_batch_scored(emb, _x39_qset(emb))
+    hier = S.hierarchical_topk(scored, 3).collect()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    flat = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    )
+    key = lambda r: (r["query_id"], r["rnk"])  # noqa: E731
+    assert sorted(map(tuple, hier)) == sorted(map(tuple, flat))
+    assert len({key(r) for r in hier}) == len(hier)
+
+
+def test_batch_ann_topk_contract(spark, sf_dir):
+    """Batch ANN retrieval: per-query k rows, self excluded, scores
+    exact (the index may shrink the candidate set, never change a
+    score), and recall >= the x42 driver-contract floor."""
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        _X42_BITS,
+        _X42_MIN_RECALL_HITS,
+        _X42_NPROBE,
+        _exact_batch_scored,
+        _x39_qset,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qset = _x39_qset(emb)
+    scored = _exact_batch_scored(emb, qset)
+    exact_all = {(r["query_id"], r["vec_id"]): r["cosine"] for r in scored.collect()}
+    exact_top = {}
+    for r in S.hierarchical_topk(scored, 3).collect():
+        exact_top.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    ann = S.batch_ann_topk(
+        emb, qset, k=3, bits=_X42_BITS, nprobe=_X42_NPROBE
+    ).collect()
+    by_q = {}
+    for r in ann:
+        assert r["vec_id"] != r["query_id"]
+        assert abs(exact_all[(r["query_id"], r["vec_id"])] - r["cosine"]) < 1e-9
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q) == set(exact_top)
+    for qid, ids in by_q.items():
+        assert len(ids) == 3
+        assert len(ids & exact_top[qid]) >= _X42_MIN_RECALL_HITS, (qid, ids)
+
+
 def test_media_features_match_python_reference(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents").limit(20)
     media = M.documents_as_media(docs)
