@@ -20,66 +20,59 @@ from duckdb_retail_pipeline_spark.queries import extensions  # noqa: E402,F401
 # -- driver-window prioritization -----------------------------------------
 #
 # The driver's CORRECTNESS gate records the FIRST 50 registry entries
-# (dict insertion order). With 82 registered queries, registration
+# (dict insertion order). With 94 registered queries, registration
 # order decides which queries get a hard driver-side oracle row per
 # round. The rotation schedule lives in ROTATION.md at the repo root:
 # never-driver-checked queries enter first; remaining slots hold
 # regression guards for code paths changed since the last green round.
 # Everything outside the window keeps its local DuckDB-oracle pytest
-# row (tests/test_queries_oracle.py runs ALL 82).
+# row (tests/test_queries_oracle.py runs ALL 94).
 #
-# Round-4 window (see ROTATION.md): the 4 queries still lacking a
-# green driver row (x12/x13/x20 rotated in with their NEW value-level
-# oracles; x25 erred in r3) + guards for the r3→r4 diff (the
-# normalize_event_ts centralization + sessionize epoch revert touch
-# every events consumer x14-x18/x21/x25; the multimodal frame grew
-# exact-integer columns → x19/x20; ann_contract touches the
-# similarity path → x10/x12/x13; x05/x11 keep a second green row on
-# the r3 dedup rewrites) + the bench-implicated pl03/pl06/pl09 and
-# headline queries + the oldest-green rotation (everything whose last
-# driver row is r2). Two-consecutive-green queries rotate out
-# (a01-a16, pl01, pl08, pl11, q03, q12, q25, x02-x04, x06, x08,
-# x22, x23, x26, x28, x29).
+# Round-5 window (see ROTATION.md): x42 is the round's new query
+# (never driver-green) + guards for the r4→r5 diff (x12/x13 recall
+# floors raised; x19/x20/x32 moved to floor_ratio / floored
+# multimodal means; x39 refactored onto the shared hierarchical_topk)
+# + the oldest-green rotation owed by ROTATION.md's own rule: the
+# eleven r2-green queries that yielded their slots in r4
+# (q13/q14/q16-q20/q22-q24/x09, two rounds stale) re-enter, then the
+# r3-green block (a01-a16, pl01, pl08 — one round stale) + the full
+# headline bench set (now 16 queries after the r5 expansion).
+# Fresh r4-green queries rotate out (pl02/pl04/pl05/pl07/pl10,
+# q04-q11, x05/x11/x15-x18/x21/x24/x25/x27/x30/x31/x34/x35/x37/x38/
+# x41); the rest of the r3-green block (pl11, q03, q12, q25, x02-x04,
+# x06, x08, x22, x23, x26, x28, x29) re-enters in r6.
 _ROTATED_IN = [
-    # never driver-green (x25) or newly oracle'd (x12/x13/x20)
+    # never driver-green: the round's new query
+    "x42_ann_batch_retrieval",
+    # r4→r5 diff guards
     "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
-    "x20_media_features", "x25_streaming_sliding",
-    # r3→r4 diff guards: events/streaming + multimodal + similarity +
-    # one-green r3 rewrites
-    "x14_events_hourly", "x15_events_sessionize", "x16_events_json_extract",
-    "x17_streaming_hourly", "x18_events_pivot", "x21_session_window_batch",
-    "x19_media_schema", "x10_embedding_cosine_topk",
-    "x05_ngram_jaccard_pairs", "x11_embedding_dup_pairs",
-    # bench-implicated + headline
-    "pl03_dim_calendar", "pl06_fct_sales", "pl09_agg_country_day",
-    "q01_pricing_summary", "q02_monthly_revenue_by_nation",
-    "q21_multikey_star_agg", "x01_dedup_exact", "x07_minhash_lsh_pairs",
+    "x19_media_schema", "x20_media_features",
+    "x32_repetition_filter", "x39_similarity_batch_topk",
+    # oldest-green rotation: last driver row was r2 (two rounds stale)
+    "q13_weekend_cohort", "q14_date_parts", "q16_lag_gap_detection",
+    "q17_union_all_checks", "q18_cte_scalar_subquery",
+    "q19_view_over_join", "q20_deterministic_mode",
+    "q22_distinct_dedup", "q23_top_per_group",
+    "q24_between_range_scan", "x09_simhash_pairs",
 ]
 _GUARDS = [
-    # oldest-green rotation: last driver row was r2
-    "pl02_staging_fx", "pl04_dim_product", "pl05_dim_customer",
-    "pl07_daily_fx_rates", "pl10_monthly_sales_summary",
-    "q04_filter_like_prefix", "q05_null_sentinel_filters",
-    "q06_semi_join_in_subquery", "q07_anti_join_orphans",
-    "q08_composite_key_join", "q09_conditional_agg",
-    "q10_conditional_count_distinct", "q11_scalar_multi_agg",
-    "q15_forward_fill",
-    # x31-x40 are new this round (stateful streaming totals;
-    # repetition filter; sequence packing; streaming dedup; salted
-    # agg; decontamination; embedding quantization; stream-static
-    # join; batch top-k similarity; robust stats) and need their
-    # first driver rows; q13/q14/q16-q20/q22-q24 (green r2) yield
-    # their slots and re-enter on the next oldest-green rotation
-    # (q15 stays: it is a headline bench query)
-    "x31_streaming_stateful_totals", "x32_repetition_filter",
-    "x33_sequence_packing", "x34_streaming_dedup", "x35_salted_agg",
-    "x36_decontamination", "x37_embedding_quantization",
-    "x38_stream_static_join", "x39_similarity_batch_topk",
-    "x40_robust_stats", "x41_fixed_count_sample",
-    # x09 yields its slot to x41 (the dedup family keeps x05/x07/x11
-    # in-window this round; x09 re-enters next rotation)
-    "x24_grouped_ols_trend", "x27_text_chunking",
-    "x30_variant_extract",
+    # headline bench queries (regressions must stay driver-visible);
+    # x32/x39/x42 are headline too, already in _ROTATED_IN
+    "pl03_dim_calendar", "pl06_fct_sales", "pl09_agg_country_day",
+    "q01_pricing_summary", "q02_monthly_revenue_by_nation",
+    "q15_forward_fill", "q21_multikey_star_agg", "x01_dedup_exact",
+    "x07_minhash_lsh_pairs", "x10_embedding_cosine_topk",
+    "x14_events_hourly", "x33_sequence_packing",
+    "x36_decontamination", "x40_robust_stats",
+    # next-oldest green rotation: last driver row was r3
+    "a01_rollup", "a02_cube", "a03_intersect_except", "a04_unpivot",
+    "a05_approx_aggregates", "a06_grouping_sets_sql",
+    "a07_merge_upsert", "a08_scd2_history", "a09_moving_average",
+    "a10_string_functions", "a11_window_rank_surface",
+    "a12_array_agg_surface", "a13_correlated_subqueries",
+    "a14_regex_surface", "a15_exact_percentiles",
+    "a16_correlated_avg_filter",
+    "pl01_staging_retail", "pl08_fct_sales_eur",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O
