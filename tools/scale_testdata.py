@@ -21,10 +21,33 @@ per-query cost scales ~linearly in rows; it does NOT grow distinct
 key cardinalities the way TPC-H dbgen would (documented caveat in
 ROADMAP.md's scaling section).
 
+With ``--grow-groups`` the replication also grows distinct-GROUP
+cardinality ~k× (the r4 verdict's robustness ask: plain replication
+keeps group counts flat, which flatters aggregation queries):
+
+  orders/lineitem  every timestamp column += copy * retail_period
+                   (one shared period = joint date span + 2 days, so
+                   l_shipdate keeps its offset from o_orderdate) —
+                   distinct dates/months/years grow k×, and the
+                   calendar spine (pl03) genuinely widens k×
+  events           ts += copy * events_period; user_id += copy *
+                   stride — k× distinct hours AND k× distinct users
+                   (sessionize/session-window group keys)
+  documents        text gets a per-copy suffix token — k× distinct
+                   contents, so content-keyed dedup/fingerprint/
+                   repetition groups grow instead of collapsing into
+                   10-copy duplicate clusters
+
+  Dimension tables stay fixed (the broadcast assumption under test).
+  Embeddings are replicated UNCHANGED in both modes (documented
+  caveat: perturbing float vectors would change ANN semantics; the
+  ANN scale story is measured separately via probe fractions).
+
 Usage:
-    python tools/scale_testdata.py SRC_DIR DEST_DIR K
+    python tools/scale_testdata.py SRC_DIR DEST_DIR K [--grow-groups]
 e.g.
     python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf1_synth 10
+    python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf1_grow 10 --grow-groups
 """
 
 from __future__ import annotations
@@ -49,12 +72,51 @@ FACT_KEYS: dict[str, tuple[str, ...]] = {
 STRIDE = 1_000_000_000
 
 
-def scale(src: Path, dest: Path, k: int) -> None:
+# group-growing extras: non-key columns strided per copy so distinct
+# group-key cardinality scales with k (user ids share the key stride;
+# they join to no dimension table)
+GROW_ID_COLS: dict[str, tuple[str, ...]] = {"events": ("user_id",)}
+_DAY_US = 86_400_000_000
+
+
+def _ts_cols(table: pa.Table) -> list[str]:
+    return [
+        f.name for f in table.schema if pa.types.is_timestamp(f.type)
+    ]
+
+
+def _period_us(tables: list[pa.Table]) -> int:
+    """One shift period for a family of tables: the joint span of all
+    timestamp columns plus two days, so per-copy shifts never overlap
+    and intra-family offsets (l_shipdate vs o_orderdate) survive."""
+    lo, hi = None, None
+    for t in tables:
+        for c in _ts_cols(t):
+            mm = pc.min_max(t.column(c)).as_py()
+            lo = mm["min"] if lo is None else min(lo, mm["min"])
+            hi = mm["max"] if hi is None else max(hi, mm["max"])
+    span = int((hi - lo).total_seconds() * 1_000_000)
+    return span + 2 * _DAY_US
+
+
+def scale(src: Path, dest: Path, k: int, grow_groups: bool = False) -> None:
     dest.mkdir(parents=True, exist_ok=True)
     for t in DIM_TABLES:
         shutil.copy(src / f"{t}.parquet", dest / f"{t}.parquet")
+
+    tables = {t: pq.read_table(src / f"{t}.parquet") for t in FACT_KEYS}
+    periods: dict[str, int] = {}
+    if grow_groups:
+        retail = _period_us([tables["orders"], tables["lineitem"]])
+        periods = {
+            "orders": retail,
+            "lineitem": retail,
+            "events": _period_us([tables["events"]]),
+        }
+
     for t, keys in FACT_KEYS.items():
-        base = pq.read_table(src / f"{t}.parquet")
+        base = tables[t]
+        grow_ids = GROW_ID_COLS.get(t, ()) if grow_groups else ()
         copies = []
         for i in range(k):
             if i == 0:
@@ -63,8 +125,16 @@ def scale(src: Path, dest: Path, k: int) -> None:
             cols = {}
             for name in base.column_names:
                 col = base.column(name)
-                if name in keys:
+                if name in keys or name in grow_ids:
                     col = pc.add(col, pa.scalar(i * STRIDE, type=pa.int64()))
+                elif grow_groups and t in periods and pa.types.is_timestamp(col.type):
+                    col = pc.add(
+                        col, pa.scalar(i * periods[t], type=pa.duration("us"))
+                    )
+                elif grow_groups and t == "documents" and name == "text":
+                    col = pc.binary_join_element_wise(
+                        col, pa.scalar(f"gg{i}"), pa.scalar(" ")
+                    )
                 cols[name] = col
             copies.append(pa.table(cols, schema=base.schema))
         out = pa.concat_tables(copies)
@@ -73,6 +143,8 @@ def scale(src: Path, dest: Path, k: int) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 4:
+    args = [a for a in sys.argv[1:] if a != "--grow-groups"]
+    grow = "--grow-groups" in sys.argv[1:]
+    if len(args) != 3:
         sys.exit(__doc__)
-    scale(Path(sys.argv[1]), Path(sys.argv[2]), int(sys.argv[3]))
+    scale(Path(args[0]), Path(args[1]), int(args[2]), grow_groups=grow)
