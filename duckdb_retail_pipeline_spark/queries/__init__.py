@@ -16,6 +16,7 @@ from duckdb_retail_pipeline_spark.queries import advanced  # noqa: E402,F401
 from duckdb_retail_pipeline_spark.queries import core  # noqa: E402,F401
 from duckdb_retail_pipeline_spark.queries import retail  # noqa: E402,F401
 from duckdb_retail_pipeline_spark.queries import extensions  # noqa: E402,F401
+from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 
 # -- driver-window prioritization -----------------------------------------
 #
@@ -42,8 +43,12 @@ from duckdb_retail_pipeline_spark.queries import extensions  # noqa: E402,F401
 # x41); the rest of the r3-green block (pl11, q03, q12, q25, x02-x04,
 # x06, x08, x22, x23, x26, x28, x29) re-enters in r6.
 _ROTATED_IN = [
-    # never driver-green: the round's new query
+    # never driver-green: the round's new queries (x43-x49 displace
+    # the tail of the r3-green block — a10-a16 re-enter in r6)
     "x42_ann_batch_retrieval",
+    "x43_range_join_binned", "x44_bm25_search", "x45_event_funnel",
+    "x46_cohort_retention", "x47_pii_redaction", "x48_salted_join",
+    "x49_data_profiling",
     # r4→r5 diff guards
     "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
     "x19_media_schema", "x20_media_features",
@@ -68,10 +73,6 @@ _GUARDS = [
     "a01_rollup", "a02_cube", "a03_intersect_except", "a04_unpivot",
     "a05_approx_aggregates", "a06_grouping_sets_sql",
     "a07_merge_upsert", "a08_scd2_history", "a09_moving_average",
-    "a10_string_functions", "a11_window_rank_surface",
-    "a12_array_agg_surface", "a13_correlated_subqueries",
-    "a14_regex_surface", "a15_exact_percentiles",
-    "a16_correlated_avg_filter",
     "pl01_staging_retail", "pl08_fct_sales_eur",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS

@@ -1,0 +1,130 @@
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.operators import scale as SC
+from duckdb_retail_pipeline_spark.queries import REGISTRY
+from duckdb_retail_pipeline_spark.queries.analytics import (
+    _X43_MIN_ERRORS,
+    _X47_EMAIL_RE,
+    _X47_PHONE_RE,
+)
+from duckdb_retail_pipeline_spark.queries.base import tbl
+
+
+def test_range_join_binned_equals_inequality_join(spark, sf_dir):
+    """The binned equi-join must produce exactly the rows of the
+    naive inequality join it replaces (the provably-equal claim in
+    the x43 doc), computed here Spark-side as a second witness next
+    to the DuckDB oracle."""
+    ev = tbl(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    win = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _X43_MIN_ERRORS)
+        .select("w")
+    )
+    w_end = F.col("w") + F.expr("INTERVAL 1 HOUR")
+    naive = (
+        iv.crossJoin(win)
+        .filter((F.col("s") < w_end) & (F.col("e") >= F.col("w")))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.unix_micros(F.least(F.col("e"), w_end))
+                - F.unix_micros(F.greatest(F.col("s"), F.col("w")))
+            )
+            .cast("bigint")
+            .alias("total_overlap_us"),
+        )
+    )
+    got = REGISTRY["x43_range_join_binned"].fn(spark, sf_dir).collect()
+    want = naive.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_bm25_ranking_sanity(spark, sf_dir):
+    rows = REGISTRY["x44_bm25_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # every returned doc matched at least one query term
+    assert all(r["tf_join"] + r["tf_vector"] + r["tf_slow"] > 0 for r in rows)
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    row = REGISTRY["x45_event_funnel"].fn(spark, sf_dir).first()
+    assert row["n_users"] >= row["n_view"] >= row["n_click_1h"] >= row["n_purchase_1h"]
+    assert row["n_view"] > 0
+
+
+def test_cohort_retention_bounds(spark, sf_dir):
+    for r in REGISTRY["x46_cohort_retention"].fn(spark, sf_dir).collect():
+        assert 0 <= r["n_day1"] <= r["n_users"]
+        assert 0 <= r["n_day7"] <= r["n_users"]
+
+
+def test_pii_redaction_leaves_no_matches(spark, sf_dir):
+    """Property: after redaction, neither pattern matches anything —
+    re-checked here in Python's regex engine as a third
+    implementation (Spark Java regex and DuckDB RE2 are the other
+    two)."""
+    docs = tbl(spark, sf_dir, "documents").limit(50)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("t"),
+    )
+    red = aug.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _X47_EMAIL_RE, "<EMAIL>"),
+            _X47_PHONE_RE,
+            "<PHONE>",
+        ),
+    ).collect()
+    for r in red:
+        assert re.search(_X47_EMAIL_RE, r["redacted"]) is None
+        assert re.search(_X47_PHONE_RE, r["redacted"]) is None
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Row-level: the salt must route, never change the result."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice"
+    )
+    pt = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    salted = SC.salted_join(li, pt, on="partkey", salt=8).collect()
+    plain = li.join(pt, "partkey").collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_profiling_row_per_column(spark, sf_dir):
+    rows = {r["col_name"]: r for r in REGISTRY["x49_data_profiling"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus",
+    }
+    n = rows["o_orderkey"]["n_rows"]
+    assert all(r["n_rows"] == n for r in rows.values())
+    # order keys are unique and non-null
+    assert rows["o_orderkey"]["n_distinct"] == n
+    assert rows["o_orderkey"]["n_null"] == 0
+    assert rows["o_orderkey"]["min_i"] <= rows["o_orderkey"]["max_i"]

@@ -100,6 +100,35 @@ def test_repetition_filter_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """x43's whole point: the interval-overlap join must plan as a
+    hash equi-join on the bin key — a naive `s < w_end AND e >= w`
+    join plans as BroadcastNestedLoopJoin, which scans every
+    (interval, window) pair and dies at 100 TB."""
+    df = REGISTRY["x43_range_join_binned"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_plans_salted_shape(spark, sf_dir):
+    """x48 must carry the salt through the join: the exploded salt
+    column appears in the join keys, and no nested-loop fallback."""
+    df = REGISTRY["x48_salted_join"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "__salt" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profiling_single_pass(spark, sf_dir):
+    """x49 computes all per-column metrics in one aggregate over one
+    scan — the plan must read the orders parquet exactly once."""
+    df = REGISTRY["x49_data_profiling"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert plan.count("orders.parquet") <= 1, plan
+
+
 def test_salted_agg_two_phase(spark, sf_dir):
     """x35 must actually plan the salted shape: a partial aggregate
     keyed by (event_type, salt) before the final per-key aggregate —
