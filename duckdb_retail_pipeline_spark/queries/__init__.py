@@ -48,7 +48,9 @@ _ROTATED_IN = [
     "x42_ann_batch_retrieval",
     "x43_range_join_binned", "x44_bm25_search", "x45_event_funnel",
     "x46_cohort_retention", "x47_pii_redaction", "x48_salted_join",
-    "x49_data_profiling",
+    "x49_data_profiling", "x50_importance_sampling",
+    "x52_token_rarity", "x54_pmi_pairs", "x55_last_touch_attribution",
+    "x57_incremental_agg", "x58_stream_stream_join",
     # r4→r5 diff guards
     "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
     "x19_media_schema", "x20_media_features",
@@ -69,10 +71,10 @@ _GUARDS = [
     "x07_minhash_lsh_pairs", "x10_embedding_cosine_topk",
     "x14_events_hourly", "x33_sequence_packing",
     "x36_decontamination", "x40_robust_stats",
-    # next-oldest green rotation: last driver row was r3
-    "a01_rollup", "a02_cube", "a03_intersect_except", "a04_unpivot",
-    "a05_approx_aggregates", "a06_grouping_sets_sql",
-    "a07_merge_upsert", "a08_scd2_history", "a09_moving_average",
+    # next-oldest green rotation: last driver row was r3 (a04-a16
+    # yielded their slots to the round's 14 new registrations and
+    # re-enter in r6)
+    "a01_rollup", "a02_cube", "a03_intersect_except",
     "pl01_staging_retail", "pl08_fct_sales_eur",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS

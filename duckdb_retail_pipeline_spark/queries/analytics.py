@@ -1,7 +1,9 @@
 """Round-5 analytics/pipeline extensions: interval (range) joins,
-text retrieval scoring, event funnels, cohort retention, PII
-redaction, skew-proof joins under the oracle gate, and one-pass data
-profiling.
+text retrieval scoring (BM25), event funnels, cohort retention, PII
+redaction, skew-proof joins under the oracle gate, one-pass data
+profiling, deterministic importance sampling, token-rarity quality
+scoring, PMI association mining, last-touch attribution, incremental
+view maintenance, and a stream-stream event-time join.
 
 Each query follows the engine conventions (queries/base.py): integer
 cents for money, BIGINT casts for integer outputs, DATE casts for
@@ -18,13 +20,15 @@ from duckdb_retail_pipeline_spark.functions import text as T
 from duckdb_retail_pipeline_spark.operators import scale as SC
 from duckdb_retail_pipeline_spark.queries.base import (
     dround,
+    floor_ratio,
     money_sum,
     register,
     sql_dround,
+    sql_floor_ratio,
     sql_money_sum,
     tbl,
 )
-from duckdb_retail_pipeline_spark.queries.extensions import SQL_TOKS
+from duckdb_retail_pipeline_spark.queries.extensions import SQL_HASH28, SQL_TOKS
 
 # ---------------------------------------------------------------- x43
 _X43_MIN_ERRORS = 3  # hourly error count that flags an incident window
@@ -535,3 +539,391 @@ def x49_data_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(specs)}, {', '.join(stack_args)}) AS "
         "(col_name, n_rows, n_null, n_distinct, min_i, max_i)"
     )
+
+
+# ---------------------------------------------------------------- x50
+_X50_PPM = 1_000_000
+
+
+@register(
+    "x50_importance_sampling",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   {SQL_TOKS.format(x="text")} AS toks
+            FROM documents
+        ), w AS (
+            SELECT doc_id, source,
+                   least({_X50_PPM},
+                         (len(list_distinct(toks)) * {_X50_PPM})
+                         // NULLIF(len(toks), 0)) AS w_ppm,
+                   {SQL_HASH28.format(s="text")} % {_X50_PPM} AS u_ppm
+            FROM d
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN u_ppm < w_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN u_ppm < w_ppm THEN w_ppm ELSE 0 END) AS BIGINT) AS kept_weight_ppm,
+               {sql_floor_ratio("SUM(CASE WHEN u_ppm < w_ppm THEN 1 ELSE 0 END)", "COUNT(*)", 4)} AS keep_rate
+        FROM w GROUP BY source
+    """,
+    doc="Importance sampling for data mixing (the DoReMi/quality-"
+    "weighted resampling shape): each document draws a DETERMINISTIC "
+    "md5-derived uniform in [0, 1e6) and is kept iff it falls under "
+    "the document's importance weight (here: type-token lexical "
+    "diversity, scaled to integer ppm via floor division). "
+    "Everything is integer arithmetic, so the kept SET — not just "
+    "its size — is reproducible across engines, runs, and "
+    "partitionings, which is what makes sampled corpora auditable. "
+    "One scan + one narrow groupBy(source); no RNG state, no "
+    "driver coordination at any scale.",
+    tags=("sampling", "curation"),
+)
+def x50_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(_X50_PPM),
+            F.call_function(
+                "div",
+                F.size(F.array_distinct(toks)).cast("bigint") * _X50_PPM,
+                F.nullif(F.size(toks).cast("bigint"), F.lit(0)),
+            ),
+        ).alias("w_ppm"),
+        (T.md5_int28("text") % _X50_PPM).alias("u_ppm"),
+    )
+    kept = F.when(F.col("u_ppm") < F.col("w_ppm"), 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("u_ppm") < F.col("w_ppm"), F.col("w_ppm")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_weight_ppm"),
+        floor_ratio(F.sum(kept), F.count(F.lit(1)), 4).alias("keep_rate"),
+    )
+
+
+# ---------------------------------------------------------------- x52
+@register(
+    "x52_token_rarity",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {SQL_TOKS.format(x="text")} AS toks FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS t FROM d
+        ), tc AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS tf_corpus FROM tok GROUP BY t
+        )
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tc.tf_corpus) AS BIGINT) AS sum_freq,
+               {sql_floor_ratio("SUM(tc.tf_corpus)", "COUNT(*)", 2)} AS mean_freq
+        FROM tok JOIN tc USING (t)
+        GROUP BY tok.doc_id
+    """,
+    doc="Token-rarity scoring (a deterministic stand-in for unigram "
+    "LM perplexity as a quality signal): per document, the mean "
+    "corpus frequency of its tokens — docs full of rare tokens score "
+    "low and flag as noise/OCR garbage, docs of common words score "
+    "high. All-integer (corpus term counts summed per doc, "
+    "floor-ratio mean) so no transcendental or float-fold "
+    "nondeterminism. Shape: explode -> vocabulary-bounded groupBy -> "
+    "equi-join back -> per-doc re-agg; two narrow shuffles, the "
+    "standard inverted-frequency pipeline at any corpus size.",
+    tags=("text", "quality"),
+)
+def x52_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("tf_corpus"))
+    return (
+        tok.join(tc, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("tf_corpus").cast("bigint").alias("sum_freq"),
+            floor_ratio(F.sum("tf_corpus"), F.count(F.lit(1)), 2).alias("mean_freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- x54
+_X54_MIN_SUPPORT = 10
+_X54_SCALE = 10_000
+_X54_TOPK = 30
+
+
+@register(
+    "x54_pmi_pairs",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct({SQL_TOKS.format(x="text")}) AS toks
+            FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(toks) AS tok FROM d
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+        ), tc AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t FROM t GROUP BY tok
+        ), pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        )
+        SELECT p.tok_a, p.tok_b, p.c_ab,
+               CAST((p.c_ab * n.n_docs * {_X54_SCALE})
+                    // (ca.c_t * cb.c_t) AS BIGINT) AS pmi_scaled
+        FROM pairs p
+        JOIN tc ca ON p.tok_a = ca.tok
+        JOIN tc cb ON p.tok_b = cb.tok
+        CROSS JOIN n
+        WHERE p.c_ab >= {_X54_MIN_SUPPORT}
+        ORDER BY pmi_scaled DESC, tok_a ASC, tok_b ASC
+        LIMIT {_X54_TOPK}
+    """,
+    doc="Word-pair association mining: top co-occurring token pairs "
+    "by pointwise mutual information. PMI = ln(N*c_ab/(c_a*c_b)) is "
+    "monotone in the rational N*c_ab/(c_a*c_b), so ranking uses the "
+    "INTEGER floor-scaled ratio — no ln, no float ordering, ties "
+    "total-ordered by the pair itself. Shape: per-doc distinct "
+    "tokens, doc-keyed self-join for pair counts (bounded by "
+    "per-doc distinct-token count squared — cap the token list per "
+    "doc at real scale), vocabulary-bounded count joins, "
+    "TakeOrdered top-k. int64 headroom: c_ab*N*10^4 needs "
+    "N*N*10^4 < 2^63, fine to ~10^9 docs; beyond that drop the "
+    "scale factor or rank on (c_ab*N) DIV-per-magnitude.",
+    tags=("text", "association"),
+)
+def x54_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.array_distinct(T.tokens("text")).alias("toks"))
+    t = d.select("doc_id", F.explode("toks").alias("tok"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tc = t.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    a = t.select("doc_id", F.col("tok").alias("tok_a"))
+    b = t.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= _X54_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(tc.withColumnRenamed("tok", "tok_a").withColumnRenamed("c_t", "c_a"), "tok_a")
+        .join(tc.withColumnRenamed("tok", "tok_b").withColumnRenamed("c_t", "c_b"), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.call_function(
+                "div",
+                F.col("c_ab") * F.col("n_docs") * _X54_SCALE,
+                F.col("c_a") * F.col("c_b"),
+            )
+            .cast("bigint")
+            .alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(_X54_TOPK)
+
+
+# ---------------------------------------------------------------- x55
+@register(
+    "x55_last_touch_attribution",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, value,
+                   CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ), marked AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN ts END IGNORE NULLS)
+                       OVER w AS touch_ts,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS touch_type
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 1 HOUR
+                             THEN touch_type END, 'none') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+                   AS attributed_value
+        FROM marked
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: every purchase credits "
+    "the most recent click/view by the same user within 1 hour "
+    "(else 'none') — the classic as-of/forward-fill shape, computed "
+    "with one user-partitioned window (LAST ... IGNORE NULLS over "
+    "(ts, event_id) — the unique event_id makes same-microsecond "
+    "ordering total, so the credited touch is deterministic). "
+    "Per-user window partitions are bounded by per-user event "
+    "counts; revenue aggregates in integer cents.",
+    tags=("events", "attribution", "window"),
+)
+def x55_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "*",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    channel = F.coalesce(
+        F.when(F.col("touch_ts") >= F.col("ts") - hour, F.col("touch_type")),
+        F.lit("none"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            money_sum(F.col("value")).alias("attributed_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- x57
+_X57_CUTOFF = "2024-01-16"
+
+
+@register(
+    "x57_incremental_agg",
+    oracle=f"""
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum("value")} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Incremental view maintenance: the daily aggregate is "
+    "computed as BASE (events before a cutoff) and DELTA (events "
+    "after), each pre-aggregated independently, then merged by "
+    "re-aggregating the partials — the nightly-batch-plus-late-data "
+    "pattern that avoids reprocessing the full history on every "
+    "load. Partial counts and integer-cent sums are associative, so "
+    "the merged result is BIT-IDENTICAL to the full single-pass "
+    "aggregate (which is the SQL oracle) at any split point or "
+    "partitioning. At scale the base partials persist as a "
+    "partitioned table and only the delta is recomputed.",
+    tags=("events", "incremental", "agg"),
+)
+def x57_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cutoff = F.lit(_X57_CUTOFF).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.sum("cents").cast("bigint").alias("pc"),
+        )
+
+    base = partial(ev.filter(F.col("day") < cutoff))
+    delta = partial(ev.filter(F.col("day") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            (F.sum("pc") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- x58
+@register(
+    "x58_stream_stream_join",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(ROUND(p.value * 100, 0) AS BIGINT) AS purchase_cents
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        """,
+    doc="Stream-stream inner join with event-time range condition: "
+    "clicks joined to purchases by the same user within the "
+    "following hour, both sides genuine readStream sources with "
+    "1-hour watermarks (the watermark bounds join STATE — each "
+    "side's buffer drops rows older than the watermark minus the "
+    "range; emission of inner matches is not watermark-gated, so on "
+    "bounded input the append-mode result set equals the batch "
+    "join, which is the SQL oracle). Money emitted as integer "
+    "cents. This is the streaming twin of the sessionize/attribution "
+    "family: at scale both sides come from Kafka and the state "
+    "store holds one hour of per-user history.",
+    tags=("streaming", "join", "events"),
+)
+def x58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    clicks = (
+        SE.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        SE.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + hour),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("purchase_cents"),
+    )
+    return SE.run_stream_to_memory(joined, spark, output_mode="append")

@@ -117,6 +117,81 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
 
 
+def test_importance_sampling_deterministic(spark, sf_dir):
+    """The kept set is hash-derived, not RNG: two runs agree."""
+    a = REGISTRY["x50_importance_sampling"].fn(spark, sf_dir).collect()
+    b = REGISTRY["x50_importance_sampling"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_incremental_merge_equals_full_agg(spark, sf_dir):
+    """The base+delta merge must be bit-identical to the single-pass
+    aggregate, Spark-side (the DuckDB oracle is the other witness)."""
+    ev = tbl(spark, sf_dir, "events")
+    full = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .collect()
+    )
+    merged = REGISTRY["x57_incremental_agg"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+
+
+def test_attribution_partitions_purchases(spark, sf_dir):
+    rows = REGISTRY["x55_last_touch_attribution"].fn(spark, sf_dir).collect()
+    channels = {r["channel"] for r in rows}
+    assert channels <= {"click", "view", "none"}
+    n_purchases = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Bounded input: the append-mode stream-stream join must emit
+    exactly the batch join's row set."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("purchase_cents"),
+        )
+        .collect()
+    )
+    streamed = REGISTRY["x58_stream_stream_join"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(streamed) > 0
+
+
 def test_profiling_row_per_column(spark, sf_dir):
     rows = {r["col_name"]: r for r in REGISTRY["x49_data_profiling"].fn(spark, sf_dir).collect()}
     assert set(rows) == {
