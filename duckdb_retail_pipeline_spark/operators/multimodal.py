@@ -173,3 +173,75 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(est_frames - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_image(content: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize codec stub — the real path would be
+    ``PIL.Image.open(...).resize((width, height))``; imaging libs are
+    absent in this container, so only the deterministic fake
+    (byte-grid pooling, see ``resize_byte_grid``) runs."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs (PIL/ffmpeg) are not available in this environment; "
+            "use resize_byte_grid for the deterministic pooled-grid fake"
+        )
+    n = len(content)
+    if n == 0:
+        return b""
+    cells = width * height
+    sums = [0] * cells
+    counts = [0] * cells
+    for j, b in enumerate(content):
+        c = (j * cells) // n
+        sums[c] += b
+        counts[c] += 1
+    return bytes((s // c) if c else 0 for s, c in zip(sums, counts))
+
+
+def resize_byte_grid(media: DataFrame, grid: int = 8) -> DataFrame:
+    """The "resize" stage of a media pipeline as Arrow-batched
+    mapInPandas plumbing: each blob's byte stream pools into ``grid``
+    equal-width cells (cell of byte j = (j·grid) // n — the exact
+    integer mapping a nearest-neighbor 1-D downsample uses), emitting
+    per-cell byte counts, sums, and the integer-floor mean at 4 dp
+    (the floor_ratio convention — cell means are count ratios and can
+    tie). Real image resize would replace the pooling kernel inside
+    the same batch loop; schema, partitioning, and batch shape are
+    the production plumbing. Row-parallel, no shuffle."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (worker may not have the package on
+        # sys.path — same constraint as extract_features)
+        import numpy as np
+
+        g = grid
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = np.frombuffer(content or b"", dtype=np.uint8)
+                n = int(buf.size)
+                if not n:
+                    continue
+                cells = (np.arange(n, dtype=np.int64) * g) // n
+                sums = np.bincount(cells, weights=buf, minlength=g).astype(np.int64)
+                counts = np.bincount(cells, minlength=g).astype(np.int64)
+                for c in range(g):
+                    if counts[c]:
+                        mean = (int(sums[c]) * 10000 // int(counts[c])) / 10000.0
+                        out.append((int(mid), c, int(counts[c]), int(sums[c]), mean))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "cell_idx", "n_cell_bytes", "cell_sum", "cell_mean"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("cell_idx", LongType()),
+            StructField("n_cell_bytes", LongType()),
+            StructField("cell_sum", LongType()),
+            StructField("cell_mean", DoubleType()),
+        ]
+    )
+    return media.select("media_id", "content").mapInPandas(_resize, schema)

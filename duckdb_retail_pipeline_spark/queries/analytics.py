@@ -927,3 +927,52 @@ def x58_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("purchase_cents"),
     )
     return SE.run_stream_to_memory(joined, spark, output_mode="append")
+
+
+# ---------------------------------------------------------------- x59
+@register(
+    "x59_media_resize_grid",
+    # DuckDB re-derives the pooled grid per byte (x20's hex-pair
+    # trick): cell of byte j (0-based) = (j*grid) // n_bytes, exactly
+    # the Spark-side numpy mapping; cell means use the floor_ratio
+    # idiom (count ratios tie).
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ), idx AS (
+            SELECT media_id, n_bytes, h,
+                   UNNEST(generate_series(1, CAST(n_bytes AS INTEGER))) AS i
+            FROM m WHERE n_bytes > 0
+        ), bytes AS (
+            SELECT media_id, n_bytes,
+                   ((i - 1) * 8) // n_bytes AS cell_idx,
+                   (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS bv
+            FROM idx
+        )
+        SELECT media_id,
+               CAST(cell_idx AS BIGINT) AS cell_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_cell_bytes,
+               CAST(SUM(bv) AS BIGINT) AS cell_sum,
+               CAST((SUM(bv) * 10000) // COUNT(*) AS DOUBLE) / 10000.0 AS cell_mean
+        FROM bytes GROUP BY media_id, cell_idx
+    """,
+    doc="Media resize plumbing (the third multimodal stage next to "
+    "decode/x20 and frame-sample): every blob's byte stream pools "
+    "into 8 equal-width cells via Arrow-batched mapInPandas — the "
+    "exact integer cell mapping of a nearest-neighbor 1-D "
+    "downsample; a real image resize swaps the pooling kernel "
+    "inside the same batch loop (PIL path stubbed as "
+    "NotImplementedError, operators/multimodal.py resize_image). "
+    "Value-hashed against a DuckDB per-byte re-derivation; cell "
+    "means through the integer-floor convention. Row-parallel, no "
+    "shuffle, no driver involvement at any scale.",
+    tags=("multimodal", "pandas-udf"),
+)
+def x59_media_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import multimodal as M
+
+    media = M.documents_as_media(tbl(spark, sf_dir, "documents"))
+    return M.resize_byte_grid(media, grid=8)

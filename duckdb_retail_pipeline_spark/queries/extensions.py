@@ -1729,6 +1729,10 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qset = _x39_qset(emb)
     ann = S.batch_ann_topk(emb, qset, k=3, bits=_X42_BITS, nprobe=_X42_NPROBE)
 
+    # the exact scored frame feeds both the reference top-3 rank and
+    # the score-exactness join; recomputation is cheaper than
+    # materializing it (measured: persist 0.85s vs recompute 0.79s
+    # warm at sf0.1 — codegen re-scoring beats an 800k-row cache)
     scored = _exact_batch_scored(emb, qset)
     exact = S.hierarchical_topk(scored, 3)
 

@@ -159,6 +159,34 @@ def test_decode_image_real_path_is_stubbed():
         M.decode_image(b"\x89PNG", fake=False)
 
 
+def test_resize_real_path_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.resize_image(b"\x89PNG", 8, 8, fake=False)
+
+
+def test_resize_byte_grid_matches_python_reference(spark, sf_dir):
+    """The pooled grid must agree with the scalar fake resize on the
+    same bytes (cell mapping (j*grid)//n, integer-floor means)."""
+    docs = tbl(spark, sf_dir, "documents").limit(10)
+    media = M.documents_as_media(docs)
+    rows = M.resize_byte_grid(media, grid=8).collect()
+    by_doc: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], {})[r["cell_idx"]] = r
+    for row in docs.collect():
+        content = row["text"].encode("utf-8")
+        pooled = M.resize_image(content, 8, 1, fake=True)
+        got = by_doc[row["doc_id"]]
+        n = len(content)
+        assert sum(g["n_cell_bytes"] for g in got.values()) == n
+        for c, b in enumerate(pooled):
+            # scalar fake emits floor(cell_sum / cell_count) bytes
+            g = got[c]
+            assert g["cell_sum"] // g["n_cell_bytes"] == b
+
+
 def test_frame_sample_plan(spark, sf_dir):
     media = M.documents_as_media(tbl(spark, sf_dir, "documents").limit(5))
     plan = M.frame_sample_plan(media, every_n=30)
