@@ -51,7 +51,7 @@ _ROTATED_IN = [
     "x49_data_profiling", "x50_importance_sampling",
     "x52_token_rarity", "x54_pmi_pairs", "x55_last_touch_attribution",
     "x57_incremental_agg", "x58_stream_stream_join",
-    "x59_media_resize_grid",
+    "x59_media_resize_grid", "x60_streaming_upsert_sink",
     # r4→r5 diff guards
     "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
     "x19_media_schema", "x20_media_features",
@@ -75,7 +75,7 @@ _GUARDS = [
     # next-oldest green rotation: last driver row was r3 (a04-a16
     # yielded their slots to the round's 14 new registrations and
     # re-enter in r6)
-    "a01_rollup", "a02_cube",
+    "a01_rollup",
     "pl01_staging_retail", "pl08_fct_sales_eur",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS

@@ -976,3 +976,36 @@ def x59_media_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = M.documents_as_media(tbl(spark, sf_dir, "documents"))
     return M.resize_byte_grid(media, grid=8)
+
+
+# ---------------------------------------------------------------- x60
+@register(
+    "x60_streaming_upsert_sink",
+    oracle=f"""
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum("value")} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Streaming MERGE sink: a real readStream drives foreachBatch "
+    "micro-batches whose (day, event_type) integer-cent partials "
+    "merge ADDITIVELY into a parquet running table (streaming/"
+    "events.py stream_upsert_daily_totals) — the lakehouse "
+    "incremental-ingest pattern (Delta/Iceberg MERGE INTO at "
+    "scale). Because partials are associative integers the final "
+    "table is bit-identical to the full batch aggregate — the SQL "
+    "oracle — regardless of micro-batch boundaries (the multi-batch "
+    "case is pinned in tests/test_streaming.py with "
+    "maxFilesPerTrigger=1).",
+    tags=("streaming", "incremental", "sink"),
+)
+def x60_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    dest = f"{tempfile.gettempdir()}/upsert_sink_{uuid.uuid4().hex[:10]}"
+    return SE.stream_upsert_daily_totals(spark, sf_dir, dest)

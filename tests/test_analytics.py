@@ -192,6 +192,66 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert len(streamed) > 0
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """The salt must spread a dominating key over multiple sub-keys
+    (the bounded-partition property the docstring promises): with one
+    key carrying 8000 of 8100 rows and salt=8, every (key, salt)
+    partial must hold well under the unsalted hot-key count."""
+    left = spark.range(8000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    ).unionByName(
+        spark.range(100).select(
+            (F.col("id") % 10 + 2).alias("k"), F.col("id").alias("payload")
+        )
+    )
+    salted = left.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    sizes = (
+        salted.groupBy("k", "__salt").count().filter(F.col("k") == 1).collect()
+    )
+    assert len(sizes) == 8  # the hot key reached every sub-key
+    assert max(r["count"] for r in sizes) < 8000 * 0.25  # no sub-key dominates
+
+
+def test_streaming_upsert_multi_batch_equals_batch_agg(spark, sf_dir, tmp_path):
+    """Three source files + maxFilesPerTrigger=1 force three real
+    micro-batches through the foreachBatch MERGE; the running table
+    must equal the single-pass batch aggregate bit-for-bit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = t.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        f = src / f"part{i}.parquet"
+        pq.write_table(t.slice(lo, hi - lo), str(f))
+        os.utime(str(f), (1_000_000 * (i + 1),) * 2)
+
+    got = SE.stream_upsert_daily_totals(
+        spark, str(src), str(tmp_path / "dest"),
+        max_files_per_trigger=1, glob="*.parquet",
+    ).collect()
+    want = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_profiling_row_per_column(spark, sf_dir):
     rows = {r["col_name"]: r for r in REGISTRY["x49_data_profiling"].fn(spark, sf_dir).collect()}
     assert set(rows) == {
