@@ -320,20 +320,25 @@ def x45_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cohort retention: users grouped by first-active day, with "
     "day-1 and day-7 return counts — the standard growth-analytics "
-    "matrix. Two narrow shuffles (per-user distinct activity days, "
-    "then a user-keyed join back), conditional COUNT DISTINCT per "
-    "offset; no per-user day-list aggregation. All outputs "
-    "DATE/BIGINT exact.",
+    "matrix. The cohort day attaches via MIN() OVER (PARTITION BY "
+    "user) on the distinct (user, day) frame instead of a "
+    "self-join — one less exchange and no join at all; the window "
+    "partition is bounded by per-user distinct activity days. "
+    "Conditional COUNT DISTINCT per offset; outputs DATE/BIGINT "
+    "exact.",
     tags=("events", "cohort"),
 )
 def x46_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     days = (
         tbl(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
     )
-    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    j = days.join(first, "user_id")
+    j = days.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return j.groupBy("cohort_day").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.count_distinct(
