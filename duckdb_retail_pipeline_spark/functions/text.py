@@ -52,6 +52,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex /
+# RE2 common subset (no lookahead): contraction suffixes, then
+# space-prefixed letter runs, digit runs, punctuation runs, then
+# bare whitespace runs. Tokenizes any text the way a BPE
+# pre-tokenizer would split it before merges.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokenization via regexp_extract_all — the
+    second tokenizer the token-counting surface supports next to
+    whitespace ``tokens`` (a BPE token count ≈ what an LLM would be
+    billed, a whitespace count ≈ words)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def char_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of a string, as an array.
 

@@ -1014,3 +1014,226 @@ def x60_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dest = f"{tempfile.gettempdir()}/upsert_sink_{uuid.uuid4().hex[:10]}"
     return SE.stream_upsert_daily_totals(spark, sf_dir, dest)
+
+
+# ---------------------------------------------------------------- x61
+_SQL_BPE_PATTERN = T.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "x61_bpe_token_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_SQL_BPE_PATTERN}'))
+                       AS n_bpe,
+                   len({SQL_TOKS.format(x="text")}) AS n_ws
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_bpe AS BIGINT) AS n_bpe,
+               CAST(n_ws AS BIGINT) AS n_ws,
+               {sql_floor_ratio("n_bpe", "n_ws", 4)} AS bpe_per_word
+        FROM t
+    """,
+    doc="Token counting under BOTH tokenizers the brief names: "
+    "whitespace words and a BPE-style pre-tokenizer "
+    "(functions/text.py BPE_ISH_PATTERN — the GPT-2 pre-tokenizer "
+    "regex restricted to the Java-regex/RE2 common subset, no "
+    "lookahead), so corpora can be budgeted in billed-token terms "
+    "rather than words. The tokens-per-word ratio goes through the "
+    "integer-floor convention (count ratios tie). One scan, "
+    "row-parallel.",
+    tags=("text", "tokenizer"),
+)
+def x61_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    n_bpe = F.size(T.bpe_ish_tokens("text"))
+    n_ws = F.size(T.tokens("text"))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe"),
+        n_ws.cast("bigint").alias("n_ws"),
+        floor_ratio(n_bpe, n_ws, 4).alias("bpe_per_word"),
+    )
+
+
+# ---------------------------------------------------------------- x62
+@register(
+    "x62_seasonal_anomaly",
+    # |day - mean| > mean/2 decided by integer cross-multiplication:
+    # |day_cents*n_days - sum_cents| * 2 > sum_cents — no division,
+    # no float, no tie hazard.
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS day_cents
+            FROM events GROUP BY 1, 2
+        ), k AS (
+            SELECT *, (day - DATE '1970-01-01') % 7 AS dow FROM d
+        ), base AS (
+            SELECT event_type, dow,
+                   CAST(SUM(day_cents) AS BIGINT) AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM k GROUP BY 1, 2
+        )
+        SELECT k.event_type, k.day,
+               CAST(k.day_cents / 100.0 AS DOUBLE) AS day_value,
+               abs(k.day_cents * b.n_days - b.sum_cents) * 2 > b.sum_cents
+                   AS is_anomaly
+        FROM k JOIN base b
+          ON k.event_type = b.event_type AND k.dow = b.dow
+    """,
+    doc="Seasonal anomaly screening (pipeline data-quality monitor): "
+    "per (event_type, day) revenue compared against its "
+    "day-of-week seasonal mean; a day is anomalous when it deviates "
+    "more than 50% from the baseline. The comparison is pure "
+    "integer cross-multiplication (|day*n - sum| * 2 > sum), so the "
+    "flag has no float or tie hazard. DOW = epoch-day mod 7 — "
+    "engine-neutral, no locale/week-start semantics. One fact "
+    "shuffle on (type, day); the ~35-row baseline broadcasts back.",
+    tags=("events", "anomaly", "quality"),
+)
+def x62_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("day_cents"))
+        .withColumn(
+            "dow", F.datediff(F.col("day"), F.lit("1970-01-01")) % 7
+        )
+    )
+    base = d.groupBy("event_type", "dow").agg(
+        F.sum("day_cents").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return d.join(F.broadcast(base), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        (F.col("day_cents") / F.lit(100.0)).alias("day_value"),
+        (
+            F.abs(F.col("day_cents") * F.col("n_days") - F.col("sum_cents")) * 2
+            > F.col("sum_cents")
+        ).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------- x63
+@register(
+    "x63_cross_source_dups",
+    oracle=r"""
+        WITH aug AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, 'mirror', text
+            FROM documents WHERE doc_id % 10 = 0
+        ), fp AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t != ''), ' ')) AS fingerprint
+            FROM aug
+        )
+        SELECT fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM fp
+        GROUP BY fingerprint
+        HAVING COUNT(DISTINCT source) >= 2
+    """,
+    doc="Cross-source contamination report: canonical fingerprints "
+    "appearing under two or more sources (the corpus has no natural "
+    "cross-source dups, so every 10th doc is mirrored under a "
+    "synthetic source — pure column arithmetic, identical in both "
+    "engines). The real-world use: detecting the same article "
+    "scraped via multiple feeds before mixture weights are "
+    "computed. One fingerprint groupBy, vocabulary-bounded.",
+    tags=("dedup", "curation"),
+)
+def x63_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    fp = aug.select("doc_id", "source", T.fingerprint("text").alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
+
+
+# ---------------------------------------------------------------- x64
+_X64_VOCAB_K = 20
+
+
+@register(
+    "x64_vocab_oov",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {SQL_TOKS.format(x="text")} AS toks FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS t FROM d
+        ), vocab AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+                ORDER BY c DESC, t ASC LIMIT {_X64_VOCAB_K}
+            )
+        )
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               {sql_floor_ratio("SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)", "COUNT(*)", 4)}
+                   AS oov_rate
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t
+        GROUP BY tok.doc_id
+    """,
+    doc="Vocabulary coverage / out-of-vocabulary screening: the "
+    "corpus's top-K tokens (total-ordered by count then token — "
+    "deterministic under ties) form the vocabulary; each document "
+    "reports its OOV token count and integer-floor OOV rate — the "
+    "standard check that a tokenizer/vocab fits a corpus before "
+    "training. Vocabulary is a broadcast-sized frame at any corpus "
+    "scale (K rows); one explode shuffle for counts, one broadcast "
+    "left join back.",
+    tags=("text", "tokenizer", "quality"),
+)
+def x64_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(_X64_VOCAB_K)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            floor_ratio(F.sum(oov), F.count(F.lit(1)), 4).alias("oov_rate"),
+        )
+    )

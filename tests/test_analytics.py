@@ -252,6 +252,39 @@ def test_streaming_upsert_multi_batch_equals_batch_agg(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_bpe_ish_tokenizer_splits(spark):
+    """The BPE-style pre-tokenizer must split the way the GPT-2
+    pattern family does: contraction suffixes split off, letter and
+    digit runs separate, punctuation separates, leading spaces
+    attach to the following token."""
+    from duckdb_retail_pipeline_spark.functions.text import bpe_ish_tokens
+
+    df = spark.createDataFrame(
+        [("it's over 9000, really!",), ("abc123 x",)], ["s"]
+    ).select(bpe_ish_tokens("s").alias("t"))
+    rows = [r["t"] for r in df.collect()]
+    assert rows[0] == ["it", "'s", " over", " 9000", ",", " really", "!"]
+    assert rows[1] == ["abc", "123", " x"]
+
+
+def test_seasonal_anomaly_flags_are_minority(spark, sf_dir):
+    rows = REGISTRY["x62_seasonal_anomaly"].fn(spark, sf_dir).collect()
+    flagged = sum(1 for r in rows if r["is_anomaly"])
+    assert 0 <= flagged < len(rows) / 2  # 50%-deviation days are rare
+
+
+def test_cross_source_dups_all_mirrored(spark, sf_dir):
+    for r in REGISTRY["x63_cross_source_dups"].fn(spark, sf_dir).collect():
+        assert r["n_sources"] == 2 and r["n_docs"] == 2
+        assert r["last_doc"] == r["first_doc"] + 1000000
+
+
+def test_vocab_oov_bounds(spark, sf_dir):
+    for r in REGISTRY["x64_vocab_oov"].fn(spark, sf_dir).collect():
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
 def test_profiling_row_per_column(spark, sf_dir):
     rows = {r["col_name"]: r for r in REGISTRY["x49_data_profiling"].fn(spark, sf_dir).collect()}
     assert set(rows) == {
