@@ -1237,3 +1237,115 @@ def x64_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_ratio(F.sum(oov), F.count(F.lit(1)), 4).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------- x65
+_X65_DIM = 8
+_X65_QUERY = "fast hash join"
+_X65_TOPK = 5
+
+
+def _x65_query_vec() -> list[float]:
+    """Driver-side twin of the in-plan embedder: md5-derived floats
+    in [-1, 1) per (text, dim) — deterministic, SQL-expressible, the
+    stand-in for a real embedding model (which would run OUTSIDE the
+    engine; the retrieval plumbing is identical either way)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{_X65_QUERY}:{d}".encode()).hexdigest()[:7], 16)
+        / 2.0**27
+        - 1.0
+        for d in range(_X65_DIM)
+    ]
+
+
+def _x65_oracle() -> str:
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        SQL_COSINE_PARTS,
+        _sql_norm,
+    )
+
+    emb = (
+        "["
+        + ", ".join(
+            f"('0x' || substr(md5(chunk || ':{d}'), 1, 7))::BIGINT / 134217728.0 - 1.0"
+            for d in range(_X65_DIM)
+        )
+        + "]"
+    )
+    qv = "[" + ", ".join(repr(v) for v in _x65_query_vec()) + "]"
+    cosine = sql_dround(
+        SQL_COSINE_PARTS.format(a="c.emb", b=f"{qv}")
+        + f" / NULLIF({_sql_norm('c.emb')} * {_sql_norm(qv)}, 0.0)",
+        4,
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   UNNEST([s for s in generate_series(
+                       0, GREATEST(len(toks) - 1, 0), 96)]) AS chunk_start
+            FROM t
+        ), chunks AS (
+            SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+                   array_to_string(toks[chunk_start + 1 : chunk_start + 128], ' ')
+                       AS chunk
+            FROM s
+        ), c AS (
+            SELECT doc_id, chunk_start, {emb} AS emb FROM chunks
+        )
+        SELECT doc_id, chunk_start, {cosine} AS cosine
+        FROM c
+        ORDER BY cosine DESC, doc_id ASC, chunk_start ASC
+        LIMIT {_X65_TOPK}
+    """
+
+
+@register(
+    "x65_rag_pipeline",
+    oracle=_x65_oracle(),
+    doc="End-to-end RAG retrieval pipeline in one plan: documents "
+    "chunk into 128-token windows (the x27 operator), every chunk "
+    "embeds via a deterministic md5-derived embedder (8 dims in "
+    "[-1,1) — the SQL-reproducible stand-in for a real model, which "
+    "would run as a Pandas UDF with identical downstream plumbing), "
+    "the query string embeds the same way driver-side, and the "
+    "exact cosine top-5 chunks return with total ordering. "
+    "Composes chunking -> embedding -> scoring -> rank without "
+    "materializing any intermediate; the index-backed variant of "
+    "the scoring stage is x42. Every stage is JVM column "
+    "arithmetic; one scan of documents, TakeOrdered top-k.",
+    tags=("text", "similarity", "rag"),
+)
+def x65_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.functions import vectors as V
+
+    docs = tbl(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", T.tokens("text").alias("toks"))
+        .withColumn("chunk_start", F.explode(T.chunk_starts("toks", 128, 32)))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            T.chunk_text("toks", F.col("chunk_start"), 128).alias("chunk"),
+        )
+    )
+    emb = F.array(
+        *[
+            T.md5_int28(F.concat(F.col("chunk"), F.lit(f":{d}"))).cast("double")
+            / F.lit(134217728.0)
+            - F.lit(1.0)
+            for d in range(_X65_DIM)
+        ]
+    )
+    qv = F.array(*[F.lit(v) for v in _x65_query_vec()])
+    scored = chunks.select(
+        "doc_id",
+        "chunk_start",
+        F.round(V.cosine_similarity(emb, qv), 4).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc(), F.col("chunk_start").asc()
+    ).limit(_X65_TOPK)
