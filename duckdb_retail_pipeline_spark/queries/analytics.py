@@ -1349,3 +1349,186 @@ def x65_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc(), F.col("chunk_start").asc()
     ).limit(_X65_TOPK)
+
+
+# ---------------------------------------------------------------- x66
+_X66_MIN_SUPPORT = 2
+_X66_TOPK = 25
+
+
+@register(
+    "x66_basket_pairs",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM items
+        ), ic AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_i
+            FROM items GROUP BY 1
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_X66_MIN_SUPPORT}
+        )
+        SELECT p.part_a, p.part_b, p.support,
+               CAST((p.support * 10000) // ca.c_i AS BIGINT) AS confidence_scaled,
+               CAST((p.support * n.n_orders * 10000) // (ca.c_i * cb.c_i) AS BIGINT)
+                   AS lift_scaled
+        FROM pairs p
+        JOIN ic ca ON p.part_a = ca.l_partkey
+        JOIN ic cb ON p.part_b = cb.l_partkey
+        CROSS JOIN n
+        ORDER BY lift_scaled DESC, part_a ASC, part_b ASC
+        LIMIT {_X66_TOPK}
+    """,
+    doc="Market-basket analysis (Apriori 2-itemsets): part pairs "
+    "co-purchased in the same order, with support, confidence and "
+    "lift — ranked on INTEGER floor-scaled ratios (the x54 idiom: "
+    "lift ordering is monotone in support*N/(c_a*c_b), so no float "
+    "enters the ranking and ties total-order on the pair). Shape: "
+    "distinct (order, part) -> order-keyed self-join for pair "
+    "counts (bounded by per-basket item count squared — the classic "
+    "Apriori candidate bound), item-count joins, TakeOrdered. "
+    "int64 headroom: support*N*10^4 stays in range to ~10^9 "
+    "baskets; shard the scale factor beyond that.",
+    tags=("retail", "association", "join"),
+)
+def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ic = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_i")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= _X66_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            ic.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("c_i", "c_a"),
+            "part_a",
+        )
+        .join(
+            ic.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("c_i", "c_b"),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.call_function("div", F.col("support") * 10000, F.col("c_a"))
+            .cast("bigint")
+            .alias("confidence_scaled"),
+            F.call_function(
+                "div",
+                F.col("support") * F.col("n_orders") * 10000,
+                F.col("c_a") * F.col("c_b"),
+            )
+            .cast("bigint")
+            .alias("lift_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_scaled").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(_X66_TOPK)
+
+
+# ---------------------------------------------------------------- x67
+@register(
+    "x67_rfm_segments",
+    oracle=f"""
+        WITH mx AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+        ), cust AS (
+            SELECT o_custkey,
+                   (mx.max_day - MAX(CAST(o_orderdate AS DATE))) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS monetary_cents
+            FROM orders CROSS JOIN mx
+            GROUP BY o_custkey, mx.max_day
+        ), scored AS (
+            SELECT o_custkey, monetary_cents,
+                   NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_q,
+                   NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+                   NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_q
+            FROM cust
+        )
+        SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+               CAST(m_q AS BIGINT) AS m_q,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_money_sum("monetary_cents / 100.0")} AS total_monetary
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quintiles — the classic retail marketing matrix): per-customer "
+    "aggregates from orders, then NTILE(5) per dimension with a "
+    "custkey tie-break so quintile assignment is total-ordered and "
+    "engine-identical. The NTILE windows are global-sort over the "
+    "CUSTOMER aggregate (|customers| rows, orders of magnitude "
+    "smaller than the fact table); at extreme scale swap the exact "
+    "quintiles for approx-percentile cutpoints and lose the exact "
+    "oracle (documented trade, same as x49's COUNT DISTINCT note). "
+    "Money stays integer cents into the final division.",
+    tags=("retail", "segmentation", "window"),
+)
+def x67_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mx = orders.agg(F.max("day").alias("max_day"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "max_day")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("cents").cast("bigint").alias("monetary_cents"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_day"), F.col("last_day")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+        .cast("bigint")
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .cast("bigint")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc()))
+        .cast("bigint")
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        money_sum(F.col("monetary_cents") / F.lit(100.0)).alias("total_monetary"),
+    )
