@@ -39,9 +39,15 @@ keeps group counts flat, which flatters aggregation queries):
                    10-copy duplicate clusters
 
   Dimension tables stay fixed (the broadcast assumption under test).
-  Embeddings are replicated UNCHANGED in both modes (documented
-  caveat: perturbing float vectors would change ANN semantics; the
-  ANN scale story is measured separately via probe fractions).
+  embeddings       each copy's vectors get a deterministic ±0.05%
+                   multiplicative perturbation (numpy PCG64 seeded
+                   by copy index) — copies become DISTINCT vectors
+                   that remain genuine near-duplicates (cosine to
+                   the original ≈ 1-1e-7, far above every dup
+                   threshold), so similarity queries stop seeing
+                   bit-identical dups while near-dup structure and
+                   LSH bucket stability survive.
+  Plain (non-grow) mode replicates embeddings unchanged.
 
 Usage:
     python tools/scale_testdata.py SRC_DIR DEST_DIR K [--grow-groups]
@@ -99,6 +105,19 @@ def _period_us(tables: list[pa.Table]) -> int:
     return span + 2 * _DAY_US
 
 
+def _perturb_vectors(col, seed: int):
+    """Deterministic ±0.05% multiplicative noise per element (PCG64
+    seeded by copy index): copies become distinct floats but stay
+    near-duplicates of the original vector."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    noise = np.random.default_rng(seed).uniform(-5e-4, 5e-4, size=flat.shape)
+    perturbed = (flat * (1.0 + noise)).astype(np.float32)
+    return pa.ListArray.from_arrays(arr.offsets, pa.array(perturbed, type=arr.type.value_type))
+
+
 def scale(src: Path, dest: Path, k: int, grow_groups: bool = False) -> None:
     dest.mkdir(parents=True, exist_ok=True)
     for t in DIM_TABLES:
@@ -135,6 +154,8 @@ def scale(src: Path, dest: Path, k: int, grow_groups: bool = False) -> None:
                     col = pc.binary_join_element_wise(
                         col, pa.scalar(f"gg{i}"), pa.scalar(" ")
                     )
+                elif grow_groups and t == "embeddings" and name == "embedding":
+                    col = _perturb_vectors(col, seed=i)
                 cols[name] = col
             copies.append(pa.table(cols, schema=base.schema))
         out = pa.concat_tables(copies)
