@@ -1532,3 +1532,58 @@ def x67_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         money_sum(F.col("monetary_cents") / F.lit(100.0)).alias("total_monetary"),
     )
+
+
+# ---------------------------------------------------------------- x68
+@register(
+    "x68_supplier_latency",
+    # Quantiles restricted to dyadic fractions (0.5, 0.75) over
+    # integer day counts — interpolation is frac*(hi-lo) with frac
+    # in {0, .25, .5, .75} and hi-lo integer, so the lerp is EXACT
+    # in both engines (the a15 convention); 0.95 would put a
+    # non-dyadic factor into the lerp.
+    oracle="""
+        WITH lat AS (
+            SELECT l.l_suppkey,
+                   (CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE))
+                       AS days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(quantile_cont(days, 0.5) AS DOUBLE) AS p50_days,
+               CAST(quantile_cont(days, 0.75) AS DOUBLE) AS p75_days,
+               CAST(MAX(days) AS BIGINT) AS max_days,
+               CAST((SUM(CASE WHEN days > 30 THEN 1 ELSE 0 END) * 10000)
+                    // COUNT(*) AS DOUBLE) / 10000.0 AS late_frac
+        FROM lat GROUP BY l_suppkey
+    """,
+    doc="Supplier fulfillment-latency profile: ship-minus-order days "
+    "per line item (orders joined to lineitem on the order key — a "
+    "genuine fact-to-fact shuffle join), per-supplier median and "
+    "upper-quartile latency via exact interpolated percentiles over "
+    "INTEGER days with dyadic-only quantile fractions (the a15 "
+    "exactness convention — a 0.95 quantile would put a non-dyadic "
+    "factor into the lerp), plus the >30-day late share through the "
+    "integer-floor ratio. The supplier-side operational twin of the "
+    "customer-side RFM view (x67).",
+    tags=("retail", "percentile", "join"),
+)
+def x68_supplier_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("ordered")
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey", F.datediff("ship", "ordered").alias("days")
+    )
+    late = F.when(F.col("days") > 30, 1).otherwise(0)
+    return lat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.percentile(F.col("days"), F.lit(0.5)).alias("p50_days"),
+        F.percentile(F.col("days"), F.lit(0.75)).alias("p75_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        floor_ratio(F.sum(late), F.count(F.lit(1)), 4).alias("late_frac"),
+    )

@@ -230,3 +230,90 @@ def test_scale_testdata_tool_shifts_keys_disjointly(spark, tmp_path):
     n0 = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
     n2 = spark.read.parquet(str(dest / "nation.parquet")).count()
     assert n0 == n2
+
+
+# -- property-based probes (hypothesis) ------------------------------------
+#
+# The adversarial tests above pin the KNOWN hazard classes; these
+# generate random ones. Spark jobs per example are too slow, so each
+# property collects a whole batch of generated cases into ONE Spark
+# query + ONE DuckDB query and compares vectors.
+
+
+def test_floor_ratio_matches_fraction_floor_property(spark, duck):
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.queries.base import floor_ratio, sql_floor_ratio
+
+    import pyspark.sql.functions as F
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**12),
+                st.integers(min_value=1, max_value=10**6),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def prop(pairs):
+        df = spark.createDataFrame(pairs, ["n", "d"]).select(
+            "n", "d", floor_ratio(F.col("n"), F.col("d"), 4).alias("r")
+        )
+        got = {(r["n"], r["d"]): r["r"] for r in df.collect()}
+        vals = ", ".join(f"({n}, {d})" for n, d in pairs)
+        sql = (
+            f"SELECT n, d, {sql_floor_ratio('n', 'd', 4)} AS r "
+            f"FROM (VALUES {vals}) AS t(n, d)"
+        )
+        duck_rows = {(n, d): r for n, d, r in duck.execute(sql).fetchall()}
+        for (n, d), r in got.items():
+            # exact reference: floor(n*10^4/d)/10^4 as a Fraction
+            want = float(Fraction(n * 10**4 // d, 10**4))
+            assert r == want, (n, d, r, want)
+            assert duck_rows[(n, d)] == r, (n, d)
+
+    prop()
+
+
+def test_money_sum_equals_decimal_sum_property(spark, duck):
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.queries.base import money_sum, sql_money_sum
+
+    import pyspark.sql.functions as F
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            # exact 2-dp money values, the testdata contract
+            st.integers(min_value=-10**9, max_value=10**9).map(
+                lambda c: c / 100.0
+            ),
+            min_size=1,
+            max_size=200,
+        ),
+        st.integers(min_value=1, max_value=7),
+    )
+    def prop(values, nparts):
+        df = (
+            spark.createDataFrame([(v,) for v in values], ["v"])
+            .repartition(nparts)
+            .agg(money_sum(F.col("v")).alias("s"))
+        )
+        got = df.first()["s"]
+        want = float(sum(Decimal(f"{v:.2f}") for v in values))
+        assert got == want, (got, want, nparts)
+        vals = ", ".join(f"({v!r})" for v in values)
+        duck_got = duck.execute(
+            f"SELECT {sql_money_sum('v')} FROM (VALUES {vals}) AS t(v)"
+        ).fetchone()[0]
+        assert duck_got == want
+
+    prop()
