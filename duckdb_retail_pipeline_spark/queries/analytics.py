@@ -169,6 +169,7 @@ def _x44_oracle() -> str:
     "across engines; score compared after dround(4) (no probability "
     "mass at decimal ties for BM25 scores). Top-20 total-ordered by "
     "(rounded score, doc_id).",
+    headline=True,
     tags=("text", "search", "ranking"),
 )
 def x44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,6 +1397,7 @@ _X66_TOPK = 25
     "Apriori candidate bound), item-count joins, TakeOrdered. "
     "int64 headroom: support*N*10^4 stays in range to ~10^9 "
     "baskets; shard the scale factor beyond that.",
+    headline=True,
     tags=("retail", "association", "join"),
 )
 def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,6 +1569,7 @@ def x67_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "factor into the lerp), plus the >30-day late share through the "
     "integer-floor ratio. The supplier-side operational twin of the "
     "customer-side RFM view (x67).",
+    headline=True,
     tags=("retail", "percentile", "join"),
 )
 def x68_supplier_latency(spark: SparkSession, sf_dir: str) -> DataFrame:

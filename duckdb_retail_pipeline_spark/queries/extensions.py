@@ -587,17 +587,20 @@ def _ann_contract_frame(spark, sf_dir, ann_fn, min_recall_hits: int) -> DataFram
     "data-derived planes) with multi-probe (Lv et al. VLDB'07): "
     "probes the query bucket + the 2 least-confident bit flips — "
     "3/16 of the corpus instead of a full scan. Driver-hashed frame "
-    "= exact top-k + in-plan ANN contract booleans. Recall bound 4: "
-    "the measured multi-probe floor (4/6/8 of 10 at sf0.01/0.001/"
-    "0.1, r5 measurement) — an index regression that collapses "
-    "recall toward the structural 1/10 (the query hashes into its "
-    "own bucket) now fails the driver hash.",
+    "= exact top-k + in-plan ANN contract booleans. Recall bound 3: "
+    "measured 4/6/8 of 10 at sf0.01/0.001/0.1 (r5), bound one hit "
+    "under the weakest measurement for data-regeneration headroom — "
+    "the x13 convention (testdata HAS changed layout/content "
+    "between driver rounds, conventions #7); pytest pins the "
+    "tighter >=4 on current data, while an index regression that "
+    "collapses recall toward the structural 1/10 (the query hashes "
+    "into its own bucket) still fails the driver hash.",
     tags=("similarity", "vectors"),
 )
 def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract_frame(
         spark, sf_dir, lambda emb, q: S.lsh_topk(emb, q, k=10, bits=4, nprobe=3),
-        min_recall_hits=4,
+        min_recall_hits=3,
     )
 
 
