@@ -1590,3 +1590,123 @@ def x68_supplier_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days").cast("bigint").alias("max_days"),
         floor_ratio(F.sum(late), F.count(F.lit(1)), 4).alias("late_frac"),
     )
+
+
+# ---------------------------------------------------------------- x69
+@register(
+    "x69_deletion_audit",
+    oracle="""
+        WITH del AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+        ), marked AS (
+            SELECT e.event_type, e.user_id,
+                   CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents,
+                   (d.user_id IS NOT NULL) AS is_del
+            FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+               CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+               CAST(SUM(CASE WHEN is_del THEN cents ELSE 0 END) / 100.0 AS DOUBLE)
+                   AS value_deleted,
+               CAST(COUNT(DISTINCT CASE WHEN is_del THEN user_id END) AS BIGINT)
+                   AS n_users_deleted,
+               TRUE AS no_residue
+        FROM marked
+        GROUP BY event_type
+    """,
+    doc="Right-to-be-forgotten deletion audit (the governance "
+    "operator every user-data pipeline needs): a deterministic "
+    "deletion set (user_id % 97 = 0 stands in for the request "
+    "table) anti-joins out of events, and the audit reports rows / "
+    "money / distinct users removed per event type plus an in-plan "
+    "no-residue boolean — the cleaned frame is RE-CHECKED for any "
+    "surviving deleted user, so a broken anti-join flips the bit "
+    "and fails the driver hash. One broadcast-able deletion set, "
+    "one scan, integer cents.",
+    tags=("events", "governance"),
+)
+def x69_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    del_users = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    clean = ev.join(del_users, "user_id", "left_anti")
+    residue = clean.join(F.broadcast(del_users), "user_id", "inner")
+    no_residue = residue.agg(
+        (F.count(F.lit(1)) == 0).alias("no_residue")
+    )
+    marked = ev.join(
+        F.broadcast(del_users.withColumn("__d", F.lit(1))), "user_id", "left"
+    )
+    is_del = F.col("__d").isNotNull()
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum(F.when(is_del, 0).otherwise(1)).cast("bigint").alias("n_after"),
+            F.sum(F.when(is_del, 1).otherwise(0)).cast("bigint").alias("n_deleted"),
+            (F.sum(F.when(is_del, F.col("cents")).otherwise(0)) / F.lit(100.0)).alias(
+                "value_deleted"
+            ),
+            F.count_distinct(F.when(is_del, F.col("user_id")))
+            .cast("bigint")
+            .alias("n_users_deleted"),
+        )
+        .crossJoin(F.broadcast(no_residue))
+    )
+
+
+# ---------------------------------------------------------------- x70
+@register(
+    "x70_late_data_audit",
+    oracle="""
+        WITH seq AS (
+            SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   MAX(CAST(ts AS TIMESTAMP)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS high_wm
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN ts < high_wm - INTERVAL 10 MINUTE
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+               CAST(MAX(epoch_us(high_wm) - epoch_us(ts)) AS BIGINT)
+                   AS max_lateness_us
+        FROM seq
+        GROUP BY event_type
+    """,
+    doc="Late-data watermark audit: replaying events in arrival "
+    "order (event_id is generation order in this corpus), how many "
+    "would a 10-minute watermark drop, and how late is the worst "
+    "straggler — the report that justifies a watermark setting "
+    "before a streaming job ships (x17's 10-minute delay). The "
+    "running high-watermark is a global arrival-ordered window: "
+    "inherently sequential semantics (a watermark IS global state), "
+    "audited per source partition at real scale. Microsecond "
+    "integers end-to-end.",
+    tags=("events", "streaming", "audit"),
+)
+def x70_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = ev.withColumn("high_wm", F.max("ts").over(w))
+    lateness = F.unix_micros(F.col("high_wm")) - F.unix_micros(F.col("ts"))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("ts") < F.col("high_wm") - F.expr("INTERVAL 10 MINUTES"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_late_10m"),
+        F.max(lateness).cast("bigint").alias("max_lateness_us"),
+    )
