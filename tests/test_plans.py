@@ -129,6 +129,31 @@ def test_profiling_single_pass(spark, sf_dir):
     assert plan.count("orders.parquet") <= 1, plan
 
 
+def test_basket_pairs_no_cartesian(spark, sf_dir):
+    """x66's pair generation must stay an order-keyed equi-join —
+    the Apriori candidate bound depends on it."""
+    df = REGISTRY["x66_basket_pairs"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_deletion_audit_broadcasts_deletion_set(spark, sf_dir):
+    """x69's deletion set is request-table-sized; it must reach the
+    events scan as a broadcast, never a shuffle of the fact side."""
+    df = REGISTRY["x69_deletion_audit"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert X.broadcast_join_count(df) >= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomaly_baseline_broadcasts(spark, sf_dir):
+    """x62's (type, dow) baseline is ~35 rows; joining it back onto
+    the daily frame must broadcast."""
+    df = REGISTRY["x62_seasonal_anomaly"].fn(spark, sf_dir)
+    assert X.broadcast_join_count(df) >= 1, X.formatted_plan(df)
+
+
 def test_salted_agg_two_phase(spark, sf_dir):
     """x35 must actually plan the salted shape: a partial aggregate
     keyed by (event_type, salt) before the final per-key aggregate —
