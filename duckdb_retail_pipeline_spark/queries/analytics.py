@@ -1710,3 +1710,86 @@ def x70_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late_10m"),
         F.max(lateness).cast("bigint").alias("max_lateness_us"),
     )
+
+
+# ---------------------------------------------------------------- x71
+@register(
+    "x71_fuzzy_entity_match",
+    oracle="""
+        WITH clean AS (
+            SELECT c_custkey, c_name, right(c_name, 4) AS blk FROM customer
+        ), dirty AS (
+            SELECT c_custkey + 10000000 AS dirty_key,
+                   c_custkey AS true_key,
+                   substr(c_name, 1, 11) || substr(c_name, 13) AS dirty_name,
+                   right(c_name, 4) AS blk
+            FROM customer WHERE c_custkey % 20 = 0
+        ), cand AS (
+            SELECT d.dirty_key, d.true_key, c.c_custkey,
+                   levenshtein(d.dirty_name, c.c_name) AS dist
+            FROM dirty d JOIN clean c ON d.blk = c.blk
+            WHERE levenshtein(d.dirty_name, c.c_name) <= 2
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY dirty_key ORDER BY dist ASC, c_custkey ASC
+            ) AS rnk,
+            COUNT(*) OVER (PARTITION BY dirty_key) AS n_candidates
+            FROM cand
+        )
+        SELECT dirty_key, c_custkey AS matched_key,
+               CAST(dist AS BIGINT) AS distance,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               (c_custkey = true_key) AS is_true_match
+        FROM ranked WHERE rnk = 1
+    """,
+    doc="Fuzzy entity resolution with blocking: every 20th customer "
+    "name is corrupted by a one-character deletion (pure string "
+    "arithmetic — both engines build the identical dirty registry), "
+    "then matched back against the clean registry via suffix "
+    "blocking (the corrupted region never touches the last 4 chars, "
+    "so the block key is mutation-invariant) + Levenshtein <= 2 "
+    "inside each block — edit distance is exact-integer and "
+    "engine-identical. Best match per dirty record is total-ordered "
+    "by (distance, key); the is_true_match flag exposes ambiguous "
+    "collisions honestly. Candidate cost = block size, not corpus "
+    "size — the standard blocking contract (production uses several "
+    "redundant block keys to cover edits anywhere in the string).",
+    tags=("entity-resolution", "text", "join"),
+)
+def x71_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = tbl(spark, sf_dir, "customer")
+    clean = cust.select(
+        "c_custkey", "c_name", F.substring("c_name", -4, 4).alias("blk")
+    )
+    dirty = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("dirty_key"),
+        F.col("c_custkey").alias("true_key"),
+        F.concat(
+            F.substring("c_name", 1, 11), F.expr("substring(c_name, 13, 100)")
+        ).alias("dirty_name"),
+        F.substring("c_name", -4, 4).alias("blk"),
+    )
+    dist = F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+    cand = (
+        dirty.join(clean, "blk")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("dirty_key").orderBy(
+        F.col("dist").asc(), F.col("c_custkey").asc()
+    )
+    wc = Window.partitionBy("dirty_key")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "dirty_key",
+            F.col("c_custkey").alias("matched_key"),
+            F.col("dist").cast("bigint").alias("distance"),
+            "n_candidates",
+            (F.col("c_custkey") == F.col("true_key")).alias("is_true_match"),
+        )
+    )
