@@ -199,23 +199,28 @@ def stream_upsert_daily_totals(
     timeout_s: int = 120,
     max_files_per_trigger: int | None = None,
     glob: str = "events.parquet",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """foreachBatch incremental sink — the lakehouse-style streaming
-    MERGE: each micro-batch pre-aggregates (day, event_type) partial
-    counts + integer-cent sums, then merges them ADDITIVELY into a
-    parquet running table. Partials are associative integers, so the
-    final table equals the batch aggregate whatever the batch
-    boundaries (the x57 incremental-maintenance property, driven by
-    a real stream).
+    MERGE, written the way it survives FAILURE REPLAY: foreachBatch
+    delivers batches at-least-once, so an additive read-modify-write
+    would double-count a replayed batch. Instead each micro-batch
+    OVERWRITES its own ``batch=<id>/`` partition with its (day,
+    event_type) partial aggregate — a replay overwrites the same
+    path with the same bytes (idempotent), and the final result
+    re-aggregates the associative integer partials across batch
+    partitions. No driver round-trip, no read-modify-write race;
+    the partial write is fully distributed. The final merged table
+    is bit-identical to the single-pass batch aggregate at any
+    batch boundaries AND under replay (pinned by the restart test in
+    tests/test_streaming.py). At scale the per-batch partition write
+    becomes a Delta/Iceberg transactional append keyed by batchId —
+    identical plumbing, transactional rename instead of overwrite.
 
-    The merge step reads the small running aggregate through the
-    driver before overwriting (a parquet path cannot be overwritten
-    while a lazy plan still reads it); the running table is bounded
-    by |days| × |event types|, not by event volume. At scale this
-    exact step is a Delta/Iceberg MERGE INTO — the foreachBatch
-    plumbing is identical, only the sink's transactionality changes.
+    Pass ``checkpoint`` to resume a previous run's offsets (the
+    restart-recovery path); by default each call gets a fresh
+    checkpoint dir.
     """
-    import pandas as pd
 
     reader = spark.readStream.schema(
         spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
@@ -226,8 +231,8 @@ def stream_upsert_daily_totals(
 
     stream = normalize_event_ts(reader.parquet(sf_dir))
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        part = (
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
             batch_df.select(
                 F.to_date("ts").alias("day"),
                 "event_type",
@@ -238,24 +243,14 @@ def stream_upsert_daily_totals(
                 F.count(F.lit(1)).cast("bigint").alias("pn"),
                 F.sum("cents").cast("bigint").alias("pc"),
             )
-            .toPandas()
+            .write.mode("overwrite")
+            .parquet(os.path.join(dest_path, f"batch={batch_id}"))
         )
-        sess = batch_df.sparkSession
-        try:
-            old = sess.read.parquet(dest_path).toPandas()
-        except Exception:  # noqa: BLE001 — first batch: no table yet
-            old = part.iloc[0:0]
-        merged = (
-            pd.concat([old, part])
-            .groupby(["day", "event_type"], as_index=False)[["pn", "pc"]]
-            .sum()
-        )
-        sess.createDataFrame(merged).write.mode("overwrite").parquet(dest_path)
 
     name = f"upsert_{uuid.uuid4().hex[:10]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
-        stream.writeStream.foreachBatch(merge_batch)
+        stream.writeStream.foreachBatch(write_partial)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -263,9 +258,12 @@ def stream_upsert_daily_totals(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
-    return spark.read.parquet(dest_path).select(
-        "day",
-        "event_type",
-        F.col("pn").alias("n_events"),
-        (F.col("pc") / F.lit(100.0)).alias("total_value"),
+    return (
+        spark.read.option("basePath", dest_path)
+        .parquet(os.path.join(dest_path, "batch=*"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            (F.sum("pc") / F.lit(100.0)).alias("total_value"),
+        )
     )

@@ -285,6 +285,71 @@ def test_vocab_oov_bounds(spark, sf_dir):
         assert 0.0 <= r["oov_rate"] <= 1.0
 
 
+def test_streaming_upsert_resume_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: run the upsert sink over one
+    source file, then add two more and re-run with the SAME
+    checkpoint — committed offsets must not reprocess file one, the
+    per-batch partition layout must absorb the new batches, and a
+    third run with no new data must change nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    dest = str(tmp_path / "dest")
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = t.num_rows
+    slices = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+
+    def write(i):
+        f = src / f"part{i}.parquet"
+        pq.write_table(t.slice(slices[i][0], slices[i][1] - slices[i][0]), str(f))
+        os.utime(str(f), (1_000_000 * (i + 1),) * 2)
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                SE.stream_upsert_daily_totals(
+                    spark, str(src), dest,
+                    max_files_per_trigger=1, glob="*.parquet", checkpoint=ckpt,
+                ).collect(),
+            )
+        )
+
+    write(0)
+    first = run()
+    write(1)
+    write(2)
+    second = run()
+    third = run()
+
+    want = sorted(
+        map(
+            tuple,
+            tbl(spark, sf_dir, "events")
+            .select(
+                F.to_date("ts").alias("day"),
+                "event_type",
+                F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    assert second == want
+    assert third == second  # no new data → nothing reprocessed
+    assert first != second  # the first run really was partial
+
+
 def test_profiling_row_per_column(spark, sf_dir):
     rows = {r["col_name"]: r for r in REGISTRY["x49_data_profiling"].fn(spark, sf_dir).collect()}
     assert set(rows) == {
