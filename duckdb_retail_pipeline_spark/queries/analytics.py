@@ -1793,3 +1793,156 @@ def x71_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_custkey") == F.col("true_key")).alias("is_true_match"),
         )
     )
+
+
+# ---------------------------------------------------------------- x72
+@register(
+    "x72_ab_test",
+    # z is one deterministic double expression from exact integers
+    # (counts); sqrt is correctly-rounded IEEE, and dround(4) has no
+    # tie mass for z-scores — same determinism class as cosines.
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   user_id % 2 AS arm,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ), agg AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+            FROM u
+        )
+        SELECT n_a, n_b, c_a, c_b,
+               CAST((c_a * 10000) // n_a AS DOUBLE) / 10000.0 AS rate_a,
+               CAST((c_b * 10000) // n_b AS DOUBLE) / 10000.0 AS rate_b,
+               CAST(CAST(
+                   (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                   / NULLIF(sqrt(
+                       (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b)
+                   ), 0.0) AS DECIMAL(28,4)) AS DOUBLE) AS z_score
+        FROM agg
+    """,
+    doc="A/B test analysis (two-proportion pooled z-test): users "
+    "split into arms by id parity, conversion = more purchases than "
+    "views (an interior ~47% rate at every SF — 'any purchase' "
+    "saturates to 1.0 over a month and zeroes the standard error); "
+    "the z statistic is ONE deterministic double expression over "
+    "exact integer counts (pooled rate, standard error, sqrt — "
+    "correctly-rounded IEEE ops, identical in both engines), "
+    "compared after dround(4); the rates themselves go through the "
+    "integer-floor ratio. One user-keyed aggregation plus a scalar "
+    "frame — the statistical-testing operator the growth-analytics "
+    "family (x45/x46/x55) reports into.",
+    tags=("events", "statistics"),
+)
+def x72_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    pooled = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.nullif(
+        F.sqrt(
+            pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_a", "n_b", "c_a", "c_b",
+        floor_ratio(F.col("c_a"), F.col("n_a"), 4).alias("rate_a"),
+        floor_ratio(F.col("c_b"), F.col("n_b"), 4).alias("rate_b"),
+        dround(z, 4).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------- x73
+_X73_BINS = 20
+
+
+@register(
+    "x73_histogram",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ), b AS (
+            SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+                   CAST(MAX(cents) AS BIGINT) AS hi
+            FROM c
+        ), binned AS (
+            SELECT least({_X73_BINS - 1},
+                         ((cents - lo) * {_X73_BINS}) // (hi - lo + 1)) AS bin,
+                   lo, hi
+            FROM c CROSS JOIN b
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(MIN(lo + bin * (hi - lo + 1) // {_X73_BINS}) AS BIGINT)
+                   AS bin_lo_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM binned
+        GROUP BY bin
+    """,
+    doc="Equi-width histogram profiling (the distribution report "
+    "x49's min/max summary cannot show): order totals in integer "
+    "cents binned into 20 equal-width buckets — bin assignment is "
+    "pure integer floor arithmetic off a broadcast (min, max) "
+    "scalar frame, so bucket membership is exact on both engines "
+    "(a float bin width would put boundary values at tie risk). "
+    "Two scans (bounds + binning), one narrow groupBy(bin).",
+    tags=("profiling", "quality"),
+)
+def x73_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    b = c.agg(
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max("cents").cast("bigint").alias("hi"),
+    )
+    width = F.col("hi") - F.col("lo") + 1
+    bin_col = F.least(
+        F.lit(_X73_BINS - 1),
+        F.call_function("div", (F.col("cents") - F.col("lo")) * _X73_BINS, width),
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(bin_col.alias("bin"), "lo", "hi")
+        .groupBy("bin")
+        .agg(
+            F.min(
+                F.col("lo")
+                + F.call_function("div", F.col("bin") * (F.col("hi") - F.col("lo") + 1), F.lit(_X73_BINS))
+            )
+            .cast("bigint")
+            .alias("bin_lo_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select(F.col("bin").cast("bigint").alias("bin"), "bin_lo_cents", "n_orders")
+    )
