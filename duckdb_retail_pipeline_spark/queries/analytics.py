@@ -1817,14 +1817,15 @@ def x71_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM u
         )
         SELECT n_a, n_b, c_a, c_b,
-               CAST((c_a * 10000) // n_a AS DOUBLE) / 10000.0 AS rate_a,
-               CAST((c_b * 10000) // n_b AS DOUBLE) / 10000.0 AS rate_b,
+               CAST((c_a * 10000) // NULLIF(n_a, 0) AS DOUBLE) / 10000.0 AS rate_a,
+               CAST((c_b * 10000) // NULLIF(n_b, 0) AS DOUBLE) / 10000.0 AS rate_b,
                CAST(CAST(
-                   (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                   (CAST(c_a AS DOUBLE) / NULLIF(n_a, 0)
+                    - CAST(c_b AS DOUBLE) / NULLIF(n_b, 0))
                    / NULLIF(sqrt(
-                       (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                       * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-                       * (1.0 / n_a + 1.0 / n_b)
+                       (CAST(c_a + c_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+                       * (1.0 - CAST(c_a + c_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+                       * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))
                    ), 0.0) AS DECIMAL(28,4)) AS DOUBLE) AS z_score
         FROM agg
     """,
@@ -1865,9 +1866,14 @@ def x72_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_b"),
     )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # every data-dependent denominator NULLIF-guarded: an empty arm
+    # must yield NULL in BOTH engines, not an ANSI error in one
+    na = F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+    nb = F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
     ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
-    pooled = (ca + cb) / (na + nb)
+    pooled = (ca + cb) / F.nullif(
+        (F.col("n_a") + F.col("n_b")).cast("double"), F.lit(0.0)
+    )
     z = (ca / na - cb / nb) / F.nullif(
         F.sqrt(
             pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
