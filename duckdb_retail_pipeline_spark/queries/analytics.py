@@ -122,11 +122,14 @@ def _x44_oracle() -> str:
         t: f"ln(1.0 + (CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5))"
         for t in _X44_TERMS
     }
+    # avgdl denominators NULLIF-guarded: an empty corpus must yield
+    # NULL in both engines, never an ANSI divide-by-zero in one
+    avgdl = "(CAST(sum_dl AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0))"
     contrib = {
         t: (
             f"({idf[t]}) * (tf_{t} * {_X44_K1 + 1.0}) / "
             f"(tf_{t} + {_X44_K1} * (1.0 - {_X44_B} + {_X44_B} * "
-            f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+            f"(CAST(dl AS DOUBLE) / NULLIF({avgdl}, 0.0))))"
         )
         for t in _X44_TERMS
     }
@@ -202,14 +205,16 @@ def x44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf = F.col(f"tf_{term}").cast("double")
         df = F.col(f"df_{term}").cast("double")
         n = F.col("n_docs").cast("double")
-        avgdl = F.col("sum_dl").cast("double") / n
+        # guarded like the oracle: empty corpus → NULL, not ANSI error
+        avgdl = F.col("sum_dl").cast("double") / F.nullif(n, F.lit(0.0))
         idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
         return (idf * (tf * F.lit(_X44_K1 + 1.0))) / (
             tf
             + F.lit(_X44_K1)
             * (
                 F.lit(1.0 - _X44_B)
-                + F.lit(_X44_B) * (F.col("dl").cast("double") / avgdl)
+                + F.lit(_X44_B)
+                * (F.col("dl").cast("double") / F.nullif(avgdl, F.lit(0.0)))
             )
         )
 
