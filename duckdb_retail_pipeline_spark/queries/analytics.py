@@ -1957,3 +1957,81 @@ def x73_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bin").cast("bigint").alias("bin"), "bin_lo_cents", "n_orders")
     )
+
+
+# ---------------------------------------------------------------- x74
+_X74_BUDGET = 100_000
+
+
+@register(
+    "x74_token_budget",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CAST(SUM(len({SQL_TOKS.format(x="text")})) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+            FROM s
+        ), q AS (
+            SELECT source, n_tokens, total,
+                   ({_X74_BUDGET} * n_tokens) // total AS quota,
+                   ({_X74_BUDGET} * n_tokens) % total AS rem
+            FROM t
+        ), r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk,
+                   {_X74_BUDGET} - CAST(SUM(quota) OVER () AS BIGINT) AS leftover
+            FROM q
+        )
+        SELECT source, n_tokens,
+               CAST(quota AS BIGINT) AS quota,
+               CAST(quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS final_alloc
+        FROM r
+    """,
+    doc="Token-budget apportionment across sources (the data-mixing "
+    "allocator behind x50's sampling): a fixed token budget splits "
+    "proportionally to per-source token mass via the "
+    "largest-remainder method — integer floor quotas, leftover "
+    "units to the largest scaled remainders with a total order on "
+    "(remainder, source) — so allocations are exact integers that "
+    "SUM EXACTLY to the budget (no float proportions that "
+    "over/under-allocate by rounding). The windows run over the "
+    "SOURCE aggregate (one row per source), broadcast-sized at any "
+    "corpus scale.",
+    tags=("sampling", "curation"),
+)
+def x74_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    t = s.withColumn("total", F.sum("n_tokens").over(w_all).cast("bigint"))
+    scaled = F.lit(_X74_BUDGET) * F.col("n_tokens")
+    q = t.select(
+        "source",
+        "n_tokens",
+        F.call_function("div", scaled, F.col("total")).alias("quota"),
+        (scaled % F.col("total")).alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source").asc()))
+        .alias("rnk"),
+        (F.lit(_X74_BUDGET) - F.sum("quota").over(w_all)).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "n_tokens",
+        F.col("quota").cast("bigint").alias("quota"),
+        (F.col("quota") + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("final_alloc"),
+    )
