@@ -2035,3 +2035,61 @@ def x74_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("final_alloc"),
     )
+
+
+# ---------------------------------------------------------------- x75
+@register(
+    "x75_hypertable_rollup",
+    oracle=f"""
+        SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS month,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_money_sum("value")} AS total_value,
+               CAST(COUNT(DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS n_hours
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Hypertable-style hierarchical rollup (TimescaleDB "
+    "continuous-aggregate shape): hourly partials aggregate once "
+    "from raw events, daily derives from HOURLY partials, monthly "
+    "derives from DAILY — each coarser level reads the much smaller "
+    "finer level, never the raw table, which is what makes "
+    "continuous aggregates cheap to maintain at 100 TB. Counts and "
+    "integer-cent sums are associative, so the three-level chain is "
+    "bit-identical to aggregating the raw table directly — the SQL "
+    "oracle. The hour-count carries up the chain as a count of "
+    "finer-level rows (exact, no distinct over raw data at the "
+    "coarse levels).",
+    tags=("events", "rollup", "agg"),
+)
+def x75_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    hourly = ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pn"),
+        F.sum("cents").cast("bigint").alias("pc"),
+    )
+    daily = (
+        hourly.withColumn("day", F.date_trunc("day", "hour"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("pn"),
+            F.sum("pc").cast("bigint").alias("pc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        )
+    )
+    return (
+        daily.withColumn("month", F.to_date(F.date_trunc("month", "day")))
+        .groupBy("month", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            (F.sum("pc") / F.lit(100.0)).alias("total_value"),
+            F.sum("n_hours").cast("bigint").alias("n_hours"),
+        )
+        .select("month", "event_type", "n_events", "total_value", "n_hours")
+    )
