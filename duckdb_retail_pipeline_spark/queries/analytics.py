@@ -2093,3 +2093,58 @@ def x75_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("month", "event_type", "n_events", "total_value", "n_hours")
     )
+
+
+# ---------------------------------------------------------------- x76
+@register(
+    "x76_rolling_distinct_users",
+    oracle="""
+        WITH hu AS (
+            SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   user_id
+            FROM events
+        ), hours AS (
+            SELECT DISTINCT h FROM hu
+        )
+        SELECT hours.h AS hour,
+               CAST(COUNT(DISTINCT hu.user_id) AS BIGINT) AS dau_24h
+        FROM hours JOIN hu
+          ON hu.h <= hours.h AND hu.h > hours.h - INTERVAL 24 HOURS
+        GROUP BY hours.h
+    """,
+    doc="Trailing-24h distinct active users per hour (rolling DAU — "
+    "exact sliding-window COUNT DISTINCT, one of the classically "
+    "hard ops at scale because distinct is not subtractable): each "
+    "(hour, user) activity row explodes to the 24 target hours it "
+    "contributes to — a BOUNDED 24x expansion equi-joined on the "
+    "target hour, provably equal to the naive inequality join the "
+    "SQL oracle runs (user active at hour u counts for target t iff "
+    "t-23 <= u <= t iff t in u..u+23). The expansion input is the "
+    "already-deduped (hour, user) frame, orders of magnitude "
+    "smaller than raw events; target hours prune to hours that "
+    "actually occur via a broadcast semi-join.",
+    tags=("events", "window", "distinct"),
+)
+def x76_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    hu = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    hours = hu.select("h").distinct()
+    contrib = hu.withColumn(
+        "hour",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 23 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    return (
+        contrib.join(
+            F.broadcast(hours.withColumnRenamed("h", "hour")), "hour", "left_semi"
+        )
+        .groupBy("hour")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("dau_24h"))
+    )
