@@ -2148,3 +2148,145 @@ def x76_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour")
         .agg(F.count_distinct("user_id").cast("bigint").alias("dau_24h"))
     )
+
+
+# ---------------------------------------------------------------- x77
+_X77_TOPK = 10
+
+
+@register(
+    "x77_skew_report",
+    oracle=f"""
+        WITH k AS (
+            SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_n
+            FROM k
+        ), top AS (
+            SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rnk
+            FROM k
+        )
+        SELECT t.rnk, t.key, t.n,
+               s.n_keys, s.n_rows,
+               CAST((s.max_n * s.n_keys * 100) // s.n_rows AS BIGINT)
+                   AS skew_pct_x100
+        FROM top t CROSS JOIN s
+        WHERE t.rnk <= {_X77_TOPK}
+    """,
+    doc="Join-key skew report (the diagnostic that decides when "
+    "operators/scale.py salting is worth its replication cost): "
+    "top heavy-hitter keys with their row counts plus the "
+    "max-over-mean skew ratio as an integer-scaled percentage "
+    "(max_n * n_keys * 100 DIV n_rows — the mean is n_rows/n_keys, "
+    "so the ratio stays all-integer). One narrow key groupBy + a "
+    "1-row stats frame; the top-k rank runs over the KEY aggregate, "
+    "never raw rows.",
+    tags=("profiling", "skew", "scale"),
+)
+def x77_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    top = k.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("key").asc())),
+    ).filter(F.col("rnk") <= _X77_TOPK)
+    return top.crossJoin(F.broadcast(s)).select(
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "key",
+        "n",
+        "n_keys",
+        "n_rows",
+        F.call_function(
+            "div", F.col("max_n") * F.col("n_keys") * 100, F.col("n_rows")
+        )
+        .cast("bigint")
+        .alias("skew_pct_x100"),
+    )
+
+
+# ---------------------------------------------------------------- x78
+@register(
+    "x78_correlation_report",
+    # Pearson r from EXACT integer moments: sums/sums-of-squares/
+    # cross-products over int64 (token counts are small; products
+    # stay in range), then one deterministic double expression —
+    # the x72 determinism class. Never Spark's corr()/DuckDB's
+    # corr(), whose float accumulation orders differ.
+    oracle="""
+        WITH d AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        t -> t != '')) AS BIGINT) AS x,
+                   CAST(len(list_distinct(list_filter(
+                        string_split_regex(text, '\\s+'),
+                        t -> t != ''))) AS BIGINT) AS y
+            FROM documents
+        ), m AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM d GROUP BY source
+        )
+        SELECT source, n, sx, sy,
+               CAST(CAST(
+                   (n * sxy - sx * sy)
+                   / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                   AS DECIMAL(28,4)) AS DOUBLE) AS pearson_r
+        FROM m
+    """,
+    doc="Per-source Pearson correlation (token count vs distinct "
+    "token count — the length/diversity relationship quality "
+    "filters assume) computed from EXACT integer moments: one "
+    "aggregation collects n/Σx/Σy/Σx²/Σy²/Σxy as int64, then the "
+    "correlation is a single deterministic double expression "
+    "(NULLIF-guarded, dround 4) — never the built-in corr(), whose "
+    "float accumulation order is partition-dependent and diverges "
+    "between engines. The statistical-moments pattern generalizes "
+    "to covariance matrices and OLS (x24 uses the same trick in "
+    "applyInPandas).",
+    tags=("statistics", "text", "quality"),
+)
+def x78_correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = T.tokens("text")
+    d = tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).cast("bigint").alias("x"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("y"),
+    )
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        "source", "n", "sx", "sy", dround(num / den, 4).alias("pearson_r")
+    )
