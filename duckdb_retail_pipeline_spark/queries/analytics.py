@@ -2290,3 +2290,136 @@ def x78_correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source", "n", "sx", "sy", dround(num / den, 4).alias("pearson_r")
     )
+
+
+# ---------------------------------------------------------------- x79
+@register(
+    "x79_pareto_analysis",
+    oracle="""
+        WITH n AS (
+            SELECT n_name AS nation,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        ), t AS (
+            SELECT *, CAST(SUM(cents) OVER () AS BIGINT) AS total,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, nation ASC) AS rnk
+            FROM n
+        ), c AS (
+            SELECT *, CAST(SUM(cents) OVER (
+                ORDER BY cents DESC, nation ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_cents
+            FROM t
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, nation,
+               CAST(cents / 100.0 AS DOUBLE) AS revenue,
+               CAST((cum_cents * 10000) // total AS DOUBLE) / 10000.0
+                   AS cum_share,
+               (cum_cents * 5 >= total * 4) AS reached_80pct
+        FROM c
+    """,
+    doc="Pareto (80/20) contribution analysis: nations ranked by "
+    "revenue with the running cumulative share — the classic "
+    "'how few segments carry 80% of revenue' report. The cumulative "
+    "sum runs over integer cents under a total (revenue, nation) "
+    "order; the share goes through the integer-floor ratio and the "
+    "80% threshold is decided by integer cross-multiplication "
+    "(cum*5 >= total*4), so no float enters any comparison. Windows "
+    "run over the ~25-row nation aggregate.",
+    tags=("retail", "agg", "window"),
+)
+def x79_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    nt = tbl(spark, sf_dir, "nation")
+    n = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nt, c["c_nationkey"] == nt["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(F.col("cents").desc(), F.col("nation").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = n.select(
+        "*",
+        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+        F.row_number().over(w_ord).cast("bigint").alias("rnk"),
+        F.sum("cents").over(w_cum).cast("bigint").alias("cum_cents"),
+    )
+    return t.select(
+        "rnk",
+        "nation",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        floor_ratio(F.col("cum_cents"), F.col("total"), 4).alias("cum_share"),
+        (F.col("cum_cents") * 5 >= F.col("total") * 4).alias("reached_80pct"),
+    )
+
+
+# ---------------------------------------------------------------- x80
+@register(
+    "x80_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS next_type
+            FROM events
+        ), c AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ), r AS (
+            SELECT *, CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS row_total
+            FROM c
+        )
+        SELECT from_type, to_type, n,
+               CAST((n * 10000) // row_total AS DOUBLE) / 10000.0 AS p
+        FROM r
+    """,
+    doc="Behavioral transition matrix (first-order Markov estimate): "
+    "per-user event sequences ordered by (ts, event_id) — the "
+    "unique id makes same-microsecond ordering total — yield "
+    "from->to transition counts via one LEAD window, row-normalized "
+    "through the integer-floor ratio. The window partitions by "
+    "user (bounded); the matrix itself is |event types|² rows. The "
+    "sequence-mining primitive behind funnel discovery and "
+    "next-action models.",
+    tags=("events", "sequence", "window"),
+)
+def x80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_row = Window.partitionBy("from_type")
+    r = c.withColumn("row_total", F.sum("n").over(w_row).cast("bigint"))
+    return r.select(
+        "from_type",
+        "to_type",
+        "n",
+        floor_ratio(F.col("n"), F.col("row_total"), 4).alias("p"),
+    )
