@@ -2423,3 +2423,52 @@ def x80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         floor_ratio(F.col("n"), F.col("row_total"), 4).alias("p"),
     )
+
+
+# ---------------------------------------------------------------- x81
+def _x81_oracle() -> str:
+    from duckdb_retail_pipeline_spark.queries.extensions import _x26_oracle
+
+    return f"""
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * COUNT(DISTINCT cluster_id) AS BIGINT)
+                   AS n_removable
+        FROM ({_x26_oracle()}) c
+        GROUP BY cluster_size
+    """
+
+
+@register(
+    "x81_dedup_savings",
+    oracle=_x81_oracle(),
+    doc="Dedup savings report on top of the near-dup clusters "
+    "(x26's iterative connected components over the verified "
+    "SimHash pair graph): cluster-size histogram plus the number of "
+    "removable documents per size class (keep one representative "
+    "per cluster → size-1 removable each) — the number a curation "
+    "pipeline reports before committing a dedup pass. Frame covers "
+    "clustered documents (singletons never enter the pair graph). "
+    "One extra narrow groupBy over the cluster assignment; the "
+    "expensive part is the component computation itself, already "
+    "scale-shaped (equi-join label propagation, localCheckpoint per "
+    "round).",
+    tags=("dedup", "curation", "graph"),
+)
+def x81_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+    from duckdb_retail_pipeline_spark.queries.extensions import _aug_corpus
+
+    clusters = D.dedup_clusters(
+        D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            (F.col("cluster_size") - 1) * F.count_distinct("cluster_id")
+        )
+        .cast("bigint")
+        .alias("n_removable"),
+    )
