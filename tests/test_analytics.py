@@ -350,6 +350,47 @@ def test_streaming_upsert_resume_from_checkpoint(spark, sf_dir, tmp_path):
     assert first != second  # the first run really was partial
 
 
+def test_token_budget_sums_exactly(spark, sf_dir):
+    """Largest-remainder apportionment: allocations are integers
+    summing EXACTLY to the budget, each within 1 of its real-valued
+    proportional share."""
+    from duckdb_retail_pipeline_spark.queries.analytics import _X74_BUDGET
+
+    rows = REGISTRY["x74_token_budget"].fn(spark, sf_dir).collect()
+    assert sum(r["final_alloc"] for r in rows) == _X74_BUDGET
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        exact = _X74_BUDGET * r["n_tokens"] / total
+        assert abs(r["final_alloc"] - exact) < 1.0
+        assert r["final_alloc"] in (r["quota"], r["quota"] + 1)
+
+
+def test_pareto_cumulative_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["x79_pareto_analysis"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)  # cumulative share non-decreasing
+    assert abs(shares[-1] - 1.0) < 1e-3  # last row ≈ full total (floor at 4dp)
+    # reached_80pct flips once and stays true
+    flags = [r["reached_80pct"] for r in rows]
+    assert flags[-1] is True
+    first_true = flags.index(True)
+    assert all(flags[first_true:])
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    by_from: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for r in REGISTRY["x80_event_transitions"].fn(spark, sf_dir).collect():
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+        counts[r["from_type"]] = counts.get(r["from_type"], 0) + 1
+    for ft, s in by_from.items():
+        # floor-rounded probabilities under-sum by < n_cells quanta
+        assert 1.0 - counts[ft] * 1e-4 <= s <= 1.0 + 1e-9, (ft, s)
+
+
 def test_profiling_row_per_column(spark, sf_dir):
     rows = {r["col_name"]: r for r in REGISTRY["x49_data_profiling"].fn(spark, sf_dir).collect()}
     assert set(rows) == {
