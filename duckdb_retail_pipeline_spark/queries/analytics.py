@@ -2472,3 +2472,67 @@ def x81_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------- x82
+@register(
+    "x82_part_velocity",
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_ship,
+                   (MAX(CAST(l_shipdate AS DATE))
+                    - MIN(CAST(l_shipdate AS DATE)) + 1) AS active_days
+            FROM lineitem GROUP BY 1
+        ), f AS (
+            SELECT p.p_brand, v.n_ship, v.active_days,
+                   (v.n_ship * 30 < v.active_days) AS slow
+            FROM v JOIN part p ON v.l_partkey = p.p_partkey
+        )
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CASE WHEN slow THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_slow_movers,
+               CAST(SUM(n_ship) AS BIGINT) AS total_shipments,
+               CAST((SUM(n_ship) * 100) // NULLIF(SUM(active_days), 0)
+                    AS DOUBLE) / 100.0 AS shipments_per_active_day
+        FROM f GROUP BY p_brand
+    """,
+    doc="Part velocity / slow-mover screening (the product-side "
+    "operational twin of x68's supplier view): per-part shipment "
+    "counts over the part's active day span, a slow-mover flag by "
+    "integer cross-multiplication (fewer than one shipment per 30 "
+    "active days), rolled up per brand with a floor-ratio velocity. "
+    "One fact groupBy on the part key, a threshold-decided join to "
+    "the part dimension, a 25-row brand rollup — everything "
+    "integer until the final exact division.",
+    tags=("retail", "profiling"),
+)
+def x82_part_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ship"),
+        (
+            F.datediff(F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("active_days"),
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    f = v.join(p, v["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        "n_ship",
+        "active_days",
+        (F.col("n_ship") * 30 < F.col("active_days")).alias("slow"),
+    )
+    return f.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("slow"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_slow_movers"),
+        F.sum("n_ship").cast("bigint").alias("total_shipments"),
+        floor_ratio(F.sum("n_ship"), F.sum("active_days"), 2).alias(
+            "shipments_per_active_day"
+        ),
+    )
