@@ -2536,3 +2536,85 @@ def x82_part_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shipments_per_active_day"
         ),
     )
+
+
+# ---------------------------------------------------------------- x83
+@register(
+    "x83_seasonal_index",
+    oracle="""
+        WITH m AS (
+            SELECT n_name AS nation,
+                   CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                        AS DATE) AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT *, CAST(SUM(cents) OVER (PARTITION BY nation) AS BIGINT)
+                       AS year_cents,
+                   CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT)
+                       AS n_months
+            FROM m
+        )
+        SELECT nation, month,
+               CAST(cents / 100.0 AS DOUBLE) AS revenue,
+               CAST((cents * n_months * 10000) // NULLIF(year_cents, 0)
+                    AS BIGINT) AS seasonal_index_x10000
+        FROM t
+    """,
+    doc="Seasonal revenue index per nation over one calendar year: "
+    "each month's revenue as an index against the nation's own "
+    "monthly mean — index = monthly*n_months*10^4 DIV annual total, "
+    "ALL integer (the mean never materializes as a float), so an "
+    "index of 10000 means exactly average and the comparison is "
+    "tie-free. One fact aggregation, nation-partitioned windows "
+    "over the ~300-row monthly aggregate. The index-number "
+    "companion to x62's anomaly flags.",
+    tags=("retail", "seasonal", "window"),
+)
+def x83_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    nt = tbl(spark, sf_dir, "nation")
+    m = (
+        o.filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nt, c["c_nationkey"] == nt["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation")
+    t = m.select(
+        "*",
+        F.sum("cents").over(w).cast("bigint").alias("year_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_months"),
+    )
+    return t.select(
+        "nation",
+        "month",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        F.call_function(
+            "div",
+            F.col("cents") * F.col("n_months") * 10000,
+            F.nullif(F.col("year_cents"), F.lit(0)),
+        )
+        .cast("bigint")
+        .alias("seasonal_index_x10000"),
+    )
