@@ -2618,3 +2618,79 @@ def x83_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seasonal_index_x10000"),
     )
+
+
+# ---------------------------------------------------------------- x84
+@register(
+    "x84_cohort_ltv_curves",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), first AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM ev
+            GROUP BY 1
+        ), wk AS (
+            SELECT f.cohort_day,
+                   (CAST(e.ts AS DATE) - f.cohort_day) // 7 AS week_idx,
+                   CAST(SUM(e.cents) AS BIGINT) AS cents
+            FROM ev e JOIN first f ON e.user_id = f.user_id
+            GROUP BY 1, 2
+        )
+        SELECT cohort_day,
+               CAST(week_idx AS BIGINT) AS week_idx,
+               CAST(cents / 100.0 AS DOUBLE) AS week_revenue,
+               CAST(CAST(SUM(cents) OVER (
+                   PARTITION BY cohort_day ORDER BY week_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) / 100.0 AS DOUBLE) AS cum_revenue
+        FROM wk
+    """,
+    doc="Cohort revenue (LTV) curves: purchase revenue per cohort "
+    "(first-purchase day) by weeks-since-acquisition, with the "
+    "running cumulative — the lifetime-value curve growth teams "
+    "read retention economics from. Week index is integer floor "
+    "division of day offsets; the cumulative sum runs over integer "
+    "cents partitioned per cohort (bounded window partitions), with "
+    "exactly one division to money at the end. Completes the "
+    "cohort family (x46 counts retention, x84 weights it by "
+    "revenue).",
+    tags=("events", "cohort", "window"),
+)
+def x84_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    wk = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.call_function(
+                "div",
+                F.datediff(F.col("day"), F.col("cohort_day")),
+                F.lit(7),
+            ).alias("week_idx"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_day",
+        F.col("week_idx").cast("bigint").alias("week_idx"),
+        (F.col("cents") / F.lit(100.0)).alias("week_revenue"),
+        (F.sum("cents").over(w).cast("bigint") / F.lit(100.0)).alias("cum_revenue"),
+    )
