@@ -195,7 +195,10 @@ def resize_image(content: bytes, width: int, height: int, fake: bool = False) ->
         c = (j * cells) // n
         sums[c] += b
         counts[c] += 1
-    return bytes((s // c) if c else 0 for s, c in zip(sums, counts))
+    # blobs shorter than the grid leave some cells empty; skip them so
+    # the scalar fake agrees row-for-row with resize_byte_grid (which
+    # only emits populated cells)
+    return bytes(s // c for s, c in zip(sums, counts) if c)
 
 
 def resize_byte_grid(media: DataFrame, grid: int = 8) -> DataFrame:

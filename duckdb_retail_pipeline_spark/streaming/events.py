@@ -258,6 +258,15 @@ def stream_upsert_daily_totals(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
+    # an empty/globless source commits zero micro-batches, so no
+    # batch=* partition exists — return an empty frame with the output
+    # schema instead of letting the read raise PATH_NOT_FOUND
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(dest_path, "batch=*")):
+        return spark.createDataFrame(
+            [], "day date, event_type string, n_events bigint, total_value double"
+        )
     return (
         spark.read.option("basePath", dest_path)
         .parquet(os.path.join(dest_path, "batch=*"))

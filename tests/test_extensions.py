@@ -181,10 +181,23 @@ def test_resize_byte_grid_matches_python_reference(spark, sf_dir):
         got = by_doc[row["doc_id"]]
         n = len(content)
         assert sum(g["n_cell_bytes"] for g in got.values()) == n
-        for c, b in enumerate(pooled):
+        # both references emit only populated cells, in cell order —
+        # identical row sets even for blobs shorter than the grid
+        nonempty = sorted(got)
+        assert len(pooled) == len(nonempty)
+        for c, b in zip(nonempty, pooled):
             # scalar fake emits floor(cell_sum / cell_count) bytes
             g = got[c]
             assert g["cell_sum"] // g["n_cell_bytes"] == b
+
+
+def test_resize_fake_short_blob_skips_empty_cells():
+    """A blob shorter than the grid populates only cells (j*grid)//n —
+    the scalar fake must emit exactly those (the grid operator omits
+    empty cells), not pad zeros."""
+    # n=3, grid=8: cells (0*8)//3=0, (1*8)//3=2, (2*8)//3=5
+    assert M.resize_image(b"abc", 8, 1, fake=True) == bytes([97, 98, 99])
+    assert M.resize_image(b"", 8, 1, fake=True) == b""
 
 
 def test_frame_sample_plan(spark, sf_dir):

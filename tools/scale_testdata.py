@@ -112,9 +112,12 @@ def _perturb_vectors(col, seed: int):
     import numpy as np
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    # use the stored value dtype: a hardcoded float32 cast would
+    # silently quantize float64 embeddings beyond the documented noise
+    dtype = arr.type.value_type.to_pandas_dtype()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     noise = np.random.default_rng(seed).uniform(-5e-4, 5e-4, size=flat.shape)
-    perturbed = (flat * (1.0 + noise)).astype(np.float32)
+    perturbed = (flat * (1.0 + noise)).astype(dtype)
     return pa.ListArray.from_arrays(arr.offsets, pa.array(perturbed, type=arr.type.value_type))
 
 
