@@ -1400,6 +1400,12 @@ _X66_TOPK = 25
     "distinct (order, part) -> order-keyed self-join for pair "
     "counts (bounded by per-basket item count squared — the classic "
     "Apriori candidate bound), item-count joins, TakeOrdered. "
+    "Apriori min-support ITEM prefilter (drop parts with c_i < "
+    "min_support before pairing) was measured r6 and NOT adopted: "
+    "on this corpus every part passes (20000/20000 at sf0.1 — "
+    "uniform synthetic popularity), warm medians within noise at "
+    "sf0.1 (1.93 vs 1.96 s) and sf1_grow (5.45 vs 4.79 s); re-visit "
+    "on skewed real data where the filter actually prunes. "
     "int64 headroom: support*N*10^4 stays in range to ~10^9 "
     "baskets; shard the scale factor beyond that.",
     headline=True,
@@ -2450,19 +2456,19 @@ def _x81_oracle() -> str:
     "per cluster → size-1 removable each) — the number a curation "
     "pipeline reports before committing a dedup pass. Frame covers "
     "clustered documents (singletons never enter the pair graph). "
-    "One extra narrow groupBy over the cluster assignment; the "
-    "expensive part is the component computation itself, already "
-    "scale-shaped (equi-join label propagation, localCheckpoint per "
-    "round).",
+    "One extra narrow groupBy over the cluster assignment, which is "
+    "SHARED with x26 via the session memo (queries/extensions.py "
+    "dedup_cluster_assignment, persisted) — warm after x26 this "
+    "query costs only the report groupBy, not the 16.7 s pair-graph "
+    "+ iterative-components recompute it used to pay.",
     tags=("dedup", "curation", "graph"),
 )
 def x81_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_retail_pipeline_spark.operators import dedup as D
-    from duckdb_retail_pipeline_spark.queries.extensions import _aug_corpus
-
-    clusters = D.dedup_clusters(
-        D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        dedup_cluster_assignment,
     )
+
+    clusters = dedup_cluster_assignment(spark, sf_dir)
     return clusters.groupBy("cluster_size").agg(
         F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2693,4 +2699,117 @@ def x84_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("week_idx").cast("bigint").alias("week_idx"),
         (F.col("cents") / F.lit(100.0)).alias("week_revenue"),
         (F.sum("cents").over(w).cast("bigint") / F.lit(100.0)).alias("cum_revenue"),
+    )
+
+
+# ---------------------------------------------------------------- x85
+@register(
+    "x85_stream_stream_left_outer",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_id AS click_id,
+                   CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id AS p_user_id, event_id AS purchase_id,
+                   CAST(ts AS TIMESTAMP) AS purchase_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ), cut AS (
+            SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                         (SELECT MAX(purchase_ts) FROM p))
+                   - INTERVAL 2 HOUR - INTERVAL 60 SECOND AS cutoff
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id,
+               CAST(ROUND(p.value * 100, 0) AS BIGINT) AS purchase_cents
+        FROM c
+        CROSS JOIN cut
+        LEFT JOIN p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        WHERE c.click_ts < cut.cutoff
+    """,
+    doc="Stream-stream LEFT OUTER event-time join (x58's missing "
+    "variant, r5 verdict #7): clicks left-joined to purchases by "
+    "the same user within the following hour, both sides genuine "
+    "readStream sources with 1-hour watermarks. Outer NULL rows are "
+    "emitted only when the GLOBAL watermark (min over both sides, "
+    "advanced by the terminal no-data micro-batch — "
+    "spark.sql.streaming.noDataMicroBatches.enabled, pinned on "
+    "here) passes click_ts + 1h, so clicks inside the final "
+    "watermark gap never get their NULL: the deterministic frame "
+    "restricts BOTH engines to 'closed' clicks strictly older than "
+    "min(max_click_ts, max_purchase_ts) - 2h - 60s (join range 1h "
+    "+ watermark delay 1h + 60s margin for the watermark's "
+    "millisecond truncation), computed from the batch table as a "
+    "1-row broadcast. Within that cutoff the append-mode result is "
+    "provably the batch left join (matches emit un-gated; every "
+    "closed unmatched click is evicted and emits exactly one NULL "
+    "row), which is the SQL oracle. At scale both sides come from "
+    "Kafka; state is bounded by the watermark exactly as in x58.",
+    tags=("streaming", "join", "events"),
+)
+def x85_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    # outer-null emission depends on the terminal no-data batch
+    # advancing the watermark after the last data batch — pin the
+    # default on explicitly, since correctness of the closed-click
+    # contract depends on it
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+    clicks = (
+        SE.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        SE.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + hour),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("purchase_cents"),
+    )
+    res = SE.run_stream_to_memory(joined, spark, output_mode="append")
+
+    # deterministic closed-click cutoff from the BATCH table (1-row
+    # broadcast, no driver round-trip)
+    ev = tbl(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 2 HOURS")
+            - F.expr("INTERVAL 60 SECONDS")
+        ).alias("cutoff")
+    )
+    return (
+        res.crossJoin(F.broadcast(bounds))
+        .filter(F.col("click_ts") < F.col("cutoff"))
+        .select("user_id", "click_id", "purchase_id", "purchase_cents")
     )

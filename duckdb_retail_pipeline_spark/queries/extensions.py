@@ -1673,20 +1673,33 @@ def _exact_batch_scored(emb: DataFrame, qset: DataFrame) -> DataFrame:
 _X42_MIN_RECALL_HITS = 1
 _X42_BITS = 3
 _X42_NPROBE = 3
+# The exact O(|sample|·corpus) verification side runs over a FIXED
+# size sample of queries (the smallest query_ids — a total order), so
+# the contract frame's cost is constant in |Q|: the r5 verdict found
+# the registered query's bench number was ~90% exact re-derivation
+# growing as |Q|·corpus, hiding the ANN operator it exists to verify.
+# The ANN itself still runs over ALL queries, and a cardinality
+# contract (every query returned k rows) is aggregated from the full
+# ANN output — only the score-exactness/recall booleans are sampled.
+_X42_CONTRACT_SAMPLE = 4
 
 
 def _x42_oracle() -> str:
-    # exact per-query top-3 (the x39 oracle shape) + constant contract
-    # booleans, the a05/x12 contract-frame pattern batched per query
+    # exact per-query top-3 over the fixed contract sample (the x39
+    # oracle shape) + constant contract booleans, the a05/x12
+    # contract-frame pattern batched per query; n_queries counts the
+    # FULL query set the ANN ran over
     cosine = sql_dround(
         SQL_COSINE_PARTS.format(a="c.embedding", b="q.embedding")
         + f" / NULLIF({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')}, 0.0)",
         4,
     )
     return f"""
-        WITH q AS (
+        WITH qall AS (
             SELECT vec_id AS query_id, embedding FROM embeddings
             WHERE vec_id % 500 = 0
+        ), q AS (
+            SELECT * FROM qall ORDER BY query_id LIMIT {_X42_CONTRACT_SAMPLE}
         ), scored AS (
             SELECT q.query_id, c.vec_id, {cosine} AS cosine
             FROM embeddings c, q
@@ -1696,11 +1709,14 @@ def _x42_oracle() -> str:
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
             ) AS rnk
             FROM scored
+        ), nq AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qall
         )
         SELECT query_id, vec_id, cosine, CAST(rnk AS BIGINT) AS rnk,
                TRUE AS recall_ge_bound, TRUE AS scores_exact,
-               TRUE AS returned_k
-        FROM ranked WHERE rnk <= 3
+               TRUE AS returned_k, nq.n_queries,
+               TRUE AS all_returned_k
+        FROM ranked, nq WHERE rnk <= 3
     """
 
 
@@ -1714,11 +1730,16 @@ def _x42_oracle() -> str:
     "least-confident bit flips computed as JVM expressions, "
     "broadcast probe join), then the same bounded hierarchical rank "
     "as x39. Scoring cost per query is ~nprobe/2^bits of the corpus "
-    "instead of all of it. Driver-hashed frame = exact per-query "
-    "top-3 (oracle-computable) + per-query ANN contract booleans "
-    "computed in-plan (recall vs exact top-3 >= floor, retrieved "
-    "scores equal exact scores, k rows returned per query) — an "
-    "index regression flips a boolean and fails the value hash. "
+    "instead of all of it. Driver-hashed frame = exact top-3 for a "
+    "FIXED-SIZE deterministic query sample (smallest query_ids — so "
+    "the exact verification side is O(sample*corpus), constant in "
+    "|Q|; the r5 bench number was ~90% exact re-derivation growing "
+    "O(|Q|*corpus), hiding the ANN it verifies) + per-sampled-query "
+    "contract booleans computed in-plan (recall vs exact top-3 >= "
+    "floor, retrieved scores equal exact scores, k rows returned) + "
+    "a cardinality contract over the FULL ANN output (n_queries, "
+    "all queries returned k rows) — an index regression flips a "
+    "boolean and fails the value hash. "
     "bits=3/nprobe=3 probes 3/8 of the bucket space; measured "
     "per-query hits 1-3 of 3 across SFs (r5 sweep), floor = the "
     "cross-SF min of 1. At production scale bits grows with the "
@@ -1732,15 +1753,17 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qset = _x39_qset(emb)
     ann = S.batch_ann_topk(emb, qset, k=3, bits=_X42_BITS, nprobe=_X42_NPROBE)
 
-    # the exact scored frame feeds both the reference top-3 rank and
-    # the score-exactness join; recomputation is cheaper than
-    # materializing it (measured: persist 0.85s vs recompute 0.79s
-    # warm at sf0.1 — codegen re-scoring beats an 800k-row cache)
-    scored = _exact_batch_scored(emb, qset)
+    # BOUNDED exact side: O(sample·corpus), constant in |Q| — the r5
+    # verdict found the full exact re-derivation was ~90% of the
+    # registered query's cost and grew 100× when both factors grew
+    # 10×, hiding the ANN operator the bench exists to track
+    sample_q = qset.orderBy("query_id").limit(_X42_CONTRACT_SAMPLE)
+    scored = _exact_batch_scored(emb, sample_q)
     exact = S.hierarchical_topk(scored, 3)
 
+    ann_sample = ann.join(F.broadcast(sample_q.select("query_id")), "query_id")
     checked = (
-        ann.join(
+        ann_sample.join(
             scored.withColumnRenamed("cosine", "exact_cosine"),
             ["query_id", "vec_id"],
             "left",
@@ -1761,9 +1784,26 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scores_exact"),
         (F.count(F.lit(1)) == 3).alias("returned_k"),
     )
-    return exact.join(contract, "query_id").select(
-        "query_id", "vec_id", "cosine", "rnk",
-        "recall_ge_bound", "scores_exact", "returned_k",
+    # cardinality contract over the FULL ANN output (one agg over
+    # |Q|·k rows — cheap at any scale): a probe regression that drops
+    # an unsampled query's candidates entirely still flips
+    # all_returned_k / n_queries and fails the driver hash
+    glob = (
+        ann.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.bool_and(F.col("__n") == 3).alias("all_returned_k"),
+        )
+    )
+    return (
+        exact.join(contract, "query_id")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "query_id", "vec_id", "cosine", "rnk",
+            "recall_ge_bound", "scores_exact", "returned_k",
+            "n_queries", "all_returned_k",
+        )
     )
 
 
@@ -1919,6 +1959,30 @@ def _x26_oracle() -> str:
     """
 
 
+# One cluster assignment per (session, dataset), shared by x26 (the
+# assignment itself) and x81 (the savings report over it) — the
+# build_layers memo pattern: without it x81 re-runs the SimHash pair
+# graph + iterative components from scratch (measured 16.7 s at
+# sf0.1), the most expensive recompute in the registry, for a report
+# that is one narrow groupBy over x26's output.
+_CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup cluster assignment over the augmented corpus
+    (x26's frame), memoized per (session, sf_dir) and persisted so
+    every consumer after the first reads the materialized labels."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    memo = _CLUSTERS_MEMO.get(key)
+    if memo is None:
+        pairs = D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
+        memo = D.dedup_clusters(pairs).persist()
+        _CLUSTERS_MEMO[key] = memo
+    return memo
+
+
 @register(
     "x26_dedup_clusters",
     oracle=_x26_oracle(),
@@ -1928,12 +1992,13 @@ def _x26_oracle() -> str:
     "groupBy-min per round, converges in ≤ diameter rounds), labeled "
     "by component-minimum doc id with cluster sizes. The iterative "
     "Spark computation is hash-checked against a recursive-CTE "
-    "transitive closure.",
+    "transitive closure. Memoized per (session, dataset) — x81's "
+    "savings report reuses this assignment instead of recomputing "
+    "the pair graph.",
     tags=("dedup", "graph", "iterative"),
 )
 def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6)
-    return D.dedup_clusters(pairs)
+    return dedup_cluster_assignment(spark, sf_dir)
 
 
 # ---------------------------------------------------------------- x27
