@@ -29,54 +29,54 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs ALL 94).
 #
-# Round-5 window (see ROTATION.md): x42 is the round's new query
-# (never driver-green) + guards for the r4→r5 diff (x12/x13 recall
-# floors raised; x19/x20/x32 moved to floor_ratio / floored
-# multimodal means; x39 refactored onto the shared hierarchical_topk)
-# + the oldest-green rotation owed by ROTATION.md's own rule: the
-# eleven r2-green queries that yielded their slots in r4
-# (q13/q14/q16-q20/q22-q24/x09, two rounds stale) re-enter, then the
-# r3-green block (a01-a16, pl01, pl08 — one round stale) + the full
-# headline bench set (now 16 queries after the r5 expansion).
-# Fresh r4-green queries rotate out (pl02/pl04/pl05/pl07/pl10,
-# q04-q11, x05/x11/x15-x18/x21/x24/x25/x27/x30/x31/x34/x35/x37/x38/
-# x41); the rest of the r3-green block (pl11, q03, q12, q25, x02-x04,
-# x06, x08, x22, x23, x26, x28, x29) re-enters in r6.
+# Round-6 window (see ROTATION.md): the r5 verdict's #1 ask — the 24
+# queries registered in the r5 tail (x61-x84) that have NEVER had a
+# driver row enter at rule-1 priority, plus x85 (this round's single
+# new registration: stream-stream LEFT OUTER join, verdict #7 —
+# registrations are otherwise frozen this round to let verification
+# debt drain, verdict #2). Then r5→r6 diff guards: x42 (contract
+# frame bounded to a fixed query sample this round), x26 (cluster
+# assignment memoized, shared with x81), x60 (replay-idempotent sink
+# rewrite late r5 + empty-source guard this round), x12 (recall
+# floor changed late r5), x44 (NULLIF guard late r5; x72's is
+# covered by rule 1), x46 (rewritten onto a window late r5).
+# Remaining 19 slots: the r3-green block re-enters oldest-first
+# (a02-a16, pl11, q03, q12, q25);
+# x02-x04/x06/x08/x22/x23/x28/x29 carry to r7. Headline bench
+# queries outside the window are re-verified every round by the
+# local 134-query pytest oracle gate.
 _ROTATED_IN = [
-    # never driver-green: the round's new queries (x43-x49 displace
-    # the tail of the r3-green block — a10-a16 re-enter in r6)
-    "x42_ann_batch_retrieval",
-    "x43_range_join_binned", "x44_bm25_search", "x45_event_funnel",
-    "x46_cohort_retention", "x47_pii_redaction", "x48_salted_join",
-    "x49_data_profiling", "x50_importance_sampling",
-    "x52_token_rarity", "x54_pmi_pairs", "x55_last_touch_attribution",
-    "x57_incremental_agg", "x58_stream_stream_join",
-    "x59_media_resize_grid", "x60_streaming_upsert_sink",
-    # r4→r5 diff guards
-    "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
-    "x19_media_schema", "x20_media_features",
-    "x32_repetition_filter", "x39_similarity_batch_topk",
-    # oldest-green rotation: last driver row was r2 (two rounds stale)
-    "q13_weekend_cohort", "q14_date_parts", "q16_lag_gap_detection",
-    "q17_union_all_checks", "q18_cte_scalar_subquery",
-    "q19_view_over_join", "q20_deterministic_mode",
-    "q22_distinct_dedup", "q23_top_per_group",
-    "q24_between_range_scan", "x09_simhash_pairs",
+    # never driver-green: the r5 overflow registrations…
+    "x61_bpe_token_stats", "x62_seasonal_anomaly",
+    "x63_cross_source_dups", "x64_vocab_oov", "x65_rag_pipeline",
+    "x66_basket_pairs", "x67_rfm_segments", "x68_supplier_latency",
+    "x69_deletion_audit", "x70_late_data_audit",
+    "x71_fuzzy_entity_match", "x72_ab_test", "x73_histogram",
+    "x74_token_budget", "x75_hypertable_rollup",
+    "x76_rolling_distinct_users", "x77_skew_report",
+    "x78_correlation_report", "x79_pareto_analysis",
+    "x80_event_transitions", "x81_dedup_savings",
+    "x82_part_velocity", "x83_seasonal_index",
+    "x84_cohort_ltv_curves",
+    # …and this round's one new query
+    "x85_stream_stream_left_outer",
 ]
 _GUARDS = [
-    # headline bench queries (regressions must stay driver-visible);
-    # x32/x39/x42 are headline too, already in _ROTATED_IN
-    "pl03_dim_calendar", "pl06_fct_sales", "pl09_agg_country_day",
-    "q01_pricing_summary", "q02_monthly_revenue_by_nation",
-    "q15_forward_fill", "q21_multikey_star_agg", "x01_dedup_exact",
-    "x07_minhash_lsh_pairs", "x10_embedding_cosine_topk",
-    "x14_events_hourly", "x33_sequence_packing",
-    "x36_decontamination", "x40_robust_stats",
-    # next-oldest green rotation: last driver row was r3 (a04-a16
-    # yielded their slots to the round's 14 new registrations and
-    # re-enter in r6)
-    "a01_rollup",
-    "pl01_staging_retail", "pl08_fct_sales_eur",
+    # r5→r6 diff guards (changed code paths since their last green;
+    # x72 is already in-window via rule 1 above)
+    "x42_ann_batch_retrieval", "x26_dedup_clusters",
+    "x60_streaming_upsert_sink", "x12_similarity_lsh_topk",
+    "x44_bm25_search", "x46_cohort_retention",
+    # oldest-green re-entry: the r3-green block, oldest-first
+    "a02_cube", "a03_intersect_except", "a04_unpivot",
+    "a05_approx_aggregates", "a06_grouping_sets_sql",
+    "a07_merge_upsert", "a08_scd2_history", "a09_moving_average",
+    "a10_string_functions", "a11_window_rank_surface",
+    "a12_array_agg_surface", "a13_correlated_subqueries",
+    "a14_regex_surface", "a15_exact_percentiles",
+    "a16_correlated_avg_filter",
+    "pl11_validation", "q03_top_customers", "q12_ratio_nullif",
+    "q25_asof_join",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O
