@@ -200,12 +200,40 @@ def hierarchical_topk(
     )
 
 
+#: auto-resolution targets ~this many corpus vectors per LSH bucket,
+#: so the probed fraction (nprobe/2^bits) SHRINKS as the corpus grows
+#: and per-query scoring cost stays ~bucket_size·nprobe instead of a
+#: constant fraction of the corpus. Measured (r6, grow-mode data with
+#: ~k× distinct groups AND per-copy-perturbed vectors): corpus 2000 →
+#: bits 3/nprobe 3 (the driver-contract config, recall per the r5
+#: sweep); corpus 20000 → 6/9, 4.3 s, sample recall 12/12; corpus
+#: 60000 → 7/11, 16.3 s, sample recall 12/12 — vs 69 s at fixed
+#: bits=3 for the same 30× corpus (cost ratio = probed-fraction
+#: ratio). At every driver/test SF (corpus ≤ 2000) auto resolves to
+#: the registered 3/3, so the oracle contract and swept recall
+#: floors are unchanged.
+ANN_TARGET_BUCKET = 250
+
+
+def resolve_ann_resolution(n_corpus: int) -> tuple[int, int]:
+    """(bits, nprobe) for a corpus size: bits grows with the corpus
+    (bucket population ~ ANN_TARGET_BUCKET), nprobe grows 2 probes
+    per extra bit to hold recall (anchored by the measured points
+    above)."""
+    import math
+
+    bits = 3
+    if n_corpus > 2 * ANN_TARGET_BUCKET:
+        bits = max(3, int(math.floor(math.log2(n_corpus / ANN_TARGET_BUCKET))))
+    return bits, 3 + 2 * (bits - 3)
+
+
 def batch_ann_topk(
     emb: DataFrame,
     qset: DataFrame,
     k: int = 3,
-    bits: int = 4,
-    nprobe: int = 3,
+    bits: int | None = 4,
+    nprobe: int | None = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -226,7 +254,17 @@ def batch_ann_topk(
     construction; pair with the exact rank to measure (the x42
     driver contract does). Each corpus vector lives in exactly one
     bucket and a query's probe buckets are distinct, so no
-    per-(query, vector) duplicates arise."""
+    per-(query, vector) duplicates arise.
+
+    ``bits=None`` (with ``nprobe=None``) resolves both from the
+    corpus size via ``resolve_ann_resolution`` — one O(1) count()
+    driver probe, same class as the hyperplane collection below."""
+    if bits is None:
+        bits, auto_nprobe = resolve_ann_resolution(emb.count())
+        if nprobe is None:
+            nprobe = auto_nprobe
+    elif nprobe is None:
+        nprobe = 3 + 2 * (bits - 3)
     planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
     corpus = emb.withColumn("__b", _bucket_expr(vec_col, planes))
 

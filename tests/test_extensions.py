@@ -137,6 +137,38 @@ def test_batch_ann_topk_contract(spark, sf_dir):
         assert len(ids & exact_top[qid]) >= _X42_MIN_RECALL_HITS, (qid, ids)
 
 
+def test_ann_resolution_rule():
+    """Corpus-adaptive (bits, nprobe): pinned 3/3 at every driver/
+    test corpus size (<= 2000 vectors — the oracle-contract config),
+    growing with the corpus beyond so bucket population stays near
+    ANN_TARGET_BUCKET and the probed fraction shrinks."""
+    assert S.resolve_ann_resolution(500) == (3, 3)
+    assert S.resolve_ann_resolution(2000) == (3, 3)
+    # measured r6 anchor points (grow-mode corpora)
+    assert S.resolve_ann_resolution(20000) == (6, 9)
+    assert S.resolve_ann_resolution(60000) == (7, 11)
+    # monotone bits; bucket population stays within 2x of target
+    prev_bits = 3
+    for n in [4000, 8000, 100000, 1000000]:
+        bits, nprobe = S.resolve_ann_resolution(n)
+        assert bits >= prev_bits
+        prev_bits = bits
+        assert S.ANN_TARGET_BUCKET <= n / 2**bits < 2 * S.ANN_TARGET_BUCKET
+        assert nprobe == 3 + 2 * (bits - 3)
+
+
+def test_batch_ann_topk_auto_matches_pinned_at_test_sf(spark, sf_dir):
+    """bits=None resolves from the corpus count — at the test SFs
+    that must be exactly the pinned 3/3 frame."""
+    from duckdb_retail_pipeline_spark.queries.extensions import _x39_qset
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qset = _x39_qset(emb)
+    auto = S.batch_ann_topk(emb, qset, k=3, bits=None, nprobe=None).collect()
+    pinned = S.batch_ann_topk(emb, qset, k=3, bits=3, nprobe=3).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+
+
 def test_media_features_match_python_reference(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents").limit(20)
     media = M.documents_as_media(docs)
