@@ -340,11 +340,19 @@ def connected_components(
     among itself and its neighbors; fixpoint = every node carries its
     component's minimum id.
 
-    Each round is one equi-join + one groupBy-min — all hash
-    shuffles, no cross products — and the loop exits via a driver-side
-    convergence probe (limit-1 count), so rounds run ≤ graph diameter.
-    Near-dup graphs have tiny diameters (clusters are cliques-ish),
-    so 2-3 rounds is typical at any corpus size. Returns (node, lbl).
+    Each round is one neighbor-propagation equi-join + groupBy-min
+    followed by a POINTER-DOUBLING compression (label ← label's own
+    label, a second equi-join; labels only decrease and start at
+    self, so lbl(lbl(n)) <= lbl(n) — Shiloach-Vishkin-style pointer
+    jumping in the MapReduce formulation of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). All hash
+    shuffles, no cross products; the loop exits via a driver-side
+    convergence probe (limit-1 count). Without doubling, rounds =
+    graph diameter — chain-shaped near-dup clusters (grow-mode
+    replication builds one) took 15 rounds at a 55k-doc corpus;
+    with doubling the label gap halves every round: measured 5
+    rounds on the same graph (2-3 on cliques-ish corpora).
+    Returns (node, lbl).
 
     Lineage control: every round references the previous labels
     twice, so the logical plan doubles per iteration — persist()
@@ -366,10 +374,23 @@ def connected_components(
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("lbl")
         )
-        new_labels = (
+        hooked = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer doubling: every label is itself a node (labels start
+        # as node ids and only existing ids propagate), so its own
+        # label exists and is <= it — one inner self-join halves the
+        # node→component-min gap every round
+        new_labels = (
+            hooked.join(
+                hooked.select(
+                    F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+                ),
+                "lbl",
+            )
+            .select("node", F.col("lbl2").alias("lbl"))
             .localCheckpoint()
         )
         changed = (

@@ -2000,8 +2000,10 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_x26_oracle(),
     doc="Near-dup cluster assignment: connected components over the "
     "verified SimHash pair graph via iterative min-label propagation "
-    "(operators/dedup.py connected_components — equi-join + "
-    "groupBy-min per round, converges in ≤ diameter rounds), labeled "
+    "with pointer-doubling compression (operators/dedup.py "
+    "connected_components — neighbor equi-join + groupBy-min, then "
+    "label-of-label self-join per round; rounds ~ log(diameter), "
+    "measured 15 → 8 on the grow-mode chain graph), labeled "
     "by component-minimum doc id with cluster sizes. The iterative "
     "Spark computation is hash-checked against a recursive-CTE "
     "transitive closure. Memoized per (session, dataset) — x81's "

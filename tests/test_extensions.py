@@ -291,6 +291,24 @@ def test_connected_components_known_graph(spark, sf_dir):
     assert clusters[3] == (1, 3) and clusters[11] == (10, 2)
 
 
+def test_connected_components_chain_converges_logarithmically(spark, sf_dir):
+    """A 64-node chain has diameter 63 — plain min-label propagation
+    needs 63 rounds, so this converging within max_iters=15 pins the
+    pointer-doubling compression (label gap halves per round)."""
+    from duckdb_retail_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["lbl"]
+        for r in connected_components(pairs, max_iters=15).collect()
+    }
+    assert labels == {n: 1 for n in range(1, 65)}
+
+
 def test_udtf_lateral_tokenize(spark, sf_dir):
     """Python UDTF surface: SQL LATERAL expansion must agree with
     the JVM explode(tokens()) path on the same document."""
