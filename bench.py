@@ -40,12 +40,19 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"warmup {spec.name} failed: {exc}", file=sys.stderr)
 
+    # median of 3 timed passes per query: single-pass numbers showed
+    # ±50% run-to-run noise on the join-heavy queries (x66 measured
+    # 1.4-2.6 s across r6 runs), which swamps real round-over-round
+    # regressions; the median at ~20 queries costs ~25 extra seconds
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            spec.fn(spark, SF_DIR).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spec.fn(spark, SF_DIR).count()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[1], 4)
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0

@@ -138,6 +138,28 @@ def test_basket_pairs_no_cartesian(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
 
 
+def test_rolling_distinct_users_bounded_explode(spark, sf_dir):
+    """x76's sliding COUNT DISTINCT is a bounded 24-way explode into
+    an equi-keyed aggregate — a naive self-join on the time-range
+    predicate would plan as a nested-loop and die at 100 TB."""
+    df = REGISTRY["x76_rolling_distinct_users"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the bounded explode is the operator
+
+
+def test_stream_stream_left_outer_cutoff_is_broadcast(spark, sf_dir):
+    """x85's closed-click cutoff is a 1-row bound; the post-stream
+    filter must apply it via broadcast, never a shuffle."""
+    df = REGISTRY["x85_stream_stream_left_outer"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # 1-row cutoff frame joins as a broadcast nested loop (cross of
+    # exactly one row) or broadcast hash — never a sort-merge shuffle
+    assert "SortMergeJoin" not in plan
+
+
 def test_deletion_audit_broadcasts_deletion_set(spark, sf_dir):
     """x69's deletion set is request-table-sized; it must reach the
     events scan as a broadcast, never a shuffle of the fact side."""
