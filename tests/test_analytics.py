@@ -192,6 +192,24 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert len(streamed) > 0
 
 
+def test_stream_stream_left_outer_deterministic_and_gated(spark, sf_dir):
+    """x85's closed-click frame must be run-to-run deterministic
+    (fresh checkpoint each run — outer-null emission depends on
+    watermark progression, which the cutoff makes reproducible) and
+    must contain NULL rows for closed unmatched clicks while never
+    leaking a click inside the final watermark gap."""
+    a = REGISTRY["x85_stream_stream_left_outer"].fn(spark, sf_dir).collect()
+    b = REGISTRY["x85_stream_stream_left_outer"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    nulls = [r for r in a if r["purchase_id"] is None]
+    assert nulls, "closed unmatched clicks must emit exactly one NULL row"
+    # NULL rows carry no purchase payload
+    assert all(r["purchase_cents"] is None for r in nulls)
+    # every click appears once unmatched OR >=1 times matched, never both
+    matched = {r["click_id"] for r in a if r["purchase_id"] is not None}
+    assert all(r["click_id"] not in matched for r in nulls)
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The salt must spread a dominating key over multiple sub-keys
     (the bounded-partition property the docstring promises): with one
