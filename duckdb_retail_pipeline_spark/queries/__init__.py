@@ -39,9 +39,10 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # assignment memoized, shared with x81), x60 (replay-idempotent sink
 # rewrite late r5 + empty-source guard this round), x12 (recall
 # floor changed late r5), x44 (NULLIF guard late r5; x72's is
-# covered by rule 1), x46 (rewritten onto a window late r5).
-# Remaining 19 slots: the r3-green block re-enters oldest-first
-# (a02-a16, pl11, q03, q12, q25);
+# covered by rule 1), x46 (rewritten onto a window late r5), and the
+# two r6 in-round changes x09 (pair-graph memo) / x13 (argmax
+# assignment rewrite). Remaining 17 slots: the r3-green block
+# re-enters oldest-first (a02-a16, pl11, q03); q12/q25 and
 # x02-x04/x06/x08/x22/x23/x28/x29 carry to r7. Headline bench
 # queries outside the window are re-verified every round by the
 # local 134-query pytest oracle gate.
@@ -63,10 +64,16 @@ _ROTATED_IN = [
 ]
 _GUARDS = [
     # r5→r6 diff guards (changed code paths since their last green;
-    # x72 is already in-window via rule 1 above)
+    # x72 is already in-window via rule 1 above): x42 (bounded
+    # contract + adaptive bits), x26 (memoized clusters +
+    # pointer-doubling components), x60 (sink rewrite + empty-source
+    # guard), x12 (recall floor late r5), x44/x46 (late-r5 edits),
+    # x09 (shared pair-graph memo, r6), x13 (argmax assignment
+    # rewrite, r6 — displacing q12/q25 to r7 per rule order)
     "x42_ann_batch_retrieval", "x26_dedup_clusters",
     "x60_streaming_upsert_sink", "x12_similarity_lsh_topk",
     "x44_bm25_search", "x46_cohort_retention",
+    "x09_simhash_pairs", "x13_similarity_ivf_topk",
     # oldest-green re-entry: the r3-green block, oldest-first
     "a02_cube", "a03_intersect_except", "a04_unpivot",
     "a05_approx_aggregates", "a06_grouping_sets_sql",
@@ -75,8 +82,7 @@ _GUARDS = [
     "a12_array_agg_surface", "a13_correlated_subqueries",
     "a14_regex_surface", "a15_exact_percentiles",
     "a16_correlated_avg_filter",
-    "pl11_validation", "q03_top_customers", "q12_ratio_nullif",
-    "q25_asof_join",
+    "pl11_validation", "q03_top_customers",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

@@ -613,7 +613,11 @@ def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ANN top-k via IVF coarse quantization: deterministic seeds "
     "+ 2 Lloyd k-means refinement passes (distributed assign / "
     "per-dimension-mean update), nprobe=2 of 8 cells; assignment "
-    "join broadcasts the centroid table. Driver-hashed frame = exact "
+    "join broadcasts the centroid table. At 100 TB, n_cells grows "
+    "~sqrt(corpus) and centroids move from literal expressions to a "
+    "broadcast-joined table (the assignment argmax shape is "
+    "unchanged); the contract config stays pinned at 8 cells for "
+    "the swept recall floor. Driver-hashed frame = exact "
     "top-k + in-plan ANN contract booleans. Recall bound 8: measured "
     "9-10/10 across all SFs (r5), bound one hit under the floor for "
     "data-regeneration headroom — any real index regression (cell "
