@@ -2715,9 +2715,17 @@ def x84_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(ts AS TIMESTAMP) AS purchase_ts, value
             FROM events WHERE event_type = 'purchase'
         ), cut AS (
-            SELECT LEAST((SELECT MAX(click_ts) FROM c),
-                         (SELECT MAX(purchase_ts) FROM p))
-                   - INTERVAL 2 HOUR - INTERVAL 60 SECOND AS cutoff
+            -- NULL (empty frame) when either side is empty: LEAST
+            -- skips NULLs in both engines, but an idle stream side
+            -- never advances the global watermark, so no outer rows
+            -- would ever emit -- the closed-click frame must be
+            -- empty too
+            SELECT CASE WHEN (SELECT MAX(click_ts) FROM c) IS NOT NULL
+                         AND (SELECT MAX(purchase_ts) FROM p) IS NOT NULL
+                   THEN LEAST((SELECT MAX(click_ts) FROM c),
+                              (SELECT MAX(purchase_ts) FROM p))
+                        - INTERVAL 2 HOUR - INTERVAL 60 SECOND
+                   END AS cutoff
         )
         SELECT c.user_id, c.click_id, p.purchase_id,
                CAST(ROUND(p.value * 100, 0) AS BIGINT) AS purchase_cents
@@ -2798,14 +2806,18 @@ def x85_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic closed-click cutoff from the BATCH table (1-row
     # broadcast, no driver round-trip)
     ev = tbl(spark, sf_dir, "events")
+    mc = F.max(F.when(F.col("event_type") == "click", F.col("ts")))
+    mp = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    # cutoff is NULL (frame empty) when either side is empty: least()
+    # skips NULLs, but an idle stream side never advances the global
+    # watermark, so the stream would emit no outer rows — the batch
+    # oracle must agree (see the SQL twin's CASE)
     bounds = ev.agg(
-        (
-            F.least(
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-            )
+        F.when(
+            mc.isNotNull() & mp.isNotNull(),
+            F.least(mc, mp)
             - F.expr("INTERVAL 2 HOURS")
-            - F.expr("INTERVAL 60 SECONDS")
+            - F.expr("INTERVAL 60 SECONDS"),
         ).alias("cutoff")
     )
     return (
