@@ -178,7 +178,16 @@ def hierarchical_topk(
     window partition ever holds a corpus-sized slice — the failure
     mode of a naive rank-over-query partition at 100 TB. Provably
     identical to the flat rank: any global top-k row is top-k within
-    its shard. Ties break on id ascending (total order)."""
+    its shard. Ties break on id ascending (total order).
+
+    Scale rule for ``n_shards``: a local partition holds
+    ~candidates-per-query / n_shards rows, so size n_shards =
+    expected candidates / target-partition-rows (e.g. ~1M). The
+    default 64 covers every registered caller: the ANN paths feed
+    bounded candidate sets (~bucket·nprobe per query) and the exact
+    x39 baseline is itself the documented O(|Q|·corpus) boundary
+    whose escape is x42. The result is n_shards-invariant, so
+    re-sharding never changes a hash."""
     from pyspark.sql import Window
 
     shard = F.crc32(F.col(id_col).cast("string")) % n_shards
