@@ -548,3 +548,57 @@ def test_hyperplane_band_keys_bitwise_match_oracle(spark, duck, sf_dir):
     )
     duck_keys = {(r[0], r[1]): r[2] for r in duck.execute(arms).fetchall()}
     assert spark_keys == duck_keys
+
+
+def test_connected_components_matches_union_find_property(spark, sf_dir):
+    """Property probe: on random edge lists the distributed
+    pointer-doubling components must agree exactly with a driver-side
+    union-find (labels = component minimum)."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find_min_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comps = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        return {
+            n: min(members)
+            for members in comps.values()
+            for n in members
+        }
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=60),
+                st.integers(min_value=0, max_value=60),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def prop(edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["lbl"] for r in connected_components(pairs).collect()
+        }
+        assert got == union_find_min_labels(edges), edges
+
+    prop()
