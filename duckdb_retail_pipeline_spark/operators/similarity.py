@@ -89,6 +89,11 @@ def lsh_topk(
     measure (tests and the x12 driver contract do). Candidate cost
     scales with nprobe/2^bits of the corpus — the probe list is a
     driver-side O(nprobe) int list, never a scan."""
+    if nprobe > bits + 1:
+        raise ValueError(
+            f"nprobe={nprobe} unrealizable with bits={bits}: at most "
+            f"bits+1={bits + 1} distinct single-bit-flip probes exist"
+        )
     planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
     bucketed = emb.withColumn("__bucket", _bucket_expr(vec_col, planes))
 
@@ -215,10 +220,12 @@ def hierarchical_topk(
 #: constant fraction of the corpus. Measured (r6, grow-mode data with
 #: ~k× distinct groups AND per-copy-perturbed vectors): corpus 2000 →
 #: bits 3/nprobe 3 (the driver-contract config, recall per the r5
-#: sweep); corpus 20000 → 6/9, 4.3 s, sample recall 12/12; corpus
-#: 60000 → 7/11, 16.3 s, sample recall 12/12 — vs 69 s at fixed
+#: sweep); corpus 20000 → 6/7, 4.3 s, sample recall 12/12; corpus
+#: 60000 → 7/8, 16.3 s, sample recall 12/12 — vs 69 s at fixed
 #: bits=3 for the same 30× corpus (cost ratio = probed-fraction
-#: ratio). At every driver/test SF (corpus ≤ 2000) auto resolves to
+#: ratio; nprobe is capped at bits+1, the realizable single-bit-flip
+#: probe count — the measurements above ran at exactly these capped
+#: values). At every driver/test SF (corpus ≤ 2000) auto resolves to
 #: the registered 3/3, so the oracle contract and swept recall
 #: floors are unchanged.
 ANN_TARGET_BUCKET = 250
@@ -227,14 +234,18 @@ ANN_TARGET_BUCKET = 250
 def resolve_ann_resolution(n_corpus: int) -> tuple[int, int]:
     """(bits, nprobe) for a corpus size: bits grows with the corpus
     (bucket population ~ ANN_TARGET_BUCKET), nprobe grows 2 probes
-    per extra bit to hold recall (anchored by the measured points
-    above)."""
+    per extra bit to hold recall — CAPPED at bits + 1, the number of
+    realizable probes in the single-bit-flip probe structure (base
+    bucket + one flip per plane; an r6 review found the uncapped
+    formula silently truncated in the probe slice above bits=4, so
+    the measured grow-mode anchors are the capped values: corpus
+    20000 → (6, 7), 60000 → (7, 8), sample recall 12/12 both)."""
     import math
 
     bits = 3
     if n_corpus > 2 * ANN_TARGET_BUCKET:
         bits = max(3, int(math.floor(math.log2(n_corpus / ANN_TARGET_BUCKET))))
-    return bits, 3 + 2 * (bits - 3)
+    return bits, min(3 + 2 * (bits - 3), bits + 1)
 
 
 def batch_ann_topk(
@@ -273,7 +284,16 @@ def batch_ann_topk(
         if nprobe is None:
             nprobe = auto_nprobe
     elif nprobe is None:
-        nprobe = 3 + 2 * (bits - 3)
+        nprobe = min(3 + 2 * (bits - 3), bits + 1)
+    if nprobe > bits + 1:
+        # the probe list is the base bucket + single-bit flips, so
+        # only bits+1 distinct probes exist — fail loudly instead of
+        # silently truncating the flip slice (r6 review finding)
+        raise ValueError(
+            f"nprobe={nprobe} unrealizable with bits={bits}: the "
+            f"single-bit-flip probe structure yields at most bits+1="
+            f"{bits + 1} distinct probes"
+        )
     planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
     corpus = emb.withColumn("__b", _bucket_expr(vec_col, planes))
 

@@ -56,19 +56,18 @@ LAYER_ORDER = (
 # calls below would register duplicate entries and recompute instead
 # of hitting memory. Memoizing the DataFrames themselves is the
 # engine analogue of the reference's persistent staging tables.
-_LAYERS_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# memo.dataset_memo handles keying, mtime invalidation, and
+# unpersisting superseded entries (shared with the dedup family).
 
 
 def build_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Phase 1-4 of the reference pipeline as one declarative DAG,
     memoized per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    memo = _LAYERS_MEMO.get(key)
-    if memo is not None:
-        return memo
-    layers = _build_layers_uncached(spark, sf_dir)
-    _LAYERS_MEMO[key] = layers
-    return layers
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    return dataset_memo(
+        spark, sf_dir, "build_layers", lambda: _build_layers_uncached(spark, sf_dir)
+    )
 
 
 def _build_layers_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

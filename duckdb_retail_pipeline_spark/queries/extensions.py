@@ -1759,7 +1759,8 @@ def _x42_oracle() -> str:
     "grows with the corpus so bucket population — and per-query "
     "scoring cost — stays ~constant; resolves to the pinned 3/3 at "
     "every driver/test SF, and at 10x/30x grow-mode corpora "
-    "resolves 6/9 and 7/11 with sample recall 12/12 both and 4.3 s "
+    "resolves 6/7 and 7/8 (nprobe capped at the realizable bits+1 "
+    "single-bit probes) with sample recall 12/12 both and 4.3 s "
     "/ 16.3 s runtime vs 7.3 s / 69 s at fixed 3/3.",
     headline=True,
     tags=("similarity", "vectors", "window"),
@@ -1768,8 +1769,13 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     qset = _x39_qset(emb)
     # bits=None → corpus-adaptive resolution (resolves to the pinned
-    # _X42_BITS/_X42_NPROBE = 3/3 at every driver/test SF)
-    ann = S.batch_ann_topk(emb, qset, k=3, bits=None, nprobe=None)
+    # _X42_BITS/_X42_NPROBE = 3/3 at every driver/test SF). The ANN
+    # result feeds TWO aggregations below (sampled contract +
+    # cardinality contract); it is |Q|·k rows, so persist it rather
+    # than evaluate the candidate join + double rank twice (r6
+    # review: the unpersisted plan doubled the operator cost the
+    # bench exists to track)
+    ann = S.batch_ann_topk(emb, qset, k=3, bits=None, nprobe=None).persist()
 
     # BOUNDED exact side: O(sample·corpus), constant in |Q| — the r5
     # verdict found the full exact re-derivation was ~90% of the
@@ -1977,16 +1983,14 @@ def _x26_oracle() -> str:
     """
 
 
-# One cluster assignment per (session, dataset), shared by x26 (the
-# assignment itself) and x81 (the savings report over it) — the
-# build_layers memo pattern: without it x81 re-runs the SimHash pair
+# One pair graph + one cluster assignment per (session, dataset) —
+# shared by x09 (the pairs), x26 (the assignment) and x81 (the
+# savings report): without the memos x81 re-ran the SimHash pair
 # graph + iterative components from scratch (measured 16.7 s at
 # sf0.1), the most expensive recompute in the registry, for a report
-# that is one narrow groupBy over x26's output.
-_CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
-
-
-_SIMHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# that is one narrow groupBy over x26's output. memo.dataset_memo
+# handles keying, mtime invalidation, and unpersisting superseded
+# entries.
 
 
 def simhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,29 +1999,28 @@ def simhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir) and persisted — the most expensive recomputed
     intermediate in the dedup family (31 s at a 55k-doc corpus:
     shingle → signature → banding join → hamming verify)."""
-    import os
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    memo = _SIMHASH_PAIRS_MEMO.get(key)
-    if memo is None:
-        memo = D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6).persist()
-        _SIMHASH_PAIRS_MEMO[key] = memo
-    return memo
+    return dataset_memo(
+        spark,
+        sf_dir,
+        "simhash_pair_graph",
+        lambda: D.simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=6).persist(),
+    )
 
 
 def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup cluster assignment over the augmented corpus
     (x26's frame), memoized per (session, sf_dir) and persisted so
     every consumer after the first reads the materialized labels."""
-    import os
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    memo = _CLUSTERS_MEMO.get(key)
-    if memo is None:
-        pairs = simhash_pair_graph(spark, sf_dir)
-        memo = D.dedup_clusters(pairs).persist()
-        _CLUSTERS_MEMO[key] = memo
-    return memo
+    return dataset_memo(
+        spark,
+        sf_dir,
+        "dedup_cluster_assignment",
+        lambda: D.dedup_clusters(simhash_pair_graph(spark, sf_dir)).persist(),
+    )
 
 
 @register(

@@ -260,10 +260,12 @@ def stream_upsert_daily_totals(
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
     # an empty/globless source commits zero micro-batches, so no
     # batch=* partition exists — return an empty frame with the output
-    # schema instead of letting the read raise PATH_NOT_FOUND
+    # schema instead of letting the read raise PATH_NOT_FOUND.
+    # glob.escape: a dest_path containing glob metacharacters ([]?*)
+    # must not make a populated sink look empty (r6 review finding)
     import glob as _glob
 
-    if not _glob.glob(os.path.join(dest_path, "batch=*")):
+    if not _glob.glob(os.path.join(_glob.escape(dest_path), "batch=*")):
         return spark.createDataFrame(
             [], "day date, event_type string, n_events bigint, total_value double"
         )

@@ -144,17 +144,35 @@ def test_ann_resolution_rule():
     ANN_TARGET_BUCKET and the probed fraction shrinks."""
     assert S.resolve_ann_resolution(500) == (3, 3)
     assert S.resolve_ann_resolution(2000) == (3, 3)
-    # measured r6 anchor points (grow-mode corpora)
-    assert S.resolve_ann_resolution(20000) == (6, 9)
-    assert S.resolve_ann_resolution(60000) == (7, 11)
-    # monotone bits; bucket population stays within 2x of target
+    # measured r6 anchor points (grow-mode corpora); nprobe caps at
+    # bits+1 — the realizable single-bit-flip probe count
+    assert S.resolve_ann_resolution(20000) == (6, 7)
+    assert S.resolve_ann_resolution(60000) == (7, 8)
+    # monotone bits; bucket population stays within 2x of target;
+    # every resolved nprobe is realizable
     prev_bits = 3
     for n in [4000, 8000, 100000, 1000000]:
         bits, nprobe = S.resolve_ann_resolution(n)
         assert bits >= prev_bits
         prev_bits = bits
         assert S.ANN_TARGET_BUCKET <= n / 2**bits < 2 * S.ANN_TARGET_BUCKET
-        assert nprobe == 3 + 2 * (bits - 3)
+        assert nprobe == min(3 + 2 * (bits - 3), bits + 1)
+        assert nprobe <= bits + 1
+
+
+def test_batch_ann_topk_rejects_unrealizable_nprobe(spark, sf_dir):
+    """More probes than bits+1 cannot exist in the single-bit-flip
+    structure; the operator must fail loudly, not truncate."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.queries.extensions import _x39_qset
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="unrealizable"):
+        S.batch_ann_topk(emb, _x39_qset(emb), k=3, bits=3, nprobe=5)
+    q = [0.0] * 64
+    with pytest.raises(ValueError, match="unrealizable"):
+        S.lsh_topk(emb, q, k=10, bits=4, nprobe=6)
 
 
 def test_batch_ann_topk_auto_matches_pinned_at_test_sf(spark, sf_dir):
