@@ -5,8 +5,9 @@ pattern used by the pipeline layer DAG and the dedup family — three
 hand-rolled copies of the key recipe had diverged (r6 review), and
 none invalidated on dataset change or unpersisted superseded entries.
 
-Key = (applicationId, abspath(sf_dir), tag, max parquet mtime under
-sf_dir). Including the mtime means a dataset regenerated IN-SESSION
+Key = (applicationId, abspath(sf_dir), tag) with a per-file (name,
+mtime, size) dataset signature. Including the signature means a
+dataset regenerated IN-SESSION
 under the same path (tools/scale_testdata.py, a re-seeded test
 fixture) rebuilds instead of silently serving the stale persisted
 result; the superseded entry's DataFrames are unpersisted so cached
@@ -23,21 +24,25 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-# (appId, path, tag) -> (mtime_signature, value)
-_MEMO: dict[tuple[str, str, str], tuple[float, Any]] = {}
+# (appId, path, tag) -> (dataset_signature, value)
+_MEMO: dict[tuple[str, str, str], tuple[frozenset, Any]] = {}
 
 
-def _mtime_signature(sf_dir: str) -> float:
-    """Max mtime of the dataset's parquet files (0.0 if none)."""
-    sig = 0.0
+def _mtime_signature(sf_dir: str) -> frozenset:
+    """Per-file (name, mtime, size) set of the dataset's parquet
+    files — a max-mtime scalar would miss deletions and
+    mtime-preserving swaps (mv / rsync -a / tar -x of a pre-built
+    dir), serving stale persisted frames."""
+    sig = []
     try:
         with os.scandir(sf_dir) as it:
             for entry in it:
                 if entry.name.endswith(".parquet"):
-                    sig = max(sig, entry.stat().st_mtime)
+                    st = entry.stat()
+                    sig.append((entry.name, st.st_mtime, st.st_size))
     except OSError:
         pass
-    return sig
+    return frozenset(sig)
 
 
 def _unpersist(value: Any) -> None:

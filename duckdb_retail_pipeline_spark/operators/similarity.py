@@ -231,6 +231,15 @@ def hierarchical_topk(
 ANN_TARGET_BUCKET = 250
 
 
+def nprobe_for_bits(bits: int) -> int:
+    """nprobe for an index resolution: 2 extra probes per bit above
+    the base 3, capped at bits + 1 — the realizable probe count in
+    the single-bit-flip structure. The ONE source of truth for both
+    auto-resolution and the explicit-bits default (they drifted
+    silently before being factored here)."""
+    return min(3 + 2 * (bits - 3), bits + 1)
+
+
 def resolve_ann_resolution(n_corpus: int) -> tuple[int, int]:
     """(bits, nprobe) for a corpus size: bits grows with the corpus
     (bucket population ~ ANN_TARGET_BUCKET), nprobe grows 2 probes
@@ -245,7 +254,7 @@ def resolve_ann_resolution(n_corpus: int) -> tuple[int, int]:
     bits = 3
     if n_corpus > 2 * ANN_TARGET_BUCKET:
         bits = max(3, int(math.floor(math.log2(n_corpus / ANN_TARGET_BUCKET))))
-    return bits, min(3 + 2 * (bits - 3), bits + 1)
+    return bits, nprobe_for_bits(bits)
 
 
 def batch_ann_topk(
@@ -284,7 +293,7 @@ def batch_ann_topk(
         if nprobe is None:
             nprobe = auto_nprobe
     elif nprobe is None:
-        nprobe = min(3 + 2 * (bits - 3), bits + 1)
+        nprobe = nprobe_for_bits(bits)
     if nprobe > bits + 1:
         # the probe list is the base bucket + single-bit flips, so
         # only bits+1 distinct probes exist — fail loudly instead of

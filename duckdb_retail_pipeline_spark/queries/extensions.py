@@ -1694,6 +1694,9 @@ _X42_NPROBE = 3
 # contract (every query returned k rows) is aggregated from the full
 # ANN output — only the score-exactness/recall booleans are sampled.
 _X42_CONTRACT_SAMPLE = 4
+# one-slot rotating cache for x42's persisted ANN frame (see the
+# persist note in the function body)
+_X42_ANN_SLOT: list = []
 
 
 def _x42_oracle() -> str:
@@ -1774,8 +1777,14 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cardinality contract); it is |Q|·k rows, so persist it rather
     # than evaluate the candidate join + double rank twice (r6
     # review: the unpersisted plan doubled the operator cost the
-    # bench exists to track)
+    # bench exists to track). SQL-cache entries are not GC-cleaned,
+    # so rotate: each call unpersists the previous call's frame —
+    # at most one pinned entry however many times bench/pytest
+    # re-invoke the query.
     ann = S.batch_ann_topk(emb, qset, k=3, bits=None, nprobe=None).persist()
+    if _X42_ANN_SLOT:
+        _X42_ANN_SLOT.pop().unpersist()
+    _X42_ANN_SLOT.append(ann)
 
     # BOUNDED exact side: O(sample·corpus), constant in |Q| — the r5
     # verdict found the full exact re-derivation was ~90% of the

@@ -221,6 +221,17 @@ def stream_upsert_daily_totals(
     restart-recovery path); by default each call gets a fresh
     checkpoint dir.
     """
+    # Hadoop path resolution glob-interprets load paths, so a
+    # dest_path containing glob metacharacters cannot be re-read
+    # safely after the write (PATH_NOT_FOUND, or silently reading a
+    # SIBLING directory that matches the character class — r6 review,
+    # reproduced). Fail fast before any work instead of writing a
+    # sink that cannot be read back.
+    if any(ch in dest_path for ch in "*?[]{}"):
+        raise ValueError(
+            f"dest_path {dest_path!r} contains glob metacharacters; "
+            "Hadoop path resolution cannot address it unambiguously"
+        )
 
     reader = spark.readStream.schema(
         spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
@@ -260,12 +271,12 @@ def stream_upsert_daily_totals(
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
     # an empty/globless source commits zero micro-batches, so no
     # batch=* partition exists — return an empty frame with the output
-    # schema instead of letting the read raise PATH_NOT_FOUND.
-    # glob.escape: a dest_path containing glob metacharacters ([]?*)
-    # must not make a populated sink look empty (r6 review finding)
+    # schema instead of letting the read raise PATH_NOT_FOUND
+    # (dest_path is metachar-free per the entry guard, so the plain
+    # glob probe is unambiguous)
     import glob as _glob
 
-    if not _glob.glob(os.path.join(_glob.escape(dest_path), "batch=*")):
+    if not _glob.glob(os.path.join(dest_path, "batch=*")):
         return spark.createDataFrame(
             [], "day date, event_type string, n_events bigint, total_value double"
         )

@@ -420,3 +420,17 @@ def test_profiling_row_per_column(spark, sf_dir):
     assert rows["o_orderkey"]["n_distinct"] == n
     assert rows["o_orderkey"]["n_null"] == 0
     assert rows["o_orderkey"]["min_i"] <= rows["o_orderkey"]["max_i"]
+
+
+def test_streaming_upsert_rejects_glob_metachar_dest(spark, sf_dir, tmp_path):
+    """Hadoop glob-interprets load paths, so a metacharacter
+    dest_path cannot be read back unambiguously after the write —
+    the sink must fail fast instead."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    with pytest.raises(ValueError, match="glob metacharacters"):
+        SE.stream_upsert_daily_totals(
+            spark, sf_dir, str(tmp_path / "out[1]")
+        )
