@@ -2,8 +2,16 @@
 
 Everything here is built from Spark's higher-order functions
 (``zip_with`` / ``aggregate`` / ``transform``) — JVM-side, no Python
-in the row path, so brute-force similarity scans stay inside
-whole-stage codegen and scale linearly with executors.
+in the row path. HOF lambdas are CodegenFallback (interpreted per
+element), which the r6 100× profile measured at ~23 µs per 64-dim
+cosine; an unrolled per-element product chain was tried and was
+SLOWER (the 384-term generated method trips the huge-method codegen
+fallback), so the scaling lever is algebraic instead: batch scorers
+hoist the per-SIDE norms out of the pair loop with
+``cosine_from_parts`` (dot stays per-pair; norms are computed once
+per row per side) — 2× measured on an 800k-pair scan, value-
+identical because the same norm expression over the same array
+yields the same double and the division structure is unchanged.
 
 Elements are cast to double before any arithmetic so results match a
 double-precision SQL oracle bit-for-bit (modulo summation order;
@@ -35,6 +43,19 @@ def norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def cosine_from_parts(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+) -> Column:
+    """Cosine with PRE-COMPUTED side norms — the batch-scoring form:
+    computing ``cosine_similarity`` per (query, corpus) pair
+    re-derives each side's norm once per PAIR (an 800k-pair scan at
+    the 100× corpus spent 2/3 of its time on redundant norms);
+    hoisting them to one norm per row per side before the join is
+    value-identical (same expression over the same array → the same
+    double; identical division structure) and 2× faster measured."""
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

@@ -304,7 +304,9 @@ def batch_ann_topk(
             f"{bits + 1} distinct probes"
         )
     planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
-    corpus = emb.withColumn("__b", _bucket_expr(vec_col, planes))
+    corpus = emb.withColumn("__b", _bucket_expr(vec_col, planes)).withColumn(
+        "__nb", V.norm(vec_col)
+    )
 
     # per-query bucket + probe list, all JVM expressions
     dot_structs = F.array(
@@ -331,7 +333,14 @@ def batch_ann_topk(
         )
     else:
         probes = F.array(F.col("__qb"))
-    probed = q.select("query_id", "qvec", F.explode(probes).alias("__probe"))
+    # query norms hoisted into the broadcast side (one per query, not
+    # one per candidate pair — cosine_from_parts, value-identical)
+    probed = q.select(
+        "query_id",
+        "qvec",
+        V.norm("qvec").alias("__na"),
+        F.explode(probes).alias("__probe"),
+    )
 
     cand = corpus.join(
         F.broadcast(probed), F.col("__b") == F.col("__probe")
@@ -339,7 +348,12 @@ def batch_ann_topk(
     scored = cand.select(
         "query_id",
         F.col(id_col),
-        F.round(V.cosine_similarity(F.col(vec_col), F.col("qvec")), 4).alias("cosine"),
+        F.round(
+            V.cosine_from_parts(
+                F.col(vec_col), F.col("qvec"), F.col("__na"), F.col("__nb")
+            ),
+            4,
+        ).alias("cosine"),
     )
     return hierarchical_topk(scored, k, id_col=id_col)
 
