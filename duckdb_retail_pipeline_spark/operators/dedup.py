@@ -317,12 +317,30 @@ def embedding_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # side norms hoisted out of the pair verify (one per vector, not
+    # one per candidate pair — V.cosine_from_parts, value-identical)
+    va = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        V.norm(vec_col).alias("__na"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        V.norm(vec_col).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(V.cosine_similarity("v_a", "v_b"), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                V.cosine_from_parts(
+                    F.col("v_a"), F.col("v_b"), F.col("__na"), F.col("__nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
