@@ -620,3 +620,32 @@ def test_connected_components_matches_union_find_property(spark, sf_dir):
         assert got == union_find_min_labels(edges), edges
 
     prop()
+
+
+def test_cosine_from_parts_bit_identical(spark, sf_dir):
+    """The hoisted-norm cosine must equal the inline-norm cosine
+    BIT-FOR-BIT (not just at the rounded compare precision): the
+    same norm expression over the same array yields the same double,
+    and the division structure is unchanged — this is the invariant
+    the batch-scorer hoisting rests on."""
+    import struct
+
+    from duckdb_retail_pipeline_spark.functions import vectors as V
+
+    emb = tbl(spark, sf_dir, "embeddings").limit(50)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    rows = pairs.select(
+        "id_a",
+        "id_b",
+        V.cosine_similarity("v_a", "v_b").alias("inline"),
+        V.cosine_from_parts(
+            F.col("v_a"), F.col("v_b"), V.norm("v_a"), V.norm("v_b")
+        ).alias("hoisted"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert struct.pack("d", r["inline"]) == struct.pack("d", r["hoisted"]), (
+            r["id_a"], r["id_b"],
+        )
