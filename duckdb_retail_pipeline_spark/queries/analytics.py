@@ -23,6 +23,7 @@ from duckdb_retail_pipeline_spark.queries.base import (
     floor_ratio,
     money_sum,
     register,
+    rotating_persist,
     sql_dround,
     sql_floor_ratio,
     sql_money_sum,
@@ -111,6 +112,10 @@ def x43_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- x44
 _X44_TERMS = ("join", "vector", "slow")
+# one-slot rotating cache for x44's tokenized per-doc frame (feeds
+# the stats aggregate AND the scored scan — unpersisted, the regex
+# tokenization ran twice per action)
+_X44_TF_SLOT: list = []
 _X44_K1 = 1.2
 _X44_B = 0.75
 
@@ -189,6 +194,10 @@ def x44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("dl"),
         *[tf_expr(term).alias(f"tf_{term}") for term in _X44_TERMS],
     )
+    # t feeds the corpus-stats aggregate AND the scored scan; it is
+    # a narrow integer frame (doc_id, dl, 3 tfs), so persist it
+    # rather than re-run the regex tokenization per consumer
+    t = rotating_persist(t, _X44_TF_SLOT)
     stats = t.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),

@@ -73,6 +73,28 @@ def register(
     return deco
 
 
+def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
+    """Persist ``df``, unpersisting the slot's previous occupant —
+    for queries whose intermediate feeds MULTIPLE aggregations in
+    one plan (Spark does not dedupe common subplans, so the
+    unpersisted form evaluates the expensive upstream twice), while
+    SQL-cache entries are never GC-cleaned: each call site keeps at
+    most ONE pinned entry however often bench/pytest re-invoke it.
+    Pass a module-level one-element list as ``slot``.
+
+    Order matters: unpersist the PREVIOUS occupant before persisting
+    the new frame. A repeat invocation builds a plan that
+    canonicalizes equal to the cached one, so persist-then-unpersist
+    would register a no-op and then DROP the shared entry — leaving
+    every repeat run uncached (measured: x44 repeats regressed to
+    the tokenize-twice cost until this flip)."""
+    if slot:
+        slot.pop().unpersist()
+    df = df.persist()
+    slot.append(df)
+    return df
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from duckdb_retail_pipeline_spark.catalog import load_table
 

@@ -32,6 +32,7 @@ from duckdb_retail_pipeline_spark.queries.base import (
     dround,
     floor_ratio,
     register,
+    rotating_persist,
     sql_dround,
     sql_floor_ratio,
     sql_money_sum,
@@ -1791,10 +1792,9 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so rotate: each call unpersists the previous call's frame —
     # at most one pinned entry however many times bench/pytest
     # re-invoke the query.
-    ann = S.batch_ann_topk(emb, qset, k=3, bits=None, nprobe=None).persist()
-    if _X42_ANN_SLOT:
-        _X42_ANN_SLOT.pop().unpersist()
-    _X42_ANN_SLOT.append(ann)
+    ann = rotating_persist(
+        S.batch_ann_topk(emb, qset, k=3, bits=None, nprobe=None), _X42_ANN_SLOT
+    )
 
     # BOUNDED exact side: O(sample·corpus), constant in |Q| — the r5
     # verdict found the full exact re-derivation was ~90% of the
