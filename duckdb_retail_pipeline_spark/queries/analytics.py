@@ -1369,6 +1369,13 @@ def x65_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- x66
 _X66_MIN_SUPPORT = 2
 _X66_TOPK = 25
+# NOTE (r6): persisting the distinct (order, part) frame was tried
+# and REVERTED — its four consumers all sit behind the distinct's
+# exchange, which Spark already dedupes via ReusedExchange, so the
+# cache only added materialization overhead (warm 1.7 s → 2.4 s at
+# sf0.1). rotating_persist pays off only when the duplicated work
+# is PRE-exchange (x44's regex scan) or not exchange-shaped at all
+# (x42's broadcast-join + window chain).
 
 
 @register(
