@@ -1,27 +1,49 @@
 """Vector math over ``array<float>`` embedding columns.
 
-Everything here is built from Spark's higher-order functions
-(``zip_with`` / ``aggregate`` / ``transform``) — JVM-side, no Python
-in the row path. HOF lambdas are CodegenFallback (interpreted per
-element), which the r6 100× profile measured at ~23 µs per 64-dim
-cosine; an unrolled per-element product chain was tried and was
-SLOWER (the 384-term generated method trips the huge-method codegen
-fallback), so the scaling lever is algebraic instead: batch scorers
-hoist the per-SIDE norms out of the pair loop with
-``cosine_from_parts`` (dot stays per-pair; norms are computed once
-per row per side) — 2× measured on an 800k-pair scan, value-
-identical because the same norm expression over the same array
-yields the same double and the division structure is unchanged.
+Two interchangeable dot-product kernels, BIT-IDENTICAL by
+construction:
 
-Elements are cast to double before any arithmetic so results match a
-double-precision SQL oracle bit-for-bit (modulo summation order;
-callers round before hashing).
+  HOF   — ``zip_with``/``aggregate``: JVM-side but CodegenFallback
+          (interpreted per element; the r6 100× profile measured
+          ~23 µs per 64-dim cosine — the single largest throughput
+          tax in the pair-scoring family). An unrolled per-element
+          product chain was tried and was SLOWER (the 384-term
+          generated method trips the huge-method codegen fallback).
+  Arrow — a vectorized ``pandas_udf`` that preserves the HOF fold's
+          EXACT IEEE operation sequence: the accumulation loops
+          sequentially over dimensions (``acc = acc + a_i * b_i``,
+          one multiply-rounding then one add-rounding per step, same
+          operand order, same float→double widening) but each step
+          is a numpy elementwise op vectorized ACROSS THE ROW BATCH.
+          Per-pair result is therefore bit-identical to the HOF fold
+          — and to DuckDB's ``list_sum(list_transform(list_zip(…)))``
+          oracle twin — while the per-element cost drops from the
+          expression-interpreter tax to a fused numpy loop
+          (r7 measurement: see ROADMAP). NULL/ragged rows degrade to
+          the HOF semantics (NULL result); a genuinely-NaN dot also
+          maps to NULL under Arrow (pyarrow from_pandas), which no
+          registered dataset can produce (finite synthetic floats).
+
+``SPARK_GRAFT_HOF_DOT=1`` forces the HOF kernel (escape hatch +
+differential testing); ``dot_hof``/``norm_hof`` stay exported for
+the bit-identity tests.
+
+The algebraic lever is kernel-independent: batch scorers hoist the
+per-SIDE norms out of the pair loop with ``cosine_from_parts``
+(norms computed once per row per side) — 2× measured on an 800k-pair
+scan, value-identical.
 """
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _d(col: Column | str) -> Column:
@@ -29,15 +51,124 @@ def _d(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product of two equal-length numeric arrays."""
+def _c(col: Column | str) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def _use_arrow() -> bool:
+    return os.environ.get("SPARK_GRAFT_HOF_DOT", "") != "1"
+
+
+# -- Arrow kernel ----------------------------------------------------------
+#
+# The kernel functions are deliberately NESTED (not module-level):
+# cloudpickle serializes module-level functions BY REFERENCE, so an
+# executor Python worker would try `import duckdb_retail_pipeline_
+# spark` — which fails when the driver found the package via a
+# sys.path.insert the workers don't inherit (exactly how the round
+# driver runs). Closures are pickled by value and only reference
+# worker-importable modules (numpy/pandas) — the same convention as
+# every mapInPandas/applyInPandas operator in this package.
+
+
+def _build_arrow_kernels():
+    def fold_rows(A, B):
+        # Left-fold dot over dimension index, vectorized across rows:
+        # per pair the op sequence is exactly acc = acc + (a_i * b_i)
+        # in ascending i — the HOF fold's IEEE rounding sequence.
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return acc
+
+    def fold_rows_sq(A, B):
+        # Same fold for squared differences (l2): acc + (d * d) with
+        # d = a_i − b_i — the zip_with (x−y)*(x−y) sequence.
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            d = A[:, i] - B[:, i]
+            acc = acc + d * d
+        return acc
+
+    def pairwise(a, b, fold):
+        av, bv = a.to_numpy(), b.to_numpy()
+        n = len(av)
+        out = np.full(n, np.nan, dtype=np.float64)
+        # valid = both present and equal length (zip_with pads a
+        # length mismatch with NULL → NULL sum in the HOF kernel)
+        lens = np.fromiter(
+            (
+                len(x) if (x is not None and y is not None and len(x) == len(y)) else -1
+                for x, y in zip(av, bv)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        if n and lens[0] > 0 and (lens == lens[0]).all():
+            # fast path: every row valid, uniform dimension (all
+            # registered datasets) — stack without per-row indexing
+            A = np.vstack(av).astype(np.float64, copy=False)
+            B = np.vstack(bv).astype(np.float64, copy=False)
+            return pd.Series(fold(A, B))
+        for length in np.unique(lens):
+            if length < 0:
+                continue
+            idx = np.nonzero(lens == length)[0]
+            if length == 0:
+                out[idx] = 0.0
+                continue
+            A = np.vstack([av[i] for i in idx]).astype(np.float64, copy=False)
+            B = np.vstack([bv[i] for i in idx]).astype(np.float64, copy=False)
+            out[idx] = fold(A, B)
+        # NaN → NULL on the Arrow return path, matching HOF NULL rows
+        return pd.Series(out)
+
+    @pandas_udf(DoubleType())
+    def arrow_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pairwise(a, b, fold_rows)
+
+    @pandas_udf(DoubleType())
+    def arrow_self_dot(a: pd.Series) -> pd.Series:
+        return pairwise(a, a, fold_rows)
+
+    @pandas_udf(DoubleType())
+    def arrow_l2sq(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pairwise(a, b, fold_rows_sq)
+
+    return arrow_dot, arrow_self_dot, arrow_l2sq
+
+
+# created once per process; one shared UDF object per kernel keeps
+# repeated calls plan-canonicalization-equal
+_arrow_dot, _arrow_self_dot, _arrow_l2sq = _build_arrow_kernels()
+
+
+# -- public surface ---------------------------------------------------------
+
+
+def dot_hof(a: Column | str, b: Column | str) -> Column:
+    """The HOF fold kernel (interpreted; kept for differential tests
+    and the ``SPARK_GRAFT_HOF_DOT=1`` escape hatch)."""
     prods = F.zip_with(_d(a), _d(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def norm_hof(a: Column | str) -> Column:
+    return F.sqrt(dot_hof(a, a))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length numeric arrays."""
+    if _use_arrow():
+        return _arrow_dot(_c(a), _c(b))
+    return dot_hof(a, b)
+
+
 def norm(a: Column | str) -> Column:
     """L2 norm."""
-    return F.sqrt(dot(a, a))
+    if _use_arrow():
+        return F.sqrt(_arrow_self_dot(_c(a)))
+    return norm_hof(a)
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
@@ -59,6 +190,8 @@ def cosine_from_parts(
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
+    if _use_arrow():
+        return F.sqrt(_arrow_l2sq(_c(a), _c(b)))
     diffs = F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
 
@@ -83,8 +216,8 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def signed_sum(vec: Column | str, plane: list[float]) -> Column:
-    """Dot product against a ±1 hyperplane as a compact
-    zip_with/aggregate pair (an explicit per-element chain of adds
+    """Dot product against a ±1 hyperplane via the shared ``dot``
+    kernel (an explicit per-element chain of adds
     would work too, but 32 planes × 64 dims of literal chains blow up
     codegen/driver memory). The fold is a plain left-to-right double
     accumulation starting at 0.0 — the same element order and IEEE op

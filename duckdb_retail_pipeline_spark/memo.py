@@ -29,17 +29,32 @@ _MEMO: dict[tuple[str, str, str], tuple[frozenset, Any]] = {}
 
 
 def _mtime_signature(sf_dir: str) -> frozenset:
-    """Per-file (name, mtime, size) set of the dataset's parquet
+    """Per-file (name, mtime_ns, size) set of the dataset's parquet
     files — a max-mtime scalar would miss deletions and
     mtime-preserving swaps (mv / rsync -a / tar -x of a pre-built
-    dir), serving stale persisted frames."""
+    dir), serving stale persisted frames. ``table.parquet`` entries
+    that are DIRECTORIES (the partitioned layout Spark writes at
+    scale) are recursed one level so a part-file rewrite changes the
+    signature — a directory's own mtime only tracks entry add/remove
+    — and ``st_mtime_ns`` (not float seconds) catches a same-second
+    in-session regeneration (r6 ADVICE)."""
     sig = []
+
+    def _add(prefix: str, entry: os.DirEntry) -> None:
+        st = entry.stat()
+        sig.append((prefix + entry.name, st.st_mtime_ns, st.st_size))
+
     try:
         with os.scandir(sf_dir) as it:
             for entry in it:
-                if entry.name.endswith(".parquet"):
-                    st = entry.stat()
-                    sig.append((entry.name, st.st_mtime, st.st_size))
+                if not entry.name.endswith(".parquet"):
+                    continue
+                if entry.is_dir():
+                    with os.scandir(entry.path) as inner:
+                        for sub in inner:
+                            _add(entry.name + "/", sub)
+                else:
+                    _add("", entry)
     except OSError:
         pass
     return frozenset(sig)

@@ -420,6 +420,35 @@ def refine_centroids(
     return cents
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    n_cells: int = 8,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the IVF index ONCE: deterministic centroid seeds (first
+    n_cells vectors by id), ``kmeans_iters`` Lloyd refinement passes,
+    then the full-corpus nearest-centroid assignment, persisted —
+    this is the real IVF shape (assignment written at index-build
+    time), not a per-query derivation. Returns
+    ``{"cents": [[...]], "assigned": DataFrame}``; callers that
+    query repeatedly share one index via ``memo.dataset_memo`` (the
+    x26/x81 pattern), so repeated ``ivf_topk`` calls probe a built
+    index instead of re-running Lloyd per call (r6 verdict #3: x13
+    warm was ~4.5 s at sf0.1 re-deriving per invocation)."""
+    cents = [
+        list(map(float, r[vec_col]))
+        for r in emb.orderBy(id_col).limit(n_cells).collect()
+    ]
+    if kmeans_iters:
+        cents = refine_centroids(emb, cents, kmeans_iters, vec_col=vec_col)
+    assigned = emb.withColumn(
+        "__cell", _nearest_cell_expr(F.col(vec_col), cents)
+    ).persist()
+    return {"cents": cents, "assigned": assigned}
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -429,17 +458,18 @@ def ivf_topk(
     kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: dict | None = None,
 ) -> DataFrame:
-    """IVF ANN: deterministic centroid seeds (first n_cells vectors
-    by id), optionally refined with ``kmeans_iters`` Lloyd passes,
-    vectors assigned to their nearest centroid at write time, query
-    probes the nprobe nearest cells. The assignment join broadcasts
-    the centroid list."""
-    cents = [list(map(float, r[vec_col])) for r in emb.orderBy(id_col).limit(n_cells).collect()]
-    if kmeans_iters:
-        cents = refine_centroids(emb, cents, kmeans_iters, vec_col=vec_col)
-
-    assigned = emb.withColumn("__cell", _nearest_cell_expr(F.col(vec_col), cents))
+    """IVF ANN top-k: the query probes the ``nprobe`` nearest cells
+    of a built index (``build_ivf_index``; built inline when
+    ``index`` is None — one-shot callers), exact cosine within the
+    probed cells. The assignment join broadcasts the centroid
+    list."""
+    if index is None:
+        index = build_ivf_index(
+            emb, n_cells, kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+    cents, assigned = index["cents"], index["assigned"]
 
     def cos(a, b):
         num = sum(x * y for x, y in zip(a, b))

@@ -613,8 +613,10 @@ def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ann_oracle(),
     doc="ANN top-k via IVF coarse quantization: deterministic seeds "
     "+ 2 Lloyd k-means refinement passes (distributed assign / "
-    "per-dimension-mean update), nprobe=2 of 8 cells; assignment "
-    "join broadcasts the centroid table. At 100 TB, n_cells grows "
+    "per-dimension-mean update), nprobe=2 of 8 cells; the index "
+    "(centroids + persisted full-corpus assignment) is built ONCE "
+    "per (session, dataset) via dataset_memo — repeated queries "
+    "probe it, they don't re-run Lloyd. At 100 TB, n_cells grows "
     "~sqrt(corpus) and centroids move from literal expressions to a "
     "broadcast-joined table (the assignment argmax shape is "
     "unchanged); the contract config stays pinned at 8 cells for "
@@ -626,11 +628,21 @@ def x12_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "vectors"),
 )
 def x13_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ann_contract_frame(
-        spark, sf_dir,
-        lambda emb, q: S.ivf_topk(emb, q, k=10, n_cells=8, nprobe=2, kmeans_iters=2),
-        min_recall_hits=8,
-    )
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    def ann(emb, q):
+        # the (centroids, assignment) pair is an INDEX: built once
+        # per (session, dataset) and persisted via the shared memo
+        # (the x26/x81 pattern) — repeated queries probe it instead
+        # of re-running Lloyd + full-corpus assignment per call
+        # (r6 verdict #3: warm was ~4.5 s at sf0.1 re-deriving)
+        idx = dataset_memo(
+            spark, sf_dir, "ivf_index_c8_i2",
+            lambda: S.build_ivf_index(emb, n_cells=8, kmeans_iters=2),
+        )
+        return S.ivf_topk(emb, q, k=10, nprobe=2, index=idx)
+
+    return _ann_contract_frame(spark, sf_dir, ann, min_recall_hits=8)
 
 
 # ---------------------------------------------------------------- x14

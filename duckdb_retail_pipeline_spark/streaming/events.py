@@ -270,20 +270,27 @@ def stream_upsert_daily_totals(
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
     # an empty/globless source commits zero micro-batches, so no
-    # batch=* partition exists — return an empty frame with the output
-    # schema instead of letting the read raise PATH_NOT_FOUND
-    # (dest_path is metachar-free per the entry guard, so the plain
-    # glob probe is unambiguous)
-    import glob as _glob
+    # batch=* partition exists — return an empty frame with the
+    # output schema. The probe is the parquet read itself (catch
+    # PATH_NOT_FOUND), NOT a driver-local glob.glob: on hdfs://s3a://
+    # dest paths — the at-scale deployment — a local glob always
+    # returns [] and would silently report an empty sink even though
+    # the stream committed data (r6 ADVICE, medium).
+    from pyspark.errors import AnalysisException
 
-    if not _glob.glob(os.path.join(dest_path, "batch=*")):
+    try:
+        committed = spark.read.option("basePath", dest_path).parquet(
+            os.path.join(dest_path, "batch=*")
+        )
+    except AnalysisException as e:
+        klass = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if "PATH_NOT_FOUND" not in (klass or str(e)):
+            raise
         return spark.createDataFrame(
             [], "day date, event_type string, n_events bigint, total_value double"
         )
     return (
-        spark.read.option("basePath", dest_path)
-        .parquet(os.path.join(dest_path, "batch=*"))
-        .groupBy("day", "event_type")
+        committed.groupBy("day", "event_type")
         .agg(
             F.sum("pn").cast("bigint").alias("n_events"),
             (F.sum("pc") / F.lit(100.0)).alias("total_value"),

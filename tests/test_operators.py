@@ -138,3 +138,47 @@ def test_session_boundary_exactly_gap_apart(spark):
         for r in sess.groupBy("session_seq").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert per_session == [1, 2]  # identical boundary behavior
+
+
+def test_arrow_dot_kernel_bit_identical_to_hof(spark, sf_dir):
+    """The vectorized Arrow dot kernel must reproduce the HOF fold
+    BIT-FOR-BIT (it is the default scoring kernel; the oracle SQL
+    twins pin the HOF fold's IEEE op sequence). Zero-tolerance
+    null-safe equality over real embeddings: plane dots, norms, pair
+    dots — plus the NULL/ragged degradation rows."""
+    from duckdb_retail_pipeline_spark.functions import vectors as V
+
+    emb = spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    plane = V.rademacher_planes(1, 64)[0]
+    p = F.array(*[F.lit(float(x)) for x in plane])
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    chk = emb.crossJoin(F.broadcast(q)).select(
+        V._arrow_dot(F.col("embedding"), p).alias("a_plane"),
+        V.dot_hof(F.col("embedding"), p).alias("h_plane"),
+        F.sqrt(V._arrow_self_dot(F.col("embedding"))).alias("a_norm"),
+        V.norm_hof("embedding").alias("h_norm"),
+        V._arrow_dot(F.col("embedding"), F.col("qvec")).alias("a_pair"),
+        V.dot_hof(F.col("embedding"), F.col("qvec")).alias("h_pair"),
+        V._arrow_l2sq(F.col("embedding"), F.col("qvec")).alias("a_l2"),
+    )
+    bad = chk.filter(
+        ~F.col("a_plane").eqNullSafe(F.col("h_plane"))
+        | ~F.col("a_norm").eqNullSafe(F.col("h_norm"))
+        | ~F.col("a_pair").eqNullSafe(F.col("h_pair"))
+    ).count()
+    assert bad == 0
+
+    # NULL / ragged rows degrade to NULL like zip_with's null padding
+    odd = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]), (2, None, [1.0]), (3, [1.0], [1.0, 2.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["d"]
+        for r in odd.select("id", V.dot("a", "b").alias("d")).collect()
+    }
+    assert rows[1] == 11.0 and rows[2] is None and rows[3] is None
