@@ -29,16 +29,26 @@ def main() -> None:
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
     # Steady-state methodology: one untimed pass at the tiny SF to
-    # JIT-compile codegen paths, then one untimed pass at the target
-    # SF (fills caches the engine would hold in production — the
-    # pipeline's staged layers), then the timed pass. Timings
-    # therefore measure per-query execution, not JVM warmup.
+    # JIT-compile codegen paths, then one pass at the target SF
+    # (fills caches the engine would hold in production — the
+    # pipeline's staged layers), then the timed passes. The target-SF
+    # warmup pass is TIMED and reported as "queries_cold": several
+    # queries hold session memos / rotating persists (x42's ANN
+    # frame, x44's tokenized frame, the pl staged layers), so the
+    # warm median measures the steady serving cost while the cold
+    # number still observes the underlying operator — a regression
+    # in the expensive compute shows up in cold even when every warm
+    # pass is a cache hit (r6 ADVICE).
+    cold: dict[str, float] = {}
     for warm_dir in (WARMUP_DIR, SF_DIR):
-        for spec in headline.values():
+        for name, spec in sorted(headline.items()):
             try:
+                t0 = time.perf_counter()
                 spec.fn(spark, warm_dir).count()
+                if warm_dir == SF_DIR:
+                    cold[name] = round(time.perf_counter() - t0, 4)
             except Exception as exc:  # noqa: BLE001
-                print(f"warmup {spec.name} failed: {exc}", file=sys.stderr)
+                print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
     # median of 3 timed passes per query: single-pass numbers showed
     # ±50% run-to-run noise on the join-heavy queries (x66 measured
@@ -66,6 +76,7 @@ def main() -> None:
                 "value": round(sum(ok), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -29,60 +29,57 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs ALL 94).
 #
-# Round-6 window (see ROTATION.md): the r5 verdict's #1 ask — the 24
-# queries registered in the r5 tail (x61-x84) that have NEVER had a
-# driver row enter at rule-1 priority, plus x85 (this round's single
-# new registration: stream-stream LEFT OUTER join, verdict #7 —
-# registrations are otherwise frozen this round to let verification
-# debt drain, verdict #2). Then r5→r6 diff guards: x42 (contract
-# frame bounded to a fixed query sample this round), x26 (cluster
-# assignment memoized, shared with x81), x60 (replay-idempotent sink
-# rewrite late r5 + empty-source guard this round), x12 (recall
-# floor changed late r5), x44 (NULLIF guard late r5; x72's is
-# covered by rule 1), x46 (rewritten onto a window late r5), and the
-# two r6 in-round changes x09 (pair-graph memo) / x13 (argmax
-# assignment rewrite). Remaining 17 slots: the r3-green block
-# re-enters oldest-first (a02-a16, pl11, q03); q12/q25 and
-# x02-x04/x06/x08/x22/x23/x28/x29 carry to r7. Headline bench
-# queries outside the window are re-verified every round by the
-# local 134-query pytest oracle gate.
+# Round-7 window (see ROTATION.md): with cumulative driver-green at
+# 134/134 after r6, rule 1 holds only this round's TWO new
+# registrations (exactly the genuinely-free slot count after rules
+# 2-3 — the r6 verdict's #5 constraint): x86 (canonical-document
+# selection over the memoized dedup clusters) and a17 (PIVOT
+# surface). Rule 2, r6→r7 diff guards: the Arrow dot-kernel rewrite
+# (functions/vectors.py — bit-identity-tested, but every cosine
+# consumer gets a driver row: x10, x12, x13, x39, x42, x65; x11 is
+# already in-window via rule 3), x13 additionally memoizes its IVF
+# index, x42's contract gained the score-range invariant + memoized
+# ANN frame, x60's sink probe moved off the local glob. Rule 3,
+# oldest-green re-entry (the rotation invariant: every registered
+# query's last driver row <= 2 rounds old): the 11 r3-stale queries
+# (q12, q25, x02-x04, x06, x08, x22, x23, x28, x29 — rule-3 head
+# promised by ROTATION.md) and the full 30-query r4-green block.
+# 2 + 7 + 41 = 50. Headline queries outside the window are
+# re-verified every round by the local 136-query pytest oracle gate.
 _ROTATED_IN = [
-    # never driver-green: the r5 overflow registrations…
-    "x61_bpe_token_stats", "x62_seasonal_anomaly",
-    "x63_cross_source_dups", "x64_vocab_oov", "x65_rag_pipeline",
-    "x66_basket_pairs", "x67_rfm_segments", "x68_supplier_latency",
-    "x69_deletion_audit", "x70_late_data_audit",
-    "x71_fuzzy_entity_match", "x72_ab_test", "x73_histogram",
-    "x74_token_budget", "x75_hypertable_rollup",
-    "x76_rolling_distinct_users", "x77_skew_report",
-    "x78_correlation_report", "x79_pareto_analysis",
-    "x80_event_transitions", "x81_dedup_savings",
-    "x82_part_velocity", "x83_seasonal_index",
-    "x84_cohort_ltv_curves",
-    # …and this round's one new query
-    "x85_stream_stream_left_outer",
+    # never driver-green: this round's two new registrations
+    "x86_canonical_docs", "a17_pivot_surface",
 ]
 _GUARDS = [
-    # r5→r6 diff guards (changed code paths since their last green;
-    # x72 is already in-window via rule 1 above): x42 (bounded
-    # contract + adaptive bits), x26 (memoized clusters +
-    # pointer-doubling components), x60 (sink rewrite + empty-source
-    # guard), x12 (recall floor late r5), x44/x46 (late-r5 edits),
-    # x09 (shared pair-graph memo, r6), x13 (argmax assignment
-    # rewrite, r6 — displacing q12/q25 to r7 per rule order)
-    "x42_ann_batch_retrieval", "x26_dedup_clusters",
-    "x60_streaming_upsert_sink", "x12_similarity_lsh_topk",
-    "x44_bm25_search", "x46_cohort_retention",
-    "x09_simhash_pairs", "x13_similarity_ivf_topk",
-    # oldest-green re-entry: the r3-green block, oldest-first
-    "a02_cube", "a03_intersect_except", "a04_unpivot",
-    "a05_approx_aggregates", "a06_grouping_sets_sql",
-    "a07_merge_upsert", "a08_scd2_history", "a09_moving_average",
-    "a10_string_functions", "a11_window_rank_surface",
-    "a12_array_agg_surface", "a13_correlated_subqueries",
-    "a14_regex_surface", "a15_exact_percentiles",
-    "a16_correlated_avg_filter",
-    "pl11_validation", "q03_top_customers",
+    # r6→r7 diff guards: cosine-kernel consumers + x13 (IVF index
+    # memo) + x42 (score-range contract, memoized ANN frame) + x60
+    # (sink probe via the filesystem read)
+    "x42_ann_batch_retrieval", "x13_similarity_ivf_topk",
+    "x12_similarity_lsh_topk", "x10_embedding_cosine_topk",
+    "x39_similarity_batch_topk", "x65_rag_pipeline",
+    "x60_streaming_upsert_sink",
+    # oldest-green re-entry, oldest-first: the r3-stale eleven…
+    "q12_ratio_nullif", "q25_asof_join", "x02_text_stats",
+    "x03_lang_id", "x04_fingerprint", "x06_minhash_signatures",
+    "x08_simhash_values", "x22_term_frequency",
+    "x23_winnowing_fingerprints", "x28_corpus_curation",
+    "x29_stratified_split",
+    # …then the r4-green block (two rounds stale by r7)
+    "pl02_staging_fx", "pl04_dim_product", "pl05_dim_customer",
+    "pl07_daily_fx_rates", "pl10_monthly_sales_summary",
+    "q04_filter_like_prefix", "q05_null_sentinel_filters",
+    "q06_semi_join_in_subquery", "q07_anti_join_orphans",
+    "q08_composite_key_join", "q09_conditional_agg",
+    "q10_conditional_count_distinct", "q11_scalar_multi_agg",
+    "x05_ngram_jaccard_pairs", "x11_embedding_dup_pairs",
+    "x15_events_sessionize", "x16_events_json_extract",
+    "x17_streaming_hourly", "x18_events_pivot",
+    "x21_session_window_batch", "x24_grouped_ols_trend",
+    "x25_streaming_sliding", "x27_text_chunking",
+    "x30_variant_extract", "x31_streaming_stateful_totals",
+    "x34_streaming_dedup", "x35_salted_agg",
+    "x37_embedding_quantization", "x38_stream_static_join",
+    "x41_fixed_count_sample",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

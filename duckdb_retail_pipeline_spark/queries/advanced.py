@@ -666,3 +666,55 @@ def a16_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         """
     )
+
+
+# ---------------------------------------------------------------- a17
+_A17_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _a17_cols() -> list[tuple[str, str]]:
+    return [(r, r.lower().replace(" ", "_")) for r in _A17_REGIONS]
+
+
+@register(
+    "a17_pivot_surface",
+    oracle=f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               {", ".join(
+                   sql_money_sum(f"CASE WHEN r_name = '{r}' THEN o_totalprice END")
+                   + f" AS {alias}"
+                   for r, alias in _a17_cols()
+               )}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
+    doc="PIVOT long→wide (DataFrame.groupBy().pivot() with an "
+    "EXPLICIT value list — the implicit form adds a distinct-scan "
+    "job and a nondeterministic column order; oracle as the "
+    "equivalent conditional aggregation): yearly revenue per "
+    "region as columns. The pivot compiles to one hash aggregate "
+    "over (year) with conditional sums — a single shuffle on the "
+    "group key at any scale; region/nation/customer joins stay "
+    "broadcast (fixed-size dims).",
+    tags=("reshape", "agg"),
+)
+def a17_pivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .join(tbl(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(tbl(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(tbl(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    pivoted = (
+        o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("order_year")
+        .pivot("r_name", _A17_REGIONS)
+        .agg(money_sum(F.col("o_totalprice")))
+    )
+    return pivoted.select(
+        "order_year",
+        *[F.col(f"`{r}`").alias(alias) for r, alias in _a17_cols()],
+    )

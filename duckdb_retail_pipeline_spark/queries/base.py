@@ -74,21 +74,30 @@ def register(
 
 
 def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
-    """Persist ``df``, unpersisting the slot's previous occupant —
-    for queries whose intermediate feeds MULTIPLE aggregations in
-    one plan (Spark does not dedupe common subplans, so the
-    unpersisted form evaluates the expensive upstream twice), while
-    SQL-cache entries are never GC-cleaned: each call site keeps at
-    most ONE pinned entry however often bench/pytest re-invoke it.
-    Pass a module-level one-element list as ``slot``.
+    """Persist ``df`` with a one-entry rotation — for queries whose
+    intermediate feeds MULTIPLE aggregations in one plan (Spark does
+    not dedupe common subplans, so the unpersisted form evaluates
+    the expensive upstream twice), while SQL-cache entries are never
+    GC-cleaned: each call site keeps at most ONE pinned entry however
+    often bench/pytest re-invoke it. Pass a module-level one-element
+    list as ``slot``.
 
-    Order matters: unpersist the PREVIOUS occupant before persisting
-    the new frame. A repeat invocation builds a plan that
-    canonicalizes equal to the cached one, so persist-then-unpersist
-    would register a no-op and then DROP the shared entry — leaving
-    every repeat run uncached (measured: x44 repeats regressed to
-    the tokenize-twice cost until this flip)."""
+    A repeat invocation over the same dataset builds a plan that is
+    semantically EQUAL to the occupant's — return the occupant
+    itself (its materialized cache serves the call: one
+    materialization, every later pass a cache hit; r6 left each call
+    evict-then-persist, so bench's three timed passes re-materialized
+    the frame three times and billed the churn to the operator). A
+    genuinely different plan (new dataset / changed query) evicts
+    the occupant FIRST: persist-then-unpersist on a canonically
+    equal plan registers a no-op and then DROPS the shared entry
+    (measured: x44 repeats regressed to the tokenize-twice cost)."""
     if slot:
+        try:
+            if slot[0].sameSemantics(df):
+                return slot[0]
+        except Exception:  # noqa: BLE001 — fall through to rotation
+            pass
         slot.pop().unpersist()
     df = df.persist()
     slot.append(df)
