@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType
 
 
 def _d(col: Column | str) -> Column:
@@ -141,6 +141,48 @@ def _build_arrow_kernels():
 # created once per process; one shared UDF object per kernel keeps
 # repeated calls plan-canonicalization-equal
 _arrow_dot, _arrow_self_dot, _arrow_l2sq = _build_arrow_kernels()
+
+
+def plane_dots(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Dot products against ALL ``planes`` as ONE Arrow kernel call
+    returning ``array<double>`` (element i = dot(vec, planes[i]),
+    each the exact left-fold sequence of ``dot``). The multi-plane
+    form exists because the per-plane alternative ships the vector —
+    and a 64-double literal plane column — once PER PLANE per row
+    through the Arrow channel (32 planes × 128 doubles ≈ 16 KB/row
+    of transfer for 512 B of payload); here the plane matrix rides
+    in the closure and the vector crosses once. Identical Python-UDF
+    expressions are deduplicated by ExtractPythonUDFs (plan-tested),
+    so downstream JVM expressions (sign bits, band keys, bucket ids,
+    probe confidences) can all reference the same call — one
+    evaluation per row however many consumers."""
+    P = np.array(planes, dtype=np.float64)
+    if P.ndim != 2:
+        raise ValueError("planes must be a non-empty list of equal-length lists")
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _plane_dots(v: pd.Series) -> pd.Series:
+        vv = v.to_numpy()
+        n = len(vv)
+        dim = P.shape[1]
+        ok = np.fromiter(
+            (x is not None and len(x) == dim for x in vv), dtype=bool, count=n
+        )
+        out = np.empty(n, dtype=object)
+        if ok.any():
+            rows = vv if ok.all() else vv[ok]
+            A = np.vstack(rows).astype(np.float64, copy=False)
+            acc = np.zeros((A.shape[0], P.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                # acc[:, j] += A[:, i] * P[j, i] for every plane j —
+                # the same per-plane fold order as dot()
+                acc = acc + A[:, i, None] * P[:, i]
+            where = np.nonzero(ok)[0]
+            for k, ridx in enumerate(where):
+                out[ridx] = acc[k]
+        return pd.Series(out)
+
+    return _plane_dots(_c(vec))
 
 
 # -- public surface ---------------------------------------------------------

@@ -266,9 +266,13 @@ def hyperplane_bands(
     if len(planes) % bands:
         raise ValueError("len(planes) must divide evenly into bands")
     k = len(planes) // bands
+    # ONE plane_dots kernel call feeds every sign bit (the vector
+    # crosses the Arrow channel once, not once per plane; identical
+    # UDF expressions are deduplicated in the plan)
+    dots = V.plane_dots(vec_col, planes)
     bits = [
-        F.when(V.signed_sum(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in planes
+        F.when(F.element_at(dots, p + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(len(planes))
     ]
     band_structs = []
     for b in range(bands):

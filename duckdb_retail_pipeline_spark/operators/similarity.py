@@ -60,14 +60,22 @@ def _hyperplanes_from_data(emb: DataFrame, vec_col: str, id_col: str, bits: int)
     return [[float(v) - grand_mean for v in r[vec_col]] for r in rows]
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """LSH bucket id = sign bits against each hyperplane."""
+def _bucket_from_dots(dots, bits: int):
+    """LSH bucket id = sign bits over a per-plane dots array (ONE
+    shared expression — a plane_dots kernel call is deduplicated
+    however many sign bits reference it)."""
     bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(V.dot(F.col(vec_col), plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    for i in range(bits):
+        bit = F.when(
+            F.element_at(dots, i + 1) >= 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long")
     return bucket
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """LSH bucket id = sign bits against each hyperplane."""
+    return _bucket_from_dots(V.plane_dots(vec_col, planes), len(planes))
 
 
 def lsh_topk(
@@ -308,18 +316,21 @@ def batch_ann_topk(
         "__nb", V.norm(vec_col)
     )
 
-    # per-query bucket + probe list, all JVM expressions
+    # per-query bucket + probe list: ONE plane_dots kernel call per
+    # query row feeds both the bucket's sign bits and the probe
+    # confidences (identical UDF expressions dedupe in the plan)
+    qdots = V.plane_dots("qvec", planes)
     dot_structs = F.array(
         *[
             F.struct(
-                F.abs(V.dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in p]))).alias("a"),
+                F.abs(F.element_at(qdots, i + 1)).alias("a"),
                 F.lit(i).alias("i"),
             )
-            for i, p in enumerate(planes)
+            for i in range(len(planes))
         ]
     )
     pow2 = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
-    q = qset.withColumn("__qb", _bucket_expr("qvec", planes))
+    q = qset.withColumn("__qb", _bucket_from_dots(qdots, bits))
     if nprobe > 1:
         flips = F.slice(F.array_sort(dot_structs), 1, nprobe - 1)
         probes = F.concat(

@@ -182,3 +182,46 @@ def test_arrow_dot_kernel_bit_identical_to_hof(spark, sf_dir):
         for r in odd.select("id", V.dot("a", "b").alias("d")).collect()
     }
     assert rows[1] == 11.0 and rows[2] is None and rows[3] is None
+
+
+def test_plane_dots_bit_identical_and_deduped(spark, sf_dir):
+    """plane_dots must equal per-plane dot() bit-for-bit (the LSH
+    band keys derived from its signs are oracle-matched in x11/x42),
+    and every sign bit must share ONE kernel evaluation — the plan
+    carries a single _plane_dots result however many consumers
+    (the vector crosses the Arrow channel once, not once per
+    plane)."""
+    from duckdb_retail_pipeline_spark.functions import vectors as V
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planes = V.rademacher_planes(8, 64)
+    dots = V.plane_dots("embedding", planes)
+    per_plane = [
+        V._arrow_dot(
+            F.col("embedding"), F.array(*[F.lit(float(x)) for x in p])
+        )
+        for p in planes
+    ]
+    bad = (
+        emb.select(
+            *[
+                (~F.element_at(dots, i + 1).eqNullSafe(per_plane[i])).alias(f"m{i}")
+                for i in range(8)
+            ]
+        )
+        .filter(F.greatest(*[F.col(f"m{i}") for i in range(8)]))
+        .count()
+    )
+    assert bad == 0
+
+    proj = emb.select(
+        *[(F.element_at(dots, i + 1) >= 0).alias(f"b{i}") for i in range(8)]
+    )
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_plane_dots(embedding") >= 1
+    import re
+
+    node = re.search(r"ArrowEvalPython \[([^\]]*)\]", plan)
+    assert node and node.group(1).count("_plane_dots") == 1
