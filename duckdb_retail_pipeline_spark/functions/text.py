@@ -16,8 +16,14 @@ the dedup bottleneck is the shuffle, not the hash.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 # Fixed salts for the MinHash permutation family — (a*h + b) mod P on
 # a shared **28-bit** base hash (first 7 md5 hex chars). 28 bits keeps
@@ -136,9 +142,130 @@ def shingle_hashes28(shingles: Column | str) -> Column:
     )
 
 
-def minhash_signature_from_hashes(base: Column | str, num_hashes: int = 16) -> Column:
-    """MinHash signature over pre-computed 28-bit shingle hashes —
-    the md5 work happens once however many permutations run."""
+# -- Arrow kernels ----------------------------------------------------------
+#
+# Rationale and conventions mirror functions/vectors.py: the fingerprint
+# kernels (MinHash permutation minima, SimHash bit votes) are exact
+# integer math, so a vectorized numpy evaluation is bit-identical to
+# the interpreted HOF fold — not merely close. Kernel closures are
+# NESTED so cloudpickle ships them by value (executors don't share the
+# driver's sys.path), and each kernel object is created once per
+# process so repeated calls stay plan-canonicalization-equal (one
+# ArrowEvalPython evaluation per row however many consumers).
+# ``SPARK_GRAFT_HOF_TEXT=1`` forces the HOF kernels.
+
+
+def _use_arrow() -> bool:
+    return os.environ.get("SPARK_GRAFT_HOF_TEXT", "") != "1"
+
+
+def _build_minhash_kernel(num_hashes: int):
+    # salt vectors for (h*a + b) % P, identical to the HOF family
+    A = np.array([2 * i + 1 for i in range(num_hashes)], dtype=np.int64)
+    B = np.array([1000003 * (i + 1) for i in range(num_hashes)], dtype=np.int64)
+    P = np.int64(MINHASH_PRIME)
+    k = num_hashes
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash_sig(hs: pd.Series) -> pd.Series:
+        vals = hs.to_numpy()
+        n = len(vals)
+        out = np.empty(n, dtype=object)
+        nulls = [None] * k
+        # fast path: every row a non-empty, null-free int array (all
+        # registered datasets) — one flat matrix + grouped minima
+        clean = []
+        ok = True
+        for v in vals:
+            if v is None or len(v) == 0:
+                ok = False
+                break
+            a = np.asarray(v)
+            # NULL elements surface as object dtype or float NaN
+            # depending on the Arrow→pandas version; 28-bit hashes are
+            # exact in float64 so the cast back is lossless
+            if a.dtype == object or (a.dtype.kind == "f" and np.isnan(a).any()):
+                ok = False
+                break
+            clean.append(a.astype(np.int64, copy=False))
+        if ok and n:
+            lens = np.fromiter((len(c) for c in clean), dtype=np.int64, count=n)
+            flat = np.concatenate(clean)
+            # (S_total, k): h*a + b mod P — 28-bit h × a ≤ 2k−1 ≪ 2^63
+            m = (flat[:, None] * A + B) % P
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(m, offsets, axis=0)
+            for r in range(n):
+                out[r] = mins[r].tolist()
+            return pd.Series(out)
+        for r, v in enumerate(vals):
+            if v is None or len(v) == 0:
+                out[r] = nulls
+                continue
+            arr = np.asarray(
+                [x for x in v if x is not None and x == x], dtype=np.int64
+            )  # filters None and NaN-shaped NULLs alike
+            if arr.size == 0:
+                # array_min skips NULL elements; all-NULL → NULL
+                out[r] = nulls
+                continue
+            out[r] = ((arr[:, None] * A + B) % P).min(axis=0).tolist()
+        return pd.Series(out)
+
+    return _minhash_sig
+
+
+_MINHASH_KERNELS: dict[int, object] = {}
+
+
+def _minhash_kernel(num_hashes: int):
+    if num_hashes not in _MINHASH_KERNELS:
+        _MINHASH_KERNELS[num_hashes] = _build_minhash_kernel(num_hashes)
+    return _MINHASH_KERNELS[num_hashes]
+
+
+def _build_simhash_kernel():
+    BITS = np.arange(60, dtype=np.int64)
+    WEIGHTS = (np.int64(1) << BITS)
+
+    @pandas_udf(LongType())
+    def _simhash(toks: pd.Series) -> pd.Series:
+        import hashlib
+
+        vals = toks.to_numpy()
+        n = len(vals)
+        out = np.zeros(n, dtype=np.int64)
+        for r, tk in enumerate(vals):
+            if tk is None or len(tk) == 0:
+                continue  # HOF: NULL/empty array → 0
+            hs = np.fromiter(
+                (
+                    # NULL token → NULL hash → every bit votes −1 in
+                    # the HOF fold; h = 0 votes −1 everywhere too
+                    0
+                    if t is None
+                    else int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    for t in tk
+                ),
+                dtype=np.int64,
+                count=len(tk),
+            )
+            votes = (2 * ((hs[:, None] >> BITS) & 1) - 1).sum(axis=0)
+            out[r] = ((votes > 0) * WEIGHTS).sum()
+        return pd.Series(out)
+
+    return _simhash
+
+
+_arrow_simhash = _build_simhash_kernel()
+
+
+def minhash_from_hashes_hof(base: Column | str, num_hashes: int = 16) -> Column:
+    """The HOF MinHash kernel (interpreted; kept for the bit-identity
+    tests and the ``SPARK_GRAFT_HOF_TEXT=1`` escape hatch — it is the
+    readable spec of the cross-engine contract the DuckDB oracle
+    twins pin)."""
     base = _c(base)
     def perm(a: int, b: int):
         # NB: a plain closure, not default-arg binding — Spark counts
@@ -154,11 +281,34 @@ def minhash_signature_from_hashes(base: Column | str, num_hashes: int = 16) -> C
     return F.array(*sigs)
 
 
-def simhash64(toks: Column | str) -> Column:
-    """64-bit-style SimHash over a token array, built from two 30-bit
-    md5-derived halves (kept ≤60 bits so the same arithmetic is exact
-    in any SQL engine). Returns a bigint whose bits are the sign of
-    per-bit weighted sums."""
+def minhash_signature_from_hashes(base: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature over pre-computed 28-bit shingle hashes —
+    the md5 work happens once however many permutations run.
+
+    Default kernel is the Arrow one: the HOF form pays the expression
+    interpreter ONCE PER PERMUTATION PER SHINGLE (num_hashes
+    interpreted transform+array_min passes — CodegenFallback, the
+    same tax the r6 100× profile measured on the cosine family), and
+    consumers that project per-permutation columns (x06's 16
+    ``element_at`` projections) inline the WHOLE signature expression
+    per column — num_hashes² interpreted passes, no cross-expression
+    CSE. The Arrow kernel computes all minima in one numpy
+    broadcast; identical Python-UDF expressions are deduplicated by
+    ExtractPythonUDFs (plan-tested for plane_dots), so however many
+    columns consume the signature there is ONE evaluation per row.
+    Bit-identical by construction: (h·a + b) mod P on 28-bit h with
+    a ≤ 2·num_hashes−1 stays ≪ 2^63 (exact in int64 both kernels —
+    the reason MINHASH_PRIME salts are sized for 28-bit bases), and
+    NULL/empty semantics mirror ``array_min``'s (skip NULL elements;
+    NULL/empty array → all-NULL signature)."""
+    if _use_arrow():
+        return _minhash_kernel(num_hashes)(_c(base))
+    return minhash_from_hashes_hof(base, num_hashes)
+
+
+def simhash64_hof(toks: Column | str) -> Column:
+    """The HOF SimHash kernel (interpreted; bit-identity tests + the
+    ``SPARK_GRAFT_HOF_TEXT=1`` escape hatch)."""
     t = _c(toks)
     # For each of 60 bits: sum over tokens of (bit set ? +1 : -1);
     # bit b of token hash h = (h >> b) & 1. Expressed as one
@@ -179,6 +329,29 @@ def simhash64(toks: Column | str) -> Column:
     for bit in bits[1:]:
         out = out + bit
     return out
+
+
+def simhash64(toks: Column | str) -> Column:
+    """64-bit-style SimHash over a token array, built from two 30-bit
+    md5-derived halves (kept ≤60 bits so the same arithmetic is exact
+    in any SQL engine). Returns a bigint whose bits are the sign of
+    per-bit weighted sums.
+
+    Default kernel is the Arrow one: the HOF form builds 60 separate
+    ``aggregate`` expressions that EACH inline the md5 token-hash
+    transform (no cross-expression CSE — 60 interpreted md5 passes
+    plus 60 interpreted vote folds per document). The Arrow kernel
+    hashes each token once (hashlib md5 ≡ Spark ``md5`` on UTF-8
+    bytes, first 15 hex digits — the module-docstring cross-engine
+    contract) and takes all 60 bit-votes as two numpy ops. Exact
+    integer math throughout (60-bit hashes, votes ≤ |tokens|, sum of
+    distinct powers of two < 2^60 — all well inside int64), so the
+    kernels agree bit-for-bit; NULL tokens vote −1 on every bit and
+    a NULL/empty token array yields 0, mirroring the HOF
+    NULL-propagation exactly (unit-tested)."""
+    if _use_arrow():
+        return _arrow_simhash(_c(toks))
+    return simhash64_hof(toks)
 
 
 def quality_score(col: Column | str) -> Column:

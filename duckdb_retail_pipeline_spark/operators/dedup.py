@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.functions import text as T
 from duckdb_retail_pipeline_spark.functions import vectors as V
+from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+# one-entry persist rotations per call site (see memo.rotating_persist:
+# a bare per-call .persist() leaks one corpus-sized SQL-cache entry
+# per invocation — at the 100× decade bench's four passes OOM'd)
+_PREFIX_D_SLOT: list = []
+_MINHASH_BASE_SLOT: list = []
+_NEARDUP_BASE_SLOT: list = []
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -68,10 +76,11 @@ def prefix_index(
     only its first ``L − ceil(t·L) + 1`` shingles under the global
     ascending-document-frequency order, which is exactly the set that
     guarantees any Jaccard ≥ t pair shares at least one index entry."""
-    d = (
-        _spread(docs, id_col)
-        .select(F.col(id_col), T.word_shingles(text_col, n).alias("sh"))
-        .persist()
+    d = rotating_persist(
+        _spread(docs, id_col).select(
+            F.col(id_col), T.word_shingles(text_col, n).alias("sh")
+        ),
+        _PREFIX_D_SLOT,
     )
     ex = d.select(id_col, F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
@@ -142,6 +151,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verify: str = "bucket",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -150,9 +160,32 @@ def minhash_lsh_pairs(
     banding join is an equi-join on (band_idx, band_signature) — the
     only shuffle that scales with corpus size. Exact Jaccard then
     filters false positives, so output = true near-dups ∩ LSH recall.
+
+    Two value-identical verification strategies (same pairs, same
+    jaccard — differential-tested):
+
+    ``verify="bucket"`` (default, the scale path): shingle arrays ride
+      the banding shuffle (once per band per doc — LINEAR in corpus
+      size), candidate pairs stream through jaccard+filter INSIDE the
+      bucket join's stage, and only surviving (id_a, id_b, jaccard)
+      rows reach the dedup shuffle. Candidate count never touches a
+      shuffle or a sort. This is what survives duplicate-heavy
+      corpora: at the 100× grow decade (550k docs in ~110-copy
+      families) buckets reach ~2,100 docs and the candidate join
+      emits ~1.2B rows — as in-stage streamed rows that is ~40 s of
+      jaccard CPU on 32 cores, while the pair-materializing
+      alternative shuffled ~400 GB of shingle arrays and died on
+      spill disk (measured, r7).
+    ``verify="pairs"``: dedup candidate ids first, then re-join both
+      documents' shingle arrays per pair. Each candidate's arrays
+      cross the wire once per PAIR — cheaper only when candidates are
+      sparse relative to the corpus (near-dup-free corpora), and the
+      shape that blows up quadratically when they are not.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    if verify not in ("bucket", "pairs"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     rows_per_band = num_hashes // bands
 
     # Stage the md5 shingle hashes as their own column so the 16
@@ -160,18 +193,19 @@ def minhash_lsh_pairs(
     # persist (id, shingles, signature): it feeds the banding AND the
     # two verification re-joins — at scale this is the materialized
     # signature table every LSH dedup pipeline keeps.
-    base = (
+    base = rotating_persist(
         _spread(docs, id_col)
         .select(F.col(id_col), T.word_shingles(text_col, shingle_n).alias("sh"))
         .withColumn("hs", T.shingle_hashes28(F.col("sh")))
         .withColumn("sig", T.minhash_signature_from_hashes(F.col("hs"), num_hashes))
-        .drop("hs")
-        .persist()
+        .drop("hs"),
+        _MINHASH_BASE_SLOT,
     )
 
-    # Band on ids only: shipping the (large) shingle arrays through
-    # the banding shuffle would dominate the exchange; candidates are
-    # few, so re-joining shingles afterwards is far cheaper.
+    # Banding frame carries ids only; the verify mode decides whether
+    # shingle arrays enter the banding shuffle (bucket mode: linear,
+    # once per band per doc) or are re-joined per candidate pair
+    # (pairs mode: quadratic under duplicate-heavy data).
     banded = base.select(
         id_col,
         F.explode(
@@ -186,6 +220,64 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if verify == "bucket":
+        # arrays through the banding shuffle (once per band per doc);
+        # jaccard + threshold run in the join's own stage, so the
+        # quadratic candidate stream is never shuffled or sorted —
+        # only true near-dup pairs reach the final dedup exchange.
+        # Each side also carries its full per-band key list (16
+        # bigints): a true near-dup pair collides in ~every band, so
+        # verifying per bucket would run jaccard ~bands× per pair
+        # (measured 1.2B evals at the 100× decade); gating on "this
+        # is the pair's FIRST colliding band" (no band j < band has
+        # equal keys — checkable locally from the two key lists)
+        # runs the expensive jaccard exactly once per candidate pair,
+        # like pairs-mode, while keeping the no-pair-shuffle shape.
+        bkeys = F.array(
+            *[
+                F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                for i in range(bands)
+            ]
+        )
+        with_sh = banded.join(
+            base.select(id_col, "sh", bkeys.alias("bkeys")), id_col
+        )
+        a = with_sh.select(
+            F.col(id_col).alias("id_a"),
+            "band",
+            "key",
+            F.col("sh").alias("sh_a"),
+            F.col("bkeys").alias("bk_a"),
+        )
+        b = with_sh.select(
+            F.col(id_col).alias("id_b"),
+            "band",
+            "key",
+            F.col("sh").alias("sh_b"),
+            F.col("bkeys").alias("bk_b"),
+        )
+        first_band = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+            # sequence(0, band−1) is safe here: band ≥ 1 on this branch
+            # (sequence DESCENDS for an empty range — the band=0 guard)
+            F.forall(
+                F.sequence(F.lit(0), F.col("band") - 1),
+                lambda j: ~F.element_at("bk_a", j + 1).eqNullSafe(
+                    F.element_at("bk_b", j + 1)
+                ),
+            )
+        )
+        return (
+            a.join(b, ["band", "key"], "inner")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_band)
+            .withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            # first_band emits each pair once; dedup stays as a cheap
+            # invariant guard (only survivors reach it)
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -311,7 +403,9 @@ def embedding_dup_pairs(
     block size) to keep per-bucket populations flat; the only
     corpus-sized shuffle is the (band, key) equi-join carrying ids."""
     planes = V.rademacher_planes(n_planes, dim)
-    base = emb.select(F.col(id_col), F.col(vec_col)).persist()
+    base = rotating_persist(
+        emb.select(F.col(id_col), F.col(vec_col)), _NEARDUP_BASE_SLOT
+    )
     banded = hyperplane_bands(base, planes, bands, id_col=id_col, vec_col=vec_col)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")

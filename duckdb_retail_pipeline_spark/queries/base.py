@@ -73,35 +73,10 @@ def register(
     return deco
 
 
-def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
-    """Persist ``df`` with a one-entry rotation — for queries whose
-    intermediate feeds MULTIPLE aggregations in one plan (Spark does
-    not dedupe common subplans, so the unpersisted form evaluates
-    the expensive upstream twice), while SQL-cache entries are never
-    GC-cleaned: each call site keeps at most ONE pinned entry however
-    often bench/pytest re-invoke it. Pass a module-level one-element
-    list as ``slot``.
-
-    A repeat invocation over the same dataset builds a plan that is
-    semantically EQUAL to the occupant's — return the occupant
-    itself (its materialized cache serves the call: one
-    materialization, every later pass a cache hit; r6 left each call
-    evict-then-persist, so bench's three timed passes re-materialized
-    the frame three times and billed the churn to the operator). A
-    genuinely different plan (new dataset / changed query) evicts
-    the occupant FIRST: persist-then-unpersist on a canonically
-    equal plan registers a no-op and then DROPS the shared entry
-    (measured: x44 repeats regressed to the tokenize-twice cost)."""
-    if slot:
-        try:
-            if slot[0].sameSemantics(df):
-                return slot[0]
-        except Exception:  # noqa: BLE001 — fall through to rotation
-            pass
-        slot.pop().unpersist()
-    df = df.persist()
-    slot.append(df)
-    return df
+# moved to memo.py (the cache-lifecycle module) so OPERATORS can
+# rotate their per-call persists too without importing the query
+# layer; re-exported here for the existing consumers
+from duckdb_retail_pipeline_spark.memo import rotating_persist  # noqa: E402,F401
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -225,3 +225,99 @@ def test_plane_dots_bit_identical_and_deduped(spark, sf_dir):
 
     node = re.search(r"ArrowEvalPython \[([^\]]*)\]", plan)
     assert node and node.group(1).count("_plane_dots") == 1
+
+
+def test_text_kernels_bit_identical_to_hof(spark, sf_dir):
+    """The Arrow MinHash/SimHash kernels must reproduce the HOF folds
+    BIT-FOR-BIT on real documents (they are the default fingerprint
+    kernels; the DuckDB oracle twins pin the HOF integer math), and
+    the NULL/empty degradations must match exactly."""
+    from duckdb_retail_pipeline_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            T.word_shingles("text", 3).alias("sh"),
+            T.tokens("text").alias("tk"),
+        )
+        .withColumn("hs", T.shingle_hashes28("sh"))
+    )
+    bad = (
+        d.select(
+            T.minhash_signature_from_hashes("hs", 16).alias("a_sig"),
+            T.minhash_from_hashes_hof("hs", 16).alias("h_sig"),
+            T.simhash64("tk").alias("a_sim"),
+            T.simhash64_hof("tk").alias("h_sim"),
+        )
+        .filter(
+            ~F.col("a_sig").eqNullSafe(F.col("h_sig"))
+            | ~F.col("a_sim").eqNullSafe(F.col("h_sim"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+    # NULL array / empty array / NULL elements degrade identically
+    edge = spark.createDataFrame(
+        [
+            (1, [5, None, 9], ["a", None, "b"]),
+            (2, [], []),
+            (3, None, None),
+            (4, [None], [None]),
+        ],
+        "id long, hs array<bigint>, tk array<string>",
+    )
+    rows = edge.select(
+        "id",
+        T.minhash_signature_from_hashes("hs", 4).alias("a_sig"),
+        T.minhash_from_hashes_hof("hs", 4).alias("h_sig"),
+        T.simhash64("tk").alias("a_sim"),
+        T.simhash64_hof("tk").alias("h_sim"),
+    ).collect()
+    for r in rows:
+        assert r["a_sig"] == r["h_sig"], r
+        assert r["a_sim"] == r["h_sim"], r
+
+
+def test_minhash_verify_modes_identical(spark, sf_dir):
+    """bucket-local verification (arrays ride the banding shuffle,
+    jaccard streams inside the join stage — the shape that survives
+    duplicate-heavy corpora; pair-materializing verify shuffled ~400
+    GB of arrays at the 100× decade and died on spill disk) must
+    produce EXACTLY the pair set + jaccard values of pair-join
+    verification."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bkt = D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="bucket")
+    prs = D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="pairs")
+    j = bkt.alias("x").join(prs.alias("y"), ["id_a", "id_b"], "full_outer")
+    mism = j.filter(
+        ~F.expr("x.jaccard").eqNullSafe(F.expr("y.jaccard"))
+    ).count()
+    assert mism == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="nope")
+
+
+def test_minhash_kernel_single_evaluation_in_plan(spark, sf_dir):
+    """x06 projects 16 per-permutation columns off one signature —
+    the HOF form inlined the whole 16-permutation expression per
+    column (256 interpreted passes); the Arrow kernel must appear
+    exactly ONCE in the ArrowEvalPython node however many columns
+    consume it."""
+    import re
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["x06_minhash_signatures"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    node = re.search(r"ArrowEvalPython \[([^\]]*)\]", plan)
+    assert node and node.group(1).count("_minhash_sig") == 1
