@@ -151,7 +151,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    verify: str = "bucket",
+    verify: str = "auto",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -161,8 +161,15 @@ def minhash_lsh_pairs(
     only shuffle that scales with corpus size. Exact Jaccard then
     filters false positives, so output = true near-dups ∩ LSH recall.
 
-    Two value-identical verification strategies (same pairs, same
-    jaccard — differential-tested):
+    Three value-identical verification strategies (same pairs, same
+    jaccard — differential-tested); ``verify="auto"`` (default) picks
+    by measured corpus size — the signature table is persisted before
+    the choice, so the count is a cache scan the query needs anyway.
+    Warm medians, aug corpus (~10% near-dup + replication families):
+    5.5k docs → bucket 1.31 s / group 4.54 (Arrow per-group overhead
+    dominates); 55k → group 6.9 / bucket 8.2; 550k (~110-copy
+    families) → group 114 s cold / bucket 1140 / pairs dead on spill
+    disk. Crossover band ~20–50k docs; auto switches at 30k.
 
     ``verify="bucket"`` (default, the scale path): shingle arrays ride
       the banding shuffle (once per band per doc — LINEAR in corpus
@@ -181,10 +188,22 @@ def minhash_lsh_pairs(
       cross the wire once per PAIR — cheaper only when candidates are
       sparse relative to the corpus (near-dup-free corpora), and the
       shape that blows up quadratically when they are not.
+    ``verify="group"``: bucket-grouped Arrow verification — groupBy
+      (band, key) → applyInPandas pairwise verify with per-doc
+      frozensets. Same linear shuffle as ``bucket`` (each doc's
+      arrays cross once per band), but each bucket's arrays
+      materialize ONCE instead of once per candidate join row —
+      ``bucket``'s remaining 100×-decade constant was the ~1.2B
+      joined rows × ~8 KB of shingle payload the join assembles
+      before the gate filters them. Jaccard parity is exact: same
+      integer-count division (same IEEE operands), and the 4-decimal
+      round uses the shortest-repr HALF_UP convention that equals
+      Spark's ``round(double, 4)`` (conventions #10; differentially
+      tested against both other modes).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    if verify not in ("bucket", "pairs"):
+    if verify not in ("auto", "bucket", "pairs", "group"):
         raise ValueError(f"unknown verify mode {verify!r}")
     rows_per_band = num_hashes // bands
 
@@ -201,6 +220,13 @@ def minhash_lsh_pairs(
         .drop("hs"),
         _MINHASH_BASE_SLOT,
     )
+
+    if verify == "auto":
+        # the measured crossover (docstring): group's per-bucket Arrow
+        # overhead loses below ~30k docs, wins by 10× at 550k. The
+        # count scans the just-persisted signature table — runtime
+        # statistics the query pays for once regardless of mode.
+        verify = "group" if base.count() >= 30_000 else "bucket"
 
     # Banding frame carries ids only; the verify mode decides whether
     # shingle arrays enter the banding shuffle (bucket mode: linear,
@@ -220,6 +246,78 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if verify == "group":
+        id_type = dict(zip(base.columns, [f.dataType.simpleString() for f in base.schema.fields]))[id_col]
+        bkeys = F.array(
+            *[
+                F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                for i in range(bands)
+            ]
+        )
+        with_sh = banded.join(
+            base.select(id_col, "sh", bkeys.alias("bkeys")), id_col
+        )
+        thr = float(threshold)
+
+        # nested closure — pickled by value (executors don't share the
+        # driver's sys.path; the package convention)
+        def _verify_bucket(pdf):
+            import pandas as pd
+            from decimal import ROUND_HALF_UP, Decimal
+
+            n = len(pdf)
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            if n < 2:
+                return empty
+            band = int(pdf["band"].iloc[0])
+            ids = pdf[id_col].tolist()
+            shs = [frozenset(x) for x in pdf["sh"]]
+            # null-safe band-key tuples: Python tuple equality treats
+            # None == None like eqNullSafe does
+            bks = [
+                tuple(tuple(None if e is None or e != e else int(e) for e in k) for k in bk)
+                for bk in pdf["bkeys"]
+            ]
+            out_a, out_b, out_j = [], [], []
+            for i in range(n):
+                si, bi, idi = shs[i], bks[i], ids[i]
+                for j in range(i + 1, n):
+                    # first-colliding-band gate: verify only where no
+                    # earlier band's keys already matched
+                    bj = bks[j]
+                    if any(bi[b2] == bj[b2] for b2 in range(band)):
+                        continue
+                    sj = shs[j]
+                    inter = len(si & sj)
+                    union = len(si) + len(sj) - inter
+                    if union == 0:
+                        continue  # NULLIF(0) → NULL jaccard → filtered
+                    # same IEEE division as size()/size() in the JVM,
+                    # then shortest-repr HALF_UP ≡ Spark round(d, 4)
+                    jac = float(
+                        Decimal(repr(inter / union)).quantize(
+                            Decimal("0.0001"), ROUND_HALF_UP
+                        )
+                    )
+                    if jac >= thr:
+                        a, b = (idi, ids[j]) if idi < ids[j] else (ids[j], idi)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(jac)
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+        return (
+            with_sh.select(id_col, "band", "key", "sh", "bkeys")
+            .groupBy("band", "key")
+            .applyInPandas(
+                _verify_bucket,
+                schema=f"id_a {id_type}, id_b {id_type}, jaccard double",
+            )
+            # first_band emits each pair once; dedup stays as a cheap
+            # invariant guard (only survivors reach it)
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     if verify == "bucket":
         # arrays through the banding shuffle (once per band per doc);

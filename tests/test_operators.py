@@ -296,11 +296,13 @@ def test_minhash_verify_modes_identical(spark, sf_dir):
     )
     bkt = D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="bucket")
     prs = D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="pairs")
-    j = bkt.alias("x").join(prs.alias("y"), ["id_a", "id_b"], "full_outer")
-    mism = j.filter(
-        ~F.expr("x.jaccard").eqNullSafe(F.expr("y.jaccard"))
-    ).count()
-    assert mism == 0
+    grp = D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="group")
+    for other in (prs, grp):
+        j = bkt.alias("x").join(other.alias("y"), ["id_a", "id_b"], "full_outer")
+        mism = j.filter(
+            ~F.expr("x.jaccard").eqNullSafe(F.expr("y.jaccard"))
+        ).count()
+        assert mism == 0
     import pytest
 
     with pytest.raises(ValueError):
