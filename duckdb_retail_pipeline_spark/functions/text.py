@@ -191,11 +191,17 @@ def _build_minhash_kernel(num_hashes: int):
         if ok and n:
             lens = np.fromiter((len(c) for c in clean), dtype=np.int64, count=n)
             flat = np.concatenate(clean)
-            # (S_total, k): h*a + b mod P — 28-bit h × a ≤ 2k−1 ≪ 2^63
-            m = (flat[:, None] * A + B) % P
             offsets = np.zeros(n, dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
-            mins = np.minimum.reduceat(m, offsets, axis=0)
+            # one permutation at a time: h*a + b mod P (28-bit h ×
+            # a ≤ 2k−1 ≪ 2^63) then grouped minima — peak transient is
+            # one S_total vector, not the (S_total, k) matrix (which
+            # reached ~hundreds of MB per Arrow batch on long docs)
+            mins = np.empty((n, k), dtype=np.int64)
+            for i in range(k):
+                mins[:, i] = np.minimum.reduceat(
+                    (flat * A[i] + B[i]) % P, offsets
+                )
             for r in range(n):
                 out[r] = mins[r].tolist()
             return pd.Series(out)

@@ -283,6 +283,10 @@ def minhash_lsh_pairs(
             for i in range(n):
                 si, bi, idi = shs[i], bks[i], ids[i]
                 for j in range(i + 1, n):
+                    if ids[j] == idi:
+                        # strict id_a < id_b parity with the JVM
+                        # modes (a duplicated id never self-pairs)
+                        continue
                     # first-colliding-band gate: verify only where no
                     # earlier band's keys already matched
                     bj = bks[j]
