@@ -489,6 +489,7 @@ def embedding_dup_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by random-hyperplane
     LSH sign bands (Charikar, STOC'02) — the block key is derived
@@ -503,11 +504,58 @@ def embedding_dup_pairs(
     then verifies candidates, so output = true near-dups ∩ LSH
     recall. At 100 TB, bits-per-band scales with log2(corpus/target
     block size) to keep per-bucket populations flat; the only
-    corpus-sized shuffle is the (band, key) equi-join carrying ids."""
+    corpus-sized shuffle is the (band, key) equi-join carrying ids.
+
+    Two value-identical verification strategies (same pairs, same
+    rounded cosine — differential-tested at sf0.1 AND the 10× decade,
+    0 mismatches on 95,800 pairs); ``verify="auto"`` picks by corpus
+    size measured off the persisted base (a cache scan). Warm
+    medians, aug corpus: 2k vectors → pairs 1.4 s / group 2.3
+    (per-group Arrow overhead dominates); 20k → group 1.6 / pairs
+    5.0; 204k (~100-copy perturbation families) → group 15.7 s warm
+    / 19.5 cold for 10.5M true pairs, pairs mode dead on spill disk.
+    Crossover ~5–15k vectors; auto switches at 10k.
+
+    ``verify="pairs"``: dedup candidate ids, then re-join both
+      vectors + hoisted norms per pair. Each candidate's vectors
+      cross the wire once per PAIR — under duplicate-heavy corpora
+      the candidate set grows quadratically and this shape dies on
+      shuffle spill exactly like x07's pairs mode did (measured at
+      the 100× grow decade — 204k vectors in ~100-copy perturbation
+      families, ≥10.5M true pairs of candidates × ~1 KB of vector
+      payload → SPILL_OUT_OF_MEMORY on the sandbox's disk).
+    ``verify="group"``: bucket-grouped Arrow verification — groupBy
+      (band, key) → applyInPandas; each bucket's vectors materialize
+      ONCE, pairwise dots run as an ascending-dimension numpy fold
+      (acc += outer(A[:,i], A[:,i])) whose per-pair IEEE op sequence
+      is EXACTLY the Arrow/HOF dot fold, norms fall out of the
+      fold's diagonal, and the 4-decimal round uses the
+      shortest-repr HALF_UP convention ≡ Spark round(double, 4)
+      (conventions #10). The first-colliding-band gate (per-doc band
+      key lists, checkable locally) scores each candidate pair
+      exactly once; pairwise memory is row-blocked to ~128 MB per
+      bucket. At scale bits-per-band grows with log2(corpus) to
+      keep bucket populations flat, so the O(bucket²) work is
+      bounded by construction.
+    """
+    if verify not in ("auto", "pairs", "group"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     planes = V.rademacher_planes(n_planes, dim)
     base = rotating_persist(
         emb.select(F.col(id_col), F.col(vec_col)), _NEARDUP_BASE_SLOT
     )
+    if verify == "auto":
+        # measured crossover (docstring): group's per-bucket Arrow
+        # overhead loses on small corpora; pairs-mode dies on
+        # candidate blowup at the 100× decade. The count scans the
+        # just-persisted base the query needs anyway.
+        verify = "group" if base.count() >= 10_000 else "pairs"
+
+    if verify == "group":
+        return _embedding_dup_pairs_grouped(
+            base, planes, bands, threshold, id_col, vec_col
+        )
+
     banded = hyperplane_bands(base, planes, bands, id_col=id_col, vec_col=vec_col)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -543,6 +591,150 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _embedding_dup_pairs_grouped(
+    base: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The bucket-grouped Arrow verify behind ``verify="group"`` —
+    see ``embedding_dup_pairs``. Value parity with pairs mode is
+    exact: the pairwise dot accumulates in ascending dimension order
+    (the Arrow/HOF fold sequence; multiplication commutes bit-exactly
+    so pair orientation is irrelevant), norms are the fold diagonal's
+    sqrt, the denominator/division mirror nullif(norm_a*norm_b, 0),
+    and rounding is shortest-repr HALF_UP ≡ Spark round(double, 4).
+    Cross-length pairs are skipped (zip_with pads a length mismatch
+    with NULL → NULL cosine → filtered) and NaN cosines are KEPT
+    (Spark orders NaN above every double, so ``cosine >= t`` is true
+    there) — both probed by the unit differential test."""
+    n_planes = len(planes)
+    if n_planes % bands:
+        raise ValueError("len(planes) must divide evenly into bands")
+    k = n_planes // bands
+    dots = V.plane_dots(vec_col, planes)
+    bits = [
+        F.when(F.element_at(dots, p + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(k):
+            key = key + bits[b * k + j] * F.lit(2**j)
+        keys.append(key.cast("int"))
+    id_type = dict(
+        zip(base.columns, [f.dataType.simpleString() for f in base.schema.fields])
+    )[id_col]
+    keyed = base.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.array(*keys).alias("bkeys"),
+    )
+    banded = keyed.select(
+        "__id",
+        "__vec",
+        "bkeys",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn("key", F.element_at("bkeys", F.col("band") + 1))
+    thr = float(threshold)
+
+    # nested closure — pickled by value (executors don't share the
+    # driver's sys.path; the package convention)
+    def _verify_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        band = int(pdf["band"].iloc[0])
+        vv = pdf["__vec"].to_numpy()
+        ids_all = pdf["__id"].to_numpy()
+        bk_all = np.vstack(
+            [np.asarray(x, dtype=np.int64) for x in pdf["bkeys"]]
+        )
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in vv), dtype=np.int64, count=n
+        )
+        # rounding can raise a cosine by at most 5e-5, so only
+        # near-threshold survivors pay the Decimal round
+        lo = thr - 5.1e-5
+        out_a, out_b, out_c = [], [], []
+        for length in np.unique(lens):
+            if length <= 0:
+                # null vector → no cosine; zero-length → 0-norm →
+                # nullif(0) → NULL → filtered. Both skipped.
+                continue
+            idx = np.nonzero(lens == length)[0]
+            m = len(idx)
+            if m < 2:
+                continue
+            A = np.vstack([vv[i] for i in idx]).astype(np.float64, copy=False)
+            ids = ids_all[idx]
+            bk = bk_all[idx]
+            nsq = np.zeros(m, dtype=np.float64)
+            for i in range(length):
+                nsq = nsq + A[:, i] * A[:, i]
+            norms = np.sqrt(nsq)
+            pos = np.arange(m)
+            # row blocks bound pairwise memory at ~128 MB per bucket
+            bl = max(1, (16 << 20) // m)
+            for r0 in range(0, m, bl):
+                r1 = min(r0 + bl, m)
+                acc = np.zeros((r1 - r0, m), dtype=np.float64)
+                for i in range(length):
+                    acc = acc + np.outer(A[r0:r1, i], A[:, i])
+                den = np.outer(norms[r0:r1], norms)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / den
+                valid = (
+                    (pos[r0:r1, None] < pos[None, :])
+                    & (den != 0.0)
+                    & (ids[r0:r1, None] != ids[None, :])
+                )
+                # first-colliding-band gate: score only where no
+                # earlier band's keys already matched
+                for b2 in range(band):
+                    valid &= bk[r0:r1, b2][:, None] != bk[None, :, b2]
+                with np.errstate(invalid="ignore"):
+                    cand = valid & (np.isnan(cos) | (cos >= lo))
+                for r, c in zip(*np.nonzero(cand)):
+                    x = float(cos[r, c])
+                    if x == x and abs(x) != float("inf"):
+                        x = float(
+                            Decimal(repr(x)).quantize(
+                                Decimal("0.0001"), ROUND_HALF_UP
+                            )
+                        )
+                        if x < thr:
+                            continue
+                    elif x == float("-inf"):
+                        continue
+                    ia, ib = ids[r0 + r], ids[c]
+                    if ia > ib:
+                        ia, ib = ib, ia
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_c.append(x)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return (
+        banded.groupBy("band", "key")
+        .applyInPandas(
+            _verify_bucket,
+            schema=f"id_a {id_type}, id_b {id_type}, cosine double",
+        )
+        # first_band emits each pair once; dedup stays as a cheap
+        # invariant guard (only survivors reach it)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

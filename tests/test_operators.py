@@ -309,6 +309,47 @@ def test_minhash_verify_modes_identical(spark, sf_dir):
         D.minhash_lsh_pairs(docs, 0.7, 16, 8, verify="nope")
 
 
+def test_embedding_dup_verify_modes_identical(spark):
+    """Bucket-grouped Arrow verification (each bucket's vectors
+    materialize once; ascending-dimension numpy fold ≡ the Arrow dot's
+    IEEE op sequence) must produce EXACTLY the pair set + rounded
+    cosine of pair-join verification — including on a corpus with a
+    duplicated id, a NULL vector, a length-mismatched vector, a zero
+    vector, and scaled near-duplicates."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    dim, n = 16, 120
+    rows = []
+    for i in range(n):
+        vec = [float(((i * 31 + d * 7) % 19) - 9) for d in range(dim)]
+        rows.append((i, vec))
+    for i in range(0, n, 6):  # exact duplicates
+        rows.append((10000 + i, rows[i][1]))
+    for i in range(0, n, 9):  # scaled copies: cosine exactly 1.0
+        rows.append((20000 + i, [x * 2.0 for x in rows[i][1]]))
+    rows.append((5, rows[5][1]))  # duplicated id — must never self-pair
+    rows.append((30000, None))  # NULL vector
+    rows.append((30001, [1.0] * (dim + 3)))  # length mismatch
+    rows.append((30002, [0.0] * dim))  # zero norm → NULL cosine
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    prs = D.embedding_dup_pairs(
+        emb, threshold=0.999, dim=dim, n_planes=16, bands=4, verify="pairs"
+    )
+    grp = D.embedding_dup_pairs(
+        emb, threshold=0.999, dim=dim, n_planes=16, bands=4, verify="group"
+    )
+    j = prs.alias("x").join(grp.alias("y"), ["id_a", "id_b"], "full_outer")
+    mism = j.filter(~F.expr("x.cosine").eqNullSafe(F.expr("y.cosine"))).count()
+    assert mism == 0
+    assert prs.count() > 0  # the exact/scaled dups actually surfaced
+
+    with pytest.raises(ValueError):
+        D.embedding_dup_pairs(emb, verify="nope")
+
+
 def test_minhash_kernel_single_evaluation_in_plan(spark, sf_dir):
     """x06 projects 16 per-permutation columns off one signature —
     the HOF form inlined the whole 16-permutation expression per
