@@ -166,12 +166,20 @@ def minhash_lsh_pairs(
     by measured corpus size — the signature table is persisted before
     the choice, so the count is a cache scan the query needs anyway.
     Warm medians, aug corpus (~10% near-dup + replication families):
-    5.5k docs → bucket 1.31 s / group 4.54 (Arrow per-group overhead
-    dominates); 55k → group 6.9 / bucket 8.2; 550k (~110-copy
+    5.5k docs → pairs 1.4 s / bucket 4.5 / group 5.1 (both
+    array-shuffling modes pay the 8-band × 2-side shingle payload
+    twice — a constant ~3× tax that only amortizes when candidate
+    blowup threatens); 55k → group 6.9 / bucket 8.2; 550k (~110-copy
     families) → group 114 s cold / bucket 1140 / pairs dead on spill
-    disk. Crossover band ~20–50k docs; auto switches at 30k.
+    disk (its per-PAIR array re-join goes quadratic under
+    replication families). auto switches pairs → group at 30k docs:
+    below the crossover the candidate set is small enough that even
+    a pathological all-dup corpus re-joins ≤ corpus² arrays, and
+    pairs is the measured winner; above it, group's once-per-bucket
+    array materialization is the only mode that survives the decade
+    measurements.
 
-    ``verify="bucket"`` (default, the scale path): shingle arrays ride
+    ``verify="bucket"`` (the JVM-only scale path): shingle arrays ride
       the banding shuffle (once per band per doc — LINEAR in corpus
       size), candidate pairs stream through jaccard+filter INSIDE the
       bucket join's stage, and only surviving (id_a, id_b, jaccard)
@@ -222,11 +230,15 @@ def minhash_lsh_pairs(
     )
 
     if verify == "auto":
-        # the measured crossover (docstring): group's per-bucket Arrow
-        # overhead loses below ~30k docs, wins by 10× at 550k. The
-        # count scans the just-persisted signature table — runtime
-        # statistics the query pays for once regardless of mode.
-        verify = "group" if base.count() >= 30_000 else "bucket"
+        # the measured crossover (docstring): below ~30k docs the
+        # candidate re-join is cheap and pairs wins outright (1.4 s
+        # vs 4.5/5.1 at 5.5k — the array-shuffling modes pay their
+        # 8-band × 2-side payload constant regardless of candidate
+        # count); at scale only group survives (114 s vs bucket 1140
+        # vs pairs dead at 550k). The count scans the just-persisted
+        # signature table — runtime statistics the query pays for
+        # once regardless of mode.
+        verify = "group" if base.count() >= 30_000 else "pairs"
 
     # Banding frame carries ids only; the verify mode decides whether
     # shingle arrays enter the banding shuffle (bucket mode: linear,
