@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 # (appId, path, tag) -> (dataset_signature, value)
 _MEMO: dict[tuple[str, str, str], tuple[frozenset, Any]] = {}
 
+# id(slot) -> input-file signature of the slot's occupant (kept out
+# of the slot itself so call sites' "one-element list" contract and
+# any direct slot[0] consumers stay untouched)
+_SLOT_SIGS: dict[int, frozenset | None] = {}
+
 
 def _mtime_signature(sf_dir: str) -> frozenset:
     """Per-file (name, mtime_ns, size) set of the dataset's parquet
@@ -70,6 +75,39 @@ def _unpersist(value: Any) -> None:
                 pass
 
 
+def _input_signature(df: DataFrame) -> frozenset | None:
+    """(uri, mtime_ns, size) for every file backing ``df``'s plan —
+    ``sameSemantics`` compares canonical plans, and a file-source
+    relation canonicalizes on its root PATH only, so a dataset
+    regenerated in-session under the same path still compares equal
+    to the stale occupant's plan. Stat-ing the plan's input files
+    closes that hole (the same invalidation ``dataset_memo`` does,
+    derived from the plan instead of a caller-supplied dir). Files
+    that cannot be stat-ed locally (remote URIs) contribute their
+    uri alone — remote rewrites are not detectable this way, same as
+    before. Returns None when the plan exposes no input files
+    (pure-synthetic frames: nothing on disk can go stale)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans
+        return None
+    if not files:
+        return None
+    sig = []
+    for uri in files:
+        path = uri
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(uri).path)
+        try:
+            st = os.stat(path)
+            sig.append((uri, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((uri, -1, -1))
+    return frozenset(sig)
+
+
 def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     """Persist ``df`` with a one-entry rotation — for operators whose
     intermediate feeds MULTIPLE consumers in one plan (Spark does
@@ -91,10 +129,25 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     genuinely different plan (new dataset / changed query) evicts
     the occupant FIRST: persist-then-unpersist on a canonically
     equal plan registers a no-op and then DROPS the shared entry
-    (measured: x44 repeats regressed to the tokenize-twice cost)."""
+    (measured: x44 repeats regressed to the tokenize-twice cost).
+
+    The fast path requires three proofs, not just plan equality:
+    the occupant belongs to the CALLER's session (a plan-only
+    compare can match an occupant whose session was stopped — its
+    cache is gone and any action on it throws), the canonical plans
+    are equal, and the occupant's input files are byte-for-byte the
+    caller's (file-source relations canonicalize on root path only,
+    so an in-session dataset regeneration under the same path would
+    otherwise be served the STALE materialized corpus — the exact
+    invalidation ``dataset_memo`` guards with its mtime signature)."""
+    sig = _input_signature(df)
     if slot:
         try:
-            if slot[0].sameSemantics(df):
+            if (
+                slot[0].sparkSession is df.sparkSession
+                and slot[0].sameSemantics(df)
+                and _SLOT_SIGS.get(id(slot)) == sig
+            ):
                 return slot[0]
         except Exception:  # noqa: BLE001 — fall through to rotation
             pass
@@ -104,6 +157,7 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
             pass  # stopped (test teardown); rotation must still work
     df = df.persist()
     slot.append(df)
+    _SLOT_SIGS[id(slot)] = sig
     return df
 
 

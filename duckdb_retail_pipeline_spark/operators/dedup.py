@@ -36,6 +36,21 @@ _MINHASH_BASE_SLOT: list = []
 _NEARDUP_BASE_SLOT: list = []
 
 
+def _pair_dedup(pairs: DataFrame, score_col: str) -> DataFrame:
+    """Deterministic one-row-per-pair terminal: MAX(score) per
+    (id_a, id_b). Under well-formed ids each verified pair reaches
+    here exactly once and this is a pass-through; under a duplicated
+    id with DIFFERING payloads the candidate fan-out can score the
+    same (id_a, id_b) several ways, and a dropDuplicates would keep
+    one nondeterministically — breaking the verify modes'
+    value-identity contract against each other. groupBy-max costs
+    the same single exchange (over threshold survivors only, never
+    the candidate stream) and is deterministic."""
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max(score_col).alias(score_col)
+    )
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition CPU-heavy per-document work across all cores.
 
@@ -134,12 +149,13 @@ def ngram_jaccard_pairs(
     )
     sh_a = d.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = d.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    return _pair_dedup(
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        "jaccard",
     )
 
 
@@ -259,8 +275,11 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    if verify == "group":
-        id_type = dict(zip(base.columns, [f.dataType.simpleString() for f in base.schema.fields]))[id_col]
+    if verify in ("group", "bucket"):
+        # both array-shuffling modes carry each doc's shingles plus
+        # its full per-band key list (the first-colliding-band gate's
+        # input) through the banding shuffle — built ONCE here so the
+        # two gates cannot silently diverge
         bkeys = F.array(
             *[
                 F.slice("sig", i * rows_per_band + 1, rows_per_band)
@@ -270,6 +289,9 @@ def minhash_lsh_pairs(
         with_sh = banded.join(
             base.select(id_col, "sh", bkeys.alias("bkeys")), id_col
         )
+
+    if verify == "group":
+        id_type = base.schema[id_col].dataType.simpleString()
         thr = float(threshold)
 
         # nested closure — pickled by value (executors don't share the
@@ -323,16 +345,14 @@ def minhash_lsh_pairs(
                         out_j.append(jac)
             return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
-        return (
+        return _pair_dedup(
             with_sh.select(id_col, "band", "key", "sh", "bkeys")
             .groupBy("band", "key")
             .applyInPandas(
                 _verify_bucket,
                 schema=f"id_a {id_type}, id_b {id_type}, jaccard double",
-            )
-            # first_band emits each pair once; dedup stays as a cheap
-            # invariant guard (only survivors reach it)
-            .dropDuplicates(["id_a", "id_b"])
+            ),
+            "jaccard",
         )
 
     if verify == "bucket":
@@ -348,15 +368,6 @@ def minhash_lsh_pairs(
         # equal keys — checkable locally from the two key lists)
         # runs the expensive jaccard exactly once per candidate pair,
         # like pairs-mode, while keeping the no-pair-shuffle shape.
-        bkeys = F.array(
-            *[
-                F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                for i in range(bands)
-            ]
-        )
-        with_sh = banded.join(
-            base.select(id_col, "sh", bkeys.alias("bkeys")), id_col
-        )
         a = with_sh.select(
             F.col(id_col).alias("id_a"),
             "band",
@@ -381,16 +392,14 @@ def minhash_lsh_pairs(
                 ),
             )
         )
-        return (
+        return _pair_dedup(
             a.join(b, ["band", "key"], "inner")
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(first_band)
             .withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-            # first_band emits each pair once; dedup stays as a cheap
-            # invariant guard (only survivors reach it)
-            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "jaccard"),
+            "jaccard",
         )
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
@@ -409,7 +418,7 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(T.jaccard("sh_a", "sh_b"), 4))
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    return _pair_dedup(verified.select("id_a", "id_b", "jaccard"), "jaccard")
 
 
 def simhash_pairs(
@@ -589,7 +598,7 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("v_b"),
         V.norm(vec_col).alias("__nb"),
     )
-    return (
+    return _pair_dedup(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
@@ -601,8 +610,14 @@ def embedding_dup_pairs(
                 4,
             ),
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        # NaN is never a near-dup: the Arrow dot kernel surfaces a
+        # NaN dot as NULL (dropped by >=) but the HOF escape hatch
+        # keeps NaN, and Spark orders NaN above every double — the
+        # explicit guard pins one semantics across both kernels and
+        # all verify modes (group drops NaN candidates in-kernel)
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
+        .select("id_a", "id_b", "cosine"),
+        "cosine",
     )
 
 
@@ -622,9 +637,11 @@ def _embedding_dup_pairs_grouped(
     sqrt, the denominator/division mirror nullif(norm_a*norm_b, 0),
     and rounding is shortest-repr HALF_UP ≡ Spark round(double, 4).
     Cross-length pairs are skipped (zip_with pads a length mismatch
-    with NULL → NULL cosine → filtered) and NaN cosines are KEPT
-    (Spark orders NaN above every double, so ``cosine >= t`` is true
-    there) — both probed by the unit differential test."""
+    with NULL → NULL cosine → filtered) and NaN cosines are DROPPED
+    — the operator's contract across every mode and kernel: the
+    default Arrow dot surfaces a NaN dot as NULL (filtered by >=),
+    so keeping NaN here would emit rows pairs-mode never produces.
+    Probed by the unit differential test."""
     n_planes = len(planes)
     if n_planes % bands:
         raise ValueError("len(planes) must divide evenly into bands")
@@ -640,9 +657,7 @@ def _embedding_dup_pairs_grouped(
         for j in range(k):
             key = key + bits[b * k + j] * F.lit(2**j)
         keys.append(key.cast("int"))
-    id_type = dict(
-        zip(base.columns, [f.dataType.simpleString() for f in base.schema.fields])
-    )[id_col]
+    id_type = base.schema[id_col].dataType.simpleString()
     keyed = base.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
@@ -717,10 +732,12 @@ def _embedding_dup_pairs_grouped(
                 for b2 in range(band):
                     valid &= bk[r0:r1, b2][:, None] != bk[None, :, b2]
                 with np.errstate(invalid="ignore"):
-                    cand = valid & (np.isnan(cos) | (cos >= lo))
+                    # NaN compares False here — dropped, matching the
+                    # Arrow dot's NaN→NULL→filtered path in pairs mode
+                    cand = valid & (cos >= lo)
                 for r, c in zip(*np.nonzero(cand)):
                     x = float(cos[r, c])
-                    if x == x and abs(x) != float("inf"):
+                    if abs(x) != float("inf"):
                         x = float(
                             Decimal(repr(x)).quantize(
                                 Decimal("0.0001"), ROUND_HALF_UP
@@ -728,8 +745,6 @@ def _embedding_dup_pairs_grouped(
                         )
                         if x < thr:
                             continue
-                    elif x == float("-inf"):
-                        continue
                     ia, ib = ids[r0 + r], ids[c]
                     if ia > ib:
                         ia, ib = ib, ia
@@ -738,15 +753,12 @@ def _embedding_dup_pairs_grouped(
                     out_c.append(x)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
-    return (
-        banded.groupBy("band", "key")
-        .applyInPandas(
+    return _pair_dedup(
+        banded.groupBy("band", "key").applyInPandas(
             _verify_bucket,
             schema=f"id_a {id_type}, id_b {id_type}, cosine double",
-        )
-        # first_band emits each pair once; dedup stays as a cheap
-        # invariant guard (only survivors reach it)
-        .dropDuplicates(["id_a", "id_b"])
+        ),
+        "cosine",
     )
 
 

@@ -437,6 +437,7 @@ def build_ivf_index(
     kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
 ) -> dict:
     """Build the IVF index ONCE: deterministic centroid seeds (first
     n_cells vectors by id), ``kmeans_iters`` Lloyd refinement passes,
@@ -447,16 +448,24 @@ def build_ivf_index(
     query repeatedly share one index via ``memo.dataset_memo`` (the
     x26/x81 pattern), so repeated ``ivf_topk`` calls probe a built
     index instead of re-running Lloyd per call (r6 verdict #3: x13
-    warm was ~4.5 s at sf0.1 re-deriving per invocation)."""
+    warm was ~4.5 s at sf0.1 re-deriving per invocation).
+
+    ``persist`` applies to the assignment frame and belongs with an
+    OWNER that will unpersist it (``dataset_memo`` rotates its entry
+    on dataset change). One-shot callers must pass False: a bare
+    per-call ``.persist()`` with no owner leaks one corpus-sized
+    cache entry per invocation for the session's lifetime — the
+    exact pattern that OOM-failed bench at the 100× decade (see
+    ``memo.rotating_persist``)."""
     cents = [
         list(map(float, r[vec_col]))
         for r in emb.orderBy(id_col).limit(n_cells).collect()
     ]
     if kmeans_iters:
         cents = refine_centroids(emb, cents, kmeans_iters, vec_col=vec_col)
-    assigned = emb.withColumn(
-        "__cell", _nearest_cell_expr(F.col(vec_col), cents)
-    ).persist()
+    assigned = emb.withColumn("__cell", _nearest_cell_expr(F.col(vec_col), cents))
+    if persist:
+        assigned = assigned.persist()
     return {"cents": cents, "assigned": assigned}
 
 
@@ -477,8 +486,11 @@ def ivf_topk(
     probed cells. The assignment join broadcasts the centroid
     list."""
     if index is None:
+        # unowned inline build: nothing would ever unpersist it, so
+        # the assignment stays a plain frame (single consumer anyway)
         index = build_ivf_index(
-            emb, n_cells, kmeans_iters, id_col=id_col, vec_col=vec_col
+            emb, n_cells, kmeans_iters, id_col=id_col, vec_col=vec_col,
+            persist=False,
         )
     cents, assigned = index["cents"], index["assigned"]
 

@@ -1860,7 +1860,13 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.bool_and(F.col("cosine").between(-1.0, 1.0)).alias("__rng"),
+            # coalesce(False): bool_and SKIPS NULL inputs, and the
+            # corruption this invariant exists to catch (a broken
+            # norm) yields exactly a NULL cosine — an uncoalesced
+            # between() would wave those rows through
+            F.bool_and(
+                F.coalesce(F.col("cosine").between(-1.0, 1.0), F.lit(False))
+            ).alias("__rng"),
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),

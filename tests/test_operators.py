@@ -364,3 +364,116 @@ def test_minhash_kernel_single_evaluation_in_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     node = re.search(r"ArrowEvalPython \[([^\]]*)\]", plan)
     assert node and node.group(1).count("_minhash_sig") == 1
+
+
+def test_minhash_modes_identical_under_duplicated_id_with_differing_text(spark):
+    """A duplicated doc_id with DIFFERING texts fans the candidate
+    re-join out to several scored rows per (id_a, id_b); every verify
+    mode must resolve that deterministically to one row via MAX
+    (a dropDuplicates would keep one nondeterministically and the
+    modes' value-identity contract would only hold by luck)."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"variant {i} " + base) for i in range(40)]
+    rows += [(100 + i, base + f"variant {i} " + base) for i in range(0, 40, 4)]
+    # id 7 twice, with different text: one copy near-dups id 3's
+    # family, the other is its exact text — both candidate routes
+    # score (3, 7) / (7, 103) etc. with different jaccards
+    rows.append((7, base + "variant 3 " + base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    outs = {
+        mode: D.minhash_lsh_pairs(docs, 0.5, 16, 8, verify=mode)
+        for mode in ("pairs", "bucket", "group")
+    }
+    for name, df in outs.items():
+        pairs = df.groupBy("id_a", "id_b").count().filter("count > 1").count()
+        assert pairs == 0, f"{name} emitted a duplicate pair row"
+    collected = {
+        name: sorted(map(tuple, df.collect())) for name, df in outs.items()
+    }
+    assert collected["pairs"] == collected["bucket"] == collected["group"]
+    assert collected["pairs"], "corpus produced no pairs — test is vacuous"
+
+
+def test_embedding_modes_drop_nan_vectors_identically(spark):
+    """A NaN-poisoned vector must never surface as a near-dup pair in
+    ANY mode: the Arrow dot kernel maps a NaN dot to NULL (filtered),
+    and the group kernel must drop NaN candidates rather than emit
+    (id_a, id_b, NULL) rows pairs-mode never produces."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    dim = 8
+    rows = [
+        (i, [float((i * 13 + d * 5) % 11 - 5) for d in range(dim)])
+        for i in range(30)
+    ]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 30, 3)]  # exact dups
+    rows.append((2000, [float("nan")] * dim))
+    rows.append((2001, [1.0] * (dim - 1) + [float("nan")]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    prs = D.embedding_dup_pairs(
+        emb, threshold=0.999, dim=dim, n_planes=16, bands=4, verify="pairs"
+    )
+    grp = D.embedding_dup_pairs(
+        emb, threshold=0.999, dim=dim, n_planes=16, bands=4, verify="group"
+    )
+    for name, df in (("pairs", prs), ("group", grp)):
+        bad = df.filter(
+            F.col("id_a").isin(2000, 2001)
+            | F.col("id_b").isin(2000, 2001)
+            | F.col("cosine").isNull()
+            | F.isnan("cosine")
+        ).count()
+        assert bad == 0, f"{name} surfaced a NaN-poisoned pair"
+    j = prs.alias("x").join(grp.alias("y"), ["id_a", "id_b"], "full_outer")
+    assert j.filter(~F.expr("x.cosine").eqNullSafe(F.expr("y.cosine"))).count() == 0
+    assert prs.count() > 0
+
+
+def test_rotating_persist_invalidates_on_in_session_regeneration(spark, tmp_path):
+    """sameSemantics compares canonical plans, and a parquet relation
+    canonicalizes on its root path only — regenerating the dataset
+    under the same path must rotate the occupant, not serve the stale
+    materialized corpus (the invalidation dataset_memo's mtime
+    signature provides, derived here from the plan's input files)."""
+    import os
+    import time
+
+    from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+    p = str(tmp_path / "docs.parquet")
+    slot: list = []
+
+    spark.createDataFrame([(1, "old")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = rotating_persist(spark.read.parquet(p), slot)
+    assert [r["v"] for r in first.collect()] == ["old"]
+
+    time.sleep(0.01)  # distinct mtime_ns even on coarse filesystems
+    spark.createDataFrame([(1, "new")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    second = rotating_persist(spark.read.parquet(p), slot)
+    assert [r["v"] for r in second.collect()] == ["new"]
+    # and a genuine repeat (no regeneration) is the SAME occupant —
+    # the fast path the bench accounting depends on
+    assert rotating_persist(spark.read.parquet(p), slot) is second
+
+
+def test_inline_ivf_topk_does_not_leak_cache_entries(spark, sf_dir):
+    """ivf_topk with index=None is the one-shot path: repeated calls
+    must not pin per-call corpus-sized SQL-cache entries (only an
+    OWNED index — dataset_memo's — may persist the assignment)."""
+    from duckdb_retail_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
+    for _ in range(2):
+        S.ivf_topk(emb, q, k=3, n_cells=4, nprobe=2).collect()
+    assert cm.cachedData().size() == before
