@@ -40,14 +40,24 @@ def grouped_ols(
     ("cents" — scale fixed-point before calling). Returns one row per
     group: (group, n, slope, intercept) with slope/intercept in
     y-units/100 per x-unit (the /100.0 un-scales cents).
+
+    NULL (x, y) pairs are dropped before fitting — the SQL regression
+    aggregates (regr_slope family) skip null pairs, and a nullable int
+    column reaches pandas as float64-with-NaN where int(NaN) would
+    otherwise kill the task. The group column's output type follows
+    the input schema (a bigint user_id group stays bigint).
     """
     import pandas as pd
 
-    out_schema = f"{group_col} string, n bigint, slope double, intercept double"
+    group_type = df.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {group_type}, n bigint, slope double, intercept double"
+    )
 
     def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        xs = [int(v) for v in pdf[x_col]]
-        ys = [int(v) for v in pdf[y_col]]
+        ok = pdf[[x_col, y_col]].notna().all(axis=1)
+        xs = [int(v) for v in pdf[x_col][ok]]
+        ys = [int(v) for v in pdf[y_col][ok]]
         n = len(xs)
         sx = sum(xs)
         sy = sum(ys)

@@ -6,8 +6,10 @@ operators alive at 100 TB:
 
   salted_join       — explicit key salting for skewed join keys
                       (AQE's skew-join handles sort-merge skew at
-                      runtime; salting is the deterministic fallback
-                      and works for broadcast-resistant cases)
+                      runtime; salting is the explicit fallback and
+                      works for broadcast-resistant cases; the salt
+                      itself is deterministic row-content hashing —
+                      retry-safe where rand() is not)
   salted_group_sum  — two-phase aggregation for skewed group keys
   write_bucketed /  — bucketBy table layout so repeated joins on the
   bucketed_join_ready together bucket key co-locate without a shuffle
@@ -44,9 +46,32 @@ def salted_join(
     task — replication trades right-side shuffle volume for bounded
     left-side partition size. Keep ``salt`` small (8–32); if
     salt × |right| approaches the left side's size, a plain
-    AQE-skew-join is the better tool."""
+    AQE-skew-join is the better tool.
+
+    Only left-preserving joins are expressible under right-side
+    replication: a right/full outer would emit one null-padded row
+    per UNMATCHED REPLICA (salt − 1 phantoms per matched right key,
+    salt copies per unmatched one), so those modes raise instead of
+    silently corrupting.
+
+    The salt is ``xxhash64`` over the left row's columns — a
+    DETERMINISTIC expression, deliberately: rand()-style salting is
+    nondeterministic upstream of a shuffle, and a fetch-failure
+    stage retry re-evaluates it with different assignments, sending
+    rows to (key, salt) partitions whose consumers already ran —
+    the SPARK-23207 class of silent row loss/duplication. Identical
+    left rows share a salt; a hot key whose rows are literal
+    duplicates doesn't spread, but then no row-level salt could
+    spread it more honestly."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: right-side "
+            "replication emits phantom null-padded rows for every "
+            "unmatched replica under right/full outer joins"
+        )
     salted_l = left.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     )
     salted_r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -65,9 +90,16 @@ def salted_group_sum(
     (key, salt) — bounded partition size regardless of key skew —
     then final sums per key. Spark's partial aggregation already does
     this implicitly for algebraic aggregates; the explicit form
-    covers pipelines where an exchange on the raw key is forced."""
+    covers pipelines where an exchange on the raw key is forced.
+
+    Deterministic row-content salt for the same retry-safety reason
+    as ``salted_join`` (rand() upstream of a shuffle loses/duplicates
+    rows on stage retry). Callers summing DOUBLES should pre-scale to
+    integers (the x35 convention): the salt decides float addition
+    ORDER, so any change to it would perturb a float total's last
+    ulp, while integer partials are order-independent."""
     partial = (
-        df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+        df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int"))
         .groupBy(*group_cols, "__salt")
         .agg(F.sum(sum_col).alias("__partial"))
     )

@@ -22,43 +22,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events parquet (schema pinned from a
-    batch probe — streaming sources need explicit schemas). Event
-    time is normalized through the same catalog.normalize_event_ts
-    used by the batch path, so ``ts`` is always TIMESTAMP (LTZ) —
-    a watermark on TIMESTAMP_NTZ is an AnalysisException."""
+def _read_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str,
+    normalize: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The one streaming file-source constructor (schema pinned from
+    a batch probe — streaming sources need explicit schemas; the
+    source wants a DIRECTORY, so the sf dir is streamed with a glob
+    pinned to one file). Three call sites previously each hand-built
+    this reader and the session-convention guards drifted apart —
+    exactly one copy now exists.
+
+    ``normalize`` routes event time through the same
+    catalog.normalize_event_ts as the batch path (``ts`` always
+    TIMESTAMP LTZ — a watermark on TIMESTAMP_NTZ is an
+    AnalysisException) and pins the session conventions FIRST: the
+    NTZ→LTZ cast interprets naive event time in the session
+    timezone, and a stream read might be the session's first table
+    touch."""
     from ..catalog import ensure_session_conventions, normalize_event_ts
 
-    # the NTZ->LTZ normalization below interprets naive event time in
-    # the session timezone — enforce the pinned-UTC convention here
-    # too (batch loads get it via load_table; a stream read might be
-    # the session's first touch)
-    ensure_session_conventions(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    if normalize:
+        ensure_session_conventions(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # the streaming file source wants a directory: stream the sf dir
-    # with a glob pinned to the events file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return normalize_event_ts(stream)
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    return normalize_event_ts(stream) if normalize else stream
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events parquet; event time normalized to
+    TIMESTAMP (LTZ) under the pinned-UTC session convention."""
+    return _read_stream(spark, sf_dir, "events.parquet", normalize=True)
 
 
 def hourly_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows with a 10-minute watermark: count and
     2-dp-exact value sum per (window, event_type)."""
+    # the shared integer-cents convention — NOT re-derived inline, so
+    # a rounding-convention change reaches the streaming twin too
+    from ..queries.base import money_sum
+
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / F.lit(100.0)).alias(
-                "total_value"
-            ),
+            money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -106,6 +122,8 @@ def run_stream_to_memory(
     availableNow trigger into a memory sink; returns the final table.
     complete-mode emits every window, so on bounded input the result
     equals the batch aggregation — the oracle-comparison trick."""
+    import shutil
+
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
@@ -124,19 +142,22 @@ def run_stream_to_memory(
         raise TimeoutError(
             f"streaming query {name!r} did not finish within {timeout_s}s"
         )
-    return spark.table(name)
+    # materialize and release the per-call state: the memory sink's
+    # table pins the full result in driver memory for the session's
+    # lifetime and each call mints a fresh name + checkpoint dir, so
+    # a bench/test loop would grow both without bound. Results here
+    # are aggregate-sized by construction (complete-mode windows).
+    table = spark.table(name)
+    rows, schema = table.collect(), table.schema
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the documents parquet (schema pinned from a
-    batch probe, same shape as read_events_stream)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    """Streaming read of the documents parquet (no event-time column,
+    so no timestamp normalization)."""
+    return _read_stream(spark, sf_dir, "documents.parquet")
 
 
 def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -166,7 +187,13 @@ def stateful_user_running_totals(events: DataFrame) -> DataFrame:
     accumulator's value would depend on the order rows reach the
     state update (not deterministic under shuffle), while integer
     sums are associative — so the emitted totals are bit-exact
-    against a batch/DuckDB oracle at any partitioning."""
+    against a batch/DuckDB oracle at any partitioning. The per-value
+    cent rounding is shortest-repr HALF_UP (conventions #10, the
+    dedup kernels' rule) — numpy's ``.round()`` is banker's
+    half-even and would drift one cent from the batch twin's
+    ``F.round(value*100, 0)`` on any value whose cents land exactly
+    on .5 (2-dp inputs never do; the operator no longer relies on
+    that)."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -174,10 +201,16 @@ def stateful_user_running_totals(events: DataFrame) -> DataFrame:
     state_schema = "n bigint, cents bigint"
 
     def update(key, pdf_iter, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            cents += sum(
+                int(Decimal(repr(float(v) * 100)).quantize(one, ROUND_HALF_UP))
+                for v in pdf["value"].dropna()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -219,7 +252,14 @@ def stream_upsert_daily_totals(
 
     Pass ``checkpoint`` to resume a previous run's offsets (the
     restart-recovery path); by default each call gets a fresh
-    checkpoint dir.
+    checkpoint dir — and a fresh run CLEARS any ``batch=*``
+    partitions already under ``dest_path``: batch ids are only
+    meaningful relative to one checkpoint's offsets, so partials
+    left by a PREVIOUS run (different checkpoint, different
+    batching) would otherwise survive the per-id overwrites and be
+    re-aggregated into the final result — silent double counting.
+    A resumed run keeps them; its replayed ids overwrite the same
+    paths with the same bytes.
     """
     # Hadoop path resolution glob-interprets load paths, so a
     # dest_path containing glob metacharacters cannot be re-read
@@ -232,15 +272,25 @@ def stream_upsert_daily_totals(
             f"dest_path {dest_path!r} contains glob metacharacters; "
             "Hadoop path resolution cannot address it unambiguously"
         )
+    if checkpoint is None:
+        # Hadoop FS API, not local-filesystem ops: dest may be
+        # hdfs:// or s3a:// at scale (the r6 ADVICE lesson for the
+        # empty-sink probe applies to the cleanup too)
+        jvm = spark.sparkContext._jvm
+        jdest = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(dest_path, "batch=*")
+        )
+        fs = jdest.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        for status in fs.globStatus(jdest) or []:
+            fs.delete(status.getPath(), True)
 
-    reader = spark.readStream.schema(
-        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    ).option("pathGlobFilter", glob)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    from ..catalog import normalize_event_ts
-
-    stream = normalize_event_ts(reader.parquet(sf_dir))
+    stream = _read_stream(
+        spark,
+        sf_dir,
+        glob,
+        normalize=True,
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
     def write_partial(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -269,6 +319,12 @@ def stream_upsert_daily_totals(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
+    if checkpoint is None:
+        # a fresh (unnamed) checkpoint has no resume value once the
+        # run completed; leaving it would leak one dir per call
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     # an empty/globless source commits zero micro-batches, so no
     # batch=* partition exists — return an empty frame with the
     # output schema. The probe is the parquet read itself (catch

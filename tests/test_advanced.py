@@ -100,3 +100,45 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         )
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_rejects_right_preserving_modes(spark, sf_dir):
+    """Right-side replication emits one null-padded phantom per
+    unmatched replica under right/full outer — the operator must
+    refuse those modes instead of silently corrupting."""
+    import pytest
+
+    orders = tbl(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            scale.salted_join(orders, customer, "c_custkey", how=how)
+    # left joins stay expressible: unmatched LEFT rows appear once
+    left = scale.salted_join(orders, customer, "c_custkey", how="left")
+    plain = orders.join(customer, "c_custkey", "left")
+    assert left.count() == plain.count()
+
+
+def test_grouped_ols_nonstring_group_and_null_pairs(spark):
+    """A bigint group key must flow through (the output schema follows
+    the input type), and NULL (x, y) pairs are skipped like the SQL
+    regr_* family — not crash the Arrow worker on int(NaN)."""
+    from duckdb_retail_pipeline_spark.operators.grouped import grouped_ols
+
+    rows = [
+        (7, 0, 0),
+        (7, 1, 100),
+        (7, 2, 200),
+        (7, None, 999999),  # null x — skipped
+        (7, 3, None),  # null y — skipped
+        (8, 1, 50),
+        (8, 2, 50),
+    ]
+    df = spark.createDataFrame(rows, "uid long, x long, y long")
+    out = {r["uid"]: r for r in grouped_ols(df, "uid", "x", "y").collect()}
+    assert out[7]["slope"] == 1.0  # cents slope 100/unit → /100.0
+    assert out[7]["n"] == 3
+    assert out[8]["slope"] == 0.0
+    assert grouped_ols(df, "uid", "x", "y").schema["uid"].dataType.simpleString() == "bigint"

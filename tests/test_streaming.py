@@ -194,3 +194,81 @@ def test_run_stream_to_memory_raises_on_timeout(spark, sf_dir, monkeypatch):
     with pytest.raises(TimeoutError, match="did not finish"):
         SE.run_stream_to_memory(agg, spark, timeout_s=5)
     assert stopped  # the timed-out query was stopped, not leaked
+
+
+def test_upsert_fresh_run_clears_stale_batch_partitions(spark, tmp_path):
+    """batch ids are only meaningful relative to one checkpoint's
+    offsets: partials left under dest by a PREVIOUS run (different
+    checkpoint/batching) must not survive into a fresh run's final
+    aggregate — run 1 file-per-batch, then run 2 single-batch into
+    the SAME dest must equal the single-run truth, not double it."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ups_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "ups_out")
+    first = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet", max_files_per_trigger=1
+    )
+    assert first.count() == 3  # three days, batch=0,1,2 on disk
+    second = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet"  # fresh ckpt: ONE batch
+    )
+    rows = {(r["day"], r["event_type"]): r["n_events"] for r in second.collect()}
+    assert len(rows) == 3
+    assert all(n == 1 for n in rows.values()), rows  # no double count
+
+
+def test_stateful_totals_round_half_up_like_batch(spark, tmp_path):
+    """Cent rounding inside the stateful operator must be HALF_UP on
+    the shortest repr (≡ batch F.round(value*100, 0)), not numpy
+    banker's half-even: value=0.125 is exactly representable and its
+    cents land on 12.5 — batch says 13, .round() would say 12."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "half_in"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1, 10, 0)] * 2,
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([5, 5], type=pa.int64()),
+                "event_type": pa.array(["click"] * 2),
+                "value": pa.array([0.125, 0.125]),
+            }
+        ),
+        str(d / "a.parquet"),
+    )
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = SE.run_stream_to_memory(
+        SE.stateful_user_running_totals(stream), spark, output_mode="update"
+    )
+    got = {r["user_id"]: r["total_value"] for r in out.collect()}
+    assert got[5] == 0.26, got  # 13 + 13 cents, not 12 + 12
