@@ -48,10 +48,19 @@ def ensure_session_conventions(spark: SparkSession) -> None:
     """Idempotent session guard applied on every table load: the
     driver may hand us a session it built itself, and date/timestamp
     semantics (and therefore the DuckDB oracle comparison) require
-    the UTC session timezone."""
+    the UTC session timezone.
+
+    ``nanosAsLong`` is part of the same contract and set HERE, not
+    ad-hoc at the first events read: it changes the schema every
+    later parquet read infers for TIMESTAMP(NANOS) columns, so
+    setting it lazily made a session's schemas depend on whether
+    events happened to load first. Under the contract it is ALWAYS
+    on — every nanos column in this engine reads as bigint and goes
+    through normalize_event_ts (exact ns→µs integer division)."""
     try:
         if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — never fail a read over a conf probe
         pass
 
@@ -94,8 +103,10 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a usable TIMESTAMP (LTZ) ``ts`` regardless of the
-    parquet layout — see normalize_event_ts."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    parquet layout — see normalize_event_ts. Direct callers exist
+    (x31's batch twin), so the conventions guard runs here too, not
+    only via load_table."""
+    ensure_session_conventions(spark)
     return normalize_event_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 

@@ -127,11 +127,7 @@ def minhash_signature(shingles: Column | str, num_hashes: int = 16) -> Column:
     NOTE: prefer hashing once into a column and calling
     ``minhash_signature_from_hashes`` — inlining this expression N
     times recomputes the md5s N times (no cross-expression CSE)."""
-    sh = _c(shingles)
-    base = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
-    )
-    return minhash_signature_from_hashes(base, num_hashes)
+    return minhash_signature_from_hashes(shingle_hashes28(shingles), num_hashes)
 
 
 def shingle_hashes28(shingles: Column | str) -> Column:
@@ -434,10 +430,9 @@ def char_gram_hashes(col: Column | str, k: int = 5) -> Column:
     grams = F.when(
         F.length(c) >= k, F.sequence(F.lit(1), F.length(c) - F.lit(k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        F.transform(grams, lambda i: c.substr(i, F.lit(k))),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
-    )
+    # the shared 28-bit md5 hash convention — one definition
+    # (shingle_hashes28) serves word shingles and char grams alike
+    return shingle_hashes28(F.transform(grams, lambda i: c.substr(i, F.lit(k))))
 
 
 def winnow_from_hashes(hs: Column | str, window: int = 4) -> Column:

@@ -72,7 +72,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.lit(None).cast("long").alias("width"),
         F.lit(None).cast("long").alias("height"),
-        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        # octet_length on the STRING is the same UTF-8 byte count —
+        # no second per-row encode of the full document
+        F.octet_length("text").cast("long").alias("n_bytes"),
     )
 
 

@@ -30,9 +30,14 @@ def monthly_summary_pdf(agg_country_day: DataFrame) -> pd.DataFrame:
     """View → pandas (Arrow transfer) with the derived
     avg_order_value_eur the reference adds query-side
     (analyze_monthly_sales.py:57-69)."""
+    import numpy as np
+
     pdf = build_monthly_sales_summary(agg_country_day).toPandas()
+    # np.nan, not pd.NA: replace(0, pd.NA) upcasts to object and the
+    # later astype(float) raises TypeError on NAType — the guard
+    # would crash on exactly the zero-orders group it exists for
     pdf["avg_order_value_eur"] = (
-        pdf["total_revenue_eur"] / pdf["total_orders"].replace(0, pd.NA)
+        pdf["total_revenue_eur"] / pdf["total_orders"].replace(0, np.nan)
     ).astype(float).round(2)
     return pdf
 
@@ -143,6 +148,8 @@ def analyze(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     from duckdb_retail_pipeline_spark.pipeline.run import build_layers
 
     layers = build_layers(spark, sf_dir)
+    # reference EP2 parity: the view is registered for SQL consumers
+    # (asserted by test_analyze_end_to_end), not read back here
     layers["v_monthly_sales_summary"].createOrReplaceTempView(
         "v_monthly_sales_summary"
     )

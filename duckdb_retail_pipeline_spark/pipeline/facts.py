@@ -37,12 +37,14 @@ def build_fct_sales(
     Joins are on *expressions* (DATE(ts), COALESCE(id,-1)) exactly as
     the reference's J1; all three dims get broadcast hints (dims stay
     dim-sized at any SF)."""
+    from duckdb_retail_pipeline_spark.pipeline.dimensions import _valid_stock
+
     r = raw_retail.filter(
         F.col("qty").isNotNull()
         & F.col("unit_price_gbp").isNotNull()
-        & F.col("stock_code").isNotNull()
-        & (F.col("stock_code") != "")
-        & (F.col("stock_code") != "nan")
+        # the ONE P3 stock-code cleaning predicate — shared with
+        # dim_product so the fact and dim populations cannot drift
+        & _valid_stock()
     ).select(
         "invoice_no",
         "stock_code",
@@ -74,10 +76,9 @@ def build_daily_fx_rates(raw_fx: DataFrame, fct_sales: DataFrame) -> DataFrame:
     """daily_fx_rates(date, gbp_per_eur): dense daily series over the
     sales date range, forward-filled from sparse trading-day rates,
     leading-NULL days dropped (reference facts.py:178-202; W1 + P10)."""
-    bounds = fct_sales.agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("date")
-    )
+    from duckdb_retail_pipeline_spark.functions.datetime_fns import date_spine_over
+
+    spine = date_spine_over(fct_sales, "date")
     joined = spine.join(raw_fx, "date", "left")
     filled = forward_fill(joined, "gbp_per_eur", "date")
     return filled.filter(F.col("gbp_per_eur").isNotNull())

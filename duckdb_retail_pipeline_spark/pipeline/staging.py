@@ -124,16 +124,10 @@ def build_raw_uk_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1st of Jan/May and 25/26 Dec within the sales range). Emitted
     WITH duplicates so the dedup cleaning step (reference
     holidays_data.py:36-46, P12) has work to do."""
+    from duckdb_retail_pipeline_spark.functions.datetime_fns import date_spine_over
+
     li = tbl(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.min(F.to_date("l_shipdate")).alias("lo"),
-        F.max(F.to_date("l_shipdate")).alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
-            "holiday_date"
-        )
-    )
+    spine = date_spine_over(li, "l_shipdate", col_name="holiday_date")
     d = F.col("holiday_date")
     hol = spine.filter(
         ((F.month(d) == 1) & (F.dayofmonth(d) == 1))

@@ -74,7 +74,16 @@ def read_excel_sheets(
     (see module docstring), so an excel-less container still ingests.
     """
     if reader is None:
-        if not HAS_OPENPYXL or path.lower().endswith(".csv"):
+        import os
+
+        # a directory of per-sheet CSVs (the documented excel-less
+        # shape) routes to the fallback even when openpyxl IS
+        # installed — pd.read_excel on a directory raises
+        if (
+            not HAS_OPENPYXL
+            or os.path.isdir(path)
+            or path.lower().endswith(".csv")
+        ):
             reader = _csv_fallback_reader
         else:
 
@@ -84,10 +93,16 @@ def read_excel_sheets(
     sheets = reader(path)
     out: DataFrame | None = None
     for name, pdf in sheets.items():
+        if len(pdf) == 0:
+            # a stray empty sheet has no inferable schema and would
+            # abort the whole ingest (createDataFrame can't infer
+            # from an empty object-dtype frame); skip it rather than
+            # fail the sheets that carry data
+            continue
         df = spark.createDataFrame(pdf).withColumn(sheet_tag_col, F.lit(str(name)))
         out = df if out is None else out.unionByName(df)
     if out is None:
-        raise ValueError(f"workbook {path!r} has no sheets")
+        raise ValueError(f"workbook {path!r} has no non-empty sheets")
     return out
 
 

@@ -59,3 +59,30 @@ def test_render_dashboard_writes_valid_png(spark, sf_dir, tmp_path):
 
     arr = np.frombuffer(raw, dtype=np.uint8)
     assert (arr != 250).sum() > 1000
+
+
+def test_monthly_summary_zero_orders_yields_nan_not_typeerror(spark):
+    """The zero-orders AOV guard must produce NaN (replace with
+    np.nan), not crash: replace(0, pd.NA) upcasts to object and the
+    astype(float) raises TypeError on exactly the row the guard
+    exists for."""
+    import datetime as dt
+    import math
+
+    from duckdb_retail_pipeline_spark.pipeline.analysis import monthly_summary_pdf
+
+    day = dt.date(2024, 1, 3)
+    agg = spark.createDataFrame(
+        [
+            # positive revenue, ZERO orders — passes the view's
+            # net_revenue filter and lands on the division guard
+            (day, "UK", 0, 2, 2, 10.0, 11.0),
+            (day, "FR", 4, 6, 6, 40.0, 44.0),
+        ],
+        "date date, country string, orders long, items long, "
+        "net_qty long, net_revenue_gbp double, net_revenue_eur double",
+    )
+    pdf = monthly_summary_pdf(agg)
+    by_country = pdf.set_index("country")["avg_order_value_eur"]
+    assert math.isnan(by_country["UK"])
+    assert by_country["FR"] == 11.0

@@ -110,3 +110,28 @@ def test_excel_csv_single_file_and_directory(spark, tmp_path):
     (d / "s2.csv").write_text("a\n2\n3\n")
     df2 = excel.read_excel_sheets(spark, str(d), reader=excel._csv_fallback_reader)
     assert df2.count() == 3
+
+
+def test_excel_empty_sheet_skipped_not_fatal(spark):
+    """A stray empty sheet must be skipped (createDataFrame cannot
+    infer a schema from a 0-row object frame), not abort the sheets
+    that carry data; a workbook of ONLY empty sheets raises."""
+    import pandas as pd
+    import pytest
+
+    from duckdb_retail_pipeline_spark.sources.excel import read_excel_sheets
+
+    def reader(_):
+        return {
+            "good": pd.DataFrame({"a": [1, 2]}),
+            "empty": pd.DataFrame({"a": []}),
+        }
+
+    out = read_excel_sheets(spark, "wb.xlsx", reader=reader)
+    assert out.count() == 2
+    assert {r["source_sheet"] for r in out.collect()} == {"good"}
+
+    with pytest.raises(ValueError):
+        read_excel_sheets(
+            spark, "wb.xlsx", reader=lambda _: {"e": pd.DataFrame({"a": []})}
+        )
