@@ -63,23 +63,43 @@ def asof_join(
     right side's payload along (by, time) with a last-ignore-nulls
     window — one shuffle, no range explosion. This is the same trick
     the reference uses for FX forward-fill, generalized to a join.
-    """
+
+    The payload fills as ONE STRUCT, not per column: independent
+    per-column fills would skip a NULL field back to an OLDER right
+    row and emit a chimera of two right rows (pandas merge_asof /
+    DuckDB ASOF JOIN attach the whole most-recent row, NULL fields
+    included). NULL-time rows never match: a right row with NULL
+    time is excluded, and a left row with NULL time gets NULL
+    payload. Right payload names that collide with left columns
+    raise (the output would carry ambiguous duplicates; rename
+    before joining, as merge_asof's suffixes would)."""
+    from pyspark.sql import types as T
+
     rt = right_time or on_time
     by = list(by or [])
     payload = [c for c in right.columns if c != rt and c not in by]
+    collisions = sorted(set(payload) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"asof_join payload column(s) {collisions} already exist on "
+            "the left side; rename one side before joining"
+        )
 
+    r_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in payload]
+    )
     lhs = left.select(
         *by,
         F.col(on_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(r_type).alias("__r"),
         F.struct(*[c for c in left.columns]).alias("__row"),
     )
-    rhs = right.select(
+    rhs = right.filter(F.col(rt).isNotNull()).select(
         *by,
         F.col(rt).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
         F.lit(None)
         .cast(lhs.schema["__row"].dataType)
         .alias("__row"),
@@ -104,15 +124,18 @@ def asof_join(
 
     fill = F.last if direction == "backward" else F.first
     filled = unioned.select(
-        "*",
-        *[
-            fill(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payload
-        ],
+        "*", fill("__r", ignorenulls=True).over(w).alias("__f")
     )
+    # __t NULL guard: NULLS FIRST puts a NULL-time left row at the
+    # partition head, which is harmless backward (no right rows in
+    # its frame) but forward would span every right row — either way
+    # an unknown time matches nothing
     out = filled.filter(F.col("__is_left") == 1).select(
         *[F.col("__row")[c].alias(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(c) for c in payload],
+        *[
+            F.when(F.col("__t").isNotNull(), F.col("__f")[c]).alias(c)
+            for c in payload
+        ],
     )
     return out
 

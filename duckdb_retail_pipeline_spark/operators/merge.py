@@ -41,12 +41,22 @@ def scd2_apply(
     carry (key, attrs..., effective_from). Output adds
     ``effective_to`` (next version's start, NULL for open) and
     ``is_current`` via a lead window per key — the whole history
-    remains queryable as-of any date."""
-    combined = dim.unionByName(changes)
-    w = Window.partitionBy(*key_cols).orderBy(effective_col)
+    remains queryable as-of any date.
+
+    Equal ``effective_from`` ties break deterministically in the
+    CHANGE's favor (a same-day correction): the superseded dim row
+    gets a zero-length [x, x) interval that ``as_of`` can never
+    select, and the change becomes the live version. Without the
+    tiebreak the lead window's order over the tie was arbitrary —
+    which version was visible as-of any date flipped between runs."""
+    w = Window.partitionBy(*key_cols).orderBy(effective_col, "__src")
+    combined = dim.withColumn("__src", F.lit(0)).unionByName(
+        changes.withColumn("__src", F.lit(1))
+    )
     return (
         combined.withColumn(end_col, F.lead(effective_col).over(w))
         .withColumn(current_col, F.col(end_col).isNull())
+        .drop("__src")
     )
 
 

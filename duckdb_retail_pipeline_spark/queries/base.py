@@ -64,6 +64,11 @@ def register(
     tags: tuple[str, ...] = (),
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            # a silent overwrite would DROP the shadowed query from
+            # the driver's correctness gate with no signal anywhere —
+            # fail at import time instead
+            raise ValueError(f"query {name!r} is already registered")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             headline=headline, tags=tags,

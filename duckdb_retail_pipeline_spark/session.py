@@ -23,6 +23,29 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# The runtime-settable convention/perf confs, in ONE place: get_spark
+# applies them at build time, tune_for_session applies them to an
+# externally-owned session. Two hand-maintained copies had already
+# drifted (tune_for_session was missing maxPartitionBytes, so
+# driver-owned sessions scanned each single-file table on 1-2 of 32
+# cores under the 128 MB default).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # local default 8 MB: the testdata ships one small parquet per
+    # table, and 128 MB splits would serialize 600k-row scans onto
+    # 1-2 of 32 cores. On a real cluster (many files, fat executors)
+    # set SPARK_GRAFT_MAX_PARTITION_BYTES=134217728.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)
+    ),
+}
+
 
 def get_spark(
     app_name: str = "duckdb_retail_pipeline_spark",
@@ -32,10 +55,20 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
-    If a session already exists (e.g. the driver passed one in), the
-    builder returns it; our per-session confs are set at build time
-    only, so callers that own the session keep their settings.
+    If a session already exists (e.g. the driver passed one in), it
+    is returned UNTOUCHED: getOrCreate would apply every non-static
+    builder conf to the existing session (PySpark documents exactly
+    that), silently clobbering an owner's shuffle partitions /
+    timezone / log level — callers that want our conventions on a
+    session they own call ``tune_for_session`` explicitly.
     """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        try:
+            if not existing.sparkContext._jsc.sc().isStopped():
+                return existing
+        except Exception:  # noqa: BLE001 — dead gateway → build fresh
+            pass
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -44,24 +77,11 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.filterPushdown", "true")
-        # local default 8 MB: the testdata ships one small parquet per
-        # table, and 128 MB splits would serialize 600k-row scans onto
-        # 1-2 of 32 cores. On a real cluster (many files, fat
-        # executors) set SPARK_GRAFT_MAX_PARTITION_BYTES=134217728.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
-        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -72,16 +92,9 @@ def get_spark(
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs to an externally-owned session
     (the driver hands us one in ``__spark_entry__.entry``). Only confs
-    that Spark allows changing after startup are touched."""
-    runtime = {
-        "spark.sql.session.timeZone": "UTC",
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
-    }
-    for k, v in runtime.items():
+    that Spark allows changing after startup are touched — the one
+    shared RUNTIME_CONFS list, so this cannot drift from get_spark."""
+    for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — conf may be static; keep going

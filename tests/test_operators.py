@@ -477,3 +477,51 @@ def test_inline_ivf_topk_does_not_leak_cache_entries(spark, sf_dir):
     for _ in range(2):
         S.ivf_topk(emb, q, k=3, n_cells=4, nprobe=2).collect()
     assert cm.cachedData().size() == before
+
+
+def test_asof_join_attaches_whole_row_and_ignores_null_times(spark):
+    """The payload fills as one struct: a NULL field in the most
+    recent right row must come through as NULL, not be back-filled
+    from an OLDER right row (the chimera bug). NULL-time rows never
+    match on either side, and payload-name collisions raise."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators import joins as J
+
+    right = spark.createDataFrame(
+        [(1, 1, 2), (2, None, 3), (None, 99, 99)],
+        "t long, a long, b long",
+    )
+    left = spark.createDataFrame([(3,), (None,)], "t long")
+    out = {
+        r["t"]: (r["a"], r["b"])
+        for r in J.asof_join(left, right, on_time="t").collect()
+    }
+    # most recent right row at t<=3 is (t=2, a=NULL, b=3) — attached
+    # whole, not mixed with the t=1 row's a=1; the t=NULL right row
+    # (99, 99) must never surface
+    assert out[3] == (None, 3), out
+    assert out[None] == (None, None), out
+
+    clash = spark.createDataFrame([(1, 5)], "t long, a long")
+    with pytest.raises(ValueError):
+        J.asof_join(clash, right, on_time="t")
+
+
+def test_scd2_same_day_correction_is_deterministic(spark):
+    """A change sharing effective_from with an existing version must
+    supersede it deterministically: the dim row gets a zero-length
+    interval as_of can never select, the change becomes current."""
+    from duckdb_retail_pipeline_spark.operators import merge as MG
+
+    dim = spark.createDataFrame(
+        [(1, "v1", "2020-01-01")], "k long, attr string, effective_from string"
+    ).withColumn("effective_from", F.col("effective_from").cast("date"))
+    changes = spark.createDataFrame(
+        [(1, "v2", "2020-01-01")], "k long, attr string, effective_from string"
+    ).withColumn("effective_from", F.col("effective_from").cast("date"))
+    hist = MG.scd2_apply(dim, changes, ["k"])
+    current = {r["attr"]: r["is_current"] for r in hist.collect()}
+    assert current == {"v1": False, "v2": True}
+    visible = MG.as_of(hist, "2020-06-01").collect()
+    assert len(visible) == 1 and visible[0]["attr"] == "v2"
