@@ -25,10 +25,12 @@ def deterministic_mode(
 
     Spark 3.4+ has ``F.mode`` but its tie-break is arbitrary-pick,
     like DuckDB's ``MODE()`` — unusable for differential testing.
-    This is two shuffles on the same keys (groupBy then window), and
-    both shuffle on ``group_cols`` so the second reuses the first's
-    partitioning — no extra exchange at scale.
-    """
+    Cost shape: TWO exchanges — the groupBy hashes on (group_cols +
+    value_col) and the window repartitions on group_cols alone
+    (hashpartitioning on the wider key does NOT satisfy the window's
+    requirement), but the second exchange moves only the already-
+    counted (group, value, cnt) rows, a cardinality ≤ distinct
+    pairs, not the input."""
     out_col = out_col or value_col
     counted = (
         df.filter(F.col(value_col).isNotNull())
@@ -52,14 +54,11 @@ def count_distinct_if(cond: Column, value: Column) -> Column:
     return F.count_distinct(F.when(cond, value))
 
 
-def nullif_div(num: Column, den: Column, scale: int | None = 2) -> Column:
-    """NULL-safe ratio: ``ROUND(num / NULLIF(den, 0), scale)``
-    (reference sql/views/monthly_sales_summary.sql:26-28)."""
-    out = num / F.nullif(den, F.lit(0))
-    return F.round(out, scale) if scale is not None else out
-
-
-def sum_if(cond: Column, value: Column, otherwise=0) -> Column:
-    """``SUM(CASE WHEN cond THEN value ELSE otherwise END)``
-    (reference src/models/facts.py:75-77)."""
-    return F.sum(F.when(cond, value).otherwise(F.lit(otherwise)))
+# A9's NULL-safe ratios (reference sql/views/monthly_sales_summary
+# .sql:26-28) are implemented INLINE at their call sites (q12,
+# pipeline/views.py) as `num / F.nullif(den, 0)` on exact inputs —
+# deliberately without a shared ROUND-ing helper: base.py's
+# conventions forbid F.round on compared float columns (round-half
+# ties diverge across engines; use dround), so a `nullif_div(...,
+# scale)` helper would be a trap. Two such helpers (nullif_div,
+# sum_if) sat here unused; deleted rather than left as dead weight.

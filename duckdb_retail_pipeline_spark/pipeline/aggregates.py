@@ -15,8 +15,13 @@ from duckdb_retail_pipeline_spark.functions.aggregates import count_distinct_if
 
 
 def _money_sum(col: F.Column, dp: int) -> F.Column:
-    scale = 10**dp
-    return F.sum(F.round(col * scale, 0).cast("bigint")) / F.lit(float(scale))
+    # the ONE exact-cents convention, from queries.base — a local
+    # copy had already been byte-identical; importing lazily keeps
+    # the pipeline layer import-order-independent of the query
+    # registry (queries/__init__ imports every query module)
+    from duckdb_retail_pipeline_spark.queries.base import money_sum
+
+    return money_sum(col, dp)
 
 
 def build_agg_country_day(

@@ -75,7 +75,18 @@ def build_fct_sales(
 def build_daily_fx_rates(raw_fx: DataFrame, fct_sales: DataFrame) -> DataFrame:
     """daily_fx_rates(date, gbp_per_eur): dense daily series over the
     sales date range, forward-filled from sparse trading-day rates,
-    leading-NULL days dropped (reference facts.py:178-202; W1 + P10)."""
+    leading-NULL days dropped (reference facts.py:178-202; W1 + P10).
+
+    Known reference-parity behavior, on purpose: the spine starts AT
+    min(sales date) — exactly the reference's generate_series bounds
+    — so a rate published BEFORE the first sales date is never seen
+    by the fill. If a dataset's earliest sales day is a non-trading
+    day, its leading days have no rate, those sales drop out of the
+    EUR join, and the pl11 fx-coverage check fires (>0 uncovered
+    dates) — the same LOUD failure the reference produces on the
+    same data (its WHERE gbp_per_eur IS NOT NULL + coverage check).
+    Widening the spine to min(fx date) would diverge from the
+    reference's goldens; parity wins."""
     from duckdb_retail_pipeline_spark.functions.datetime_fns import date_spine_over
 
     spine = date_spine_over(fct_sales, "date")

@@ -642,7 +642,7 @@ def a15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
     """,
     doc="Correlated scalar AGGREGATE subquery (the TPC-H Q17 "
-    "pattern): lines below 20%% of their part's average quantity. "
+    "pattern): lines below 20% of their part's average quantity. "
     "Catalyst decorrelates into an aggregate + join on l_partkey — "
     "the fact-fact correlated pattern, distinct from a13's "
     "dim-correlated probes.",
