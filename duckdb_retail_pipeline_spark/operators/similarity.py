@@ -168,8 +168,15 @@ def ann_contract(
         (
             F.sum(F.coalesce(F.col("__in_exact"), F.lit(0))) >= F.lit(min_recall_hits)
         ).alias("recall_ge_bound"),
+        # coalesce(False): bool_and SKIPS NULL inputs, and the
+        # corruption this boolean exists to catch (broken norm →
+        # NULL cosine) would otherwise be waved through (the x42
+        # glob contract learned the same lesson)
         F.bool_and(
-            F.abs(F.col("cosine") - F.col("exact_cosine")) < 1e-9
+            F.coalesce(
+                F.abs(F.col("cosine") - F.col("exact_cosine")) < 1e-9,
+                F.lit(False),
+            )
         ).alias("scores_exact"),
         F.max(F.col("exact_cosine") >= 0.9999).alias("self_found"),
         (F.count(F.lit(1)) == k).alias("returned_k"),

@@ -91,11 +91,14 @@ def sessionize(
             )
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
     prev_ts = F.lag(ts_col).over(w)
-    # Gap = difference of per-timestamp epoch-second floors (NOT full
+    # Gap = difference of per-timestamp epoch-second FLOORS (NOT full
     # elapsed seconds — timestampdiff would shift session boundaries
-    # on sub-second data), matching the oracle's epoch() convention.
-    # The ltz cast is identity for tz-aware input; for NTZ it uses
-    # the UTC session enforced above.
+    # on sub-second data). Spark's timestamp→long cast floors; the
+    # oracle twins must spell FLOOR(epoch(ts)) explicitly because
+    # DuckDB's CAST(double AS BIGINT) ROUNDS — a bare epoch() cast
+    # diverges on gaps within ~1 s of the boundary (latent on current
+    # data, review-caught). The ltz cast is identity for tz-aware
+    # input; for NTZ it uses the UTC session enforced above.
     epoch = lambda c: c.cast("timestamp_ltz").cast("long")  # noqa: E731
     gap_s = epoch(F.col(ts_col)) - epoch(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)

@@ -28,6 +28,7 @@ from duckdb_retail_pipeline_spark.operators import dedup as D
 from duckdb_retail_pipeline_spark.operators import multimodal as M
 from duckdb_retail_pipeline_spark.operators import similarity as S
 from duckdb_retail_pipeline_spark.operators import windows as W
+from duckdb_retail_pipeline_spark.memo import rotating_persist
 from duckdb_retail_pipeline_spark.queries.base import (
     dround,
     floor_ratio,
@@ -37,6 +38,10 @@ from duckdb_retail_pipeline_spark.queries.base import (
     sql_money_sum,
     tbl,
 )
+
+# one-entry persist rotations per call site (memo.rotating_persist)
+_X23_HASHED_SLOT: list = []
+_X42_SCORED_SLOT: list = []
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments mirroring functions/text.py
@@ -114,14 +119,17 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
-               {sql_dround("length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / NULLIF(length(text), 0)", 4)} AS alpha_ratio,
-               {sql_dround('len(list_distinct(toks)) * 1.0 / NULLIF(len(toks), 0)', 4)} AS distinct_ratio,
-               {sql_dround('length(text) * 1.0 / NULLIF(len(toks), 0)', 4)} AS mean_wordlen
+               {sql_floor_ratio("length(regexp_replace(text, '[^A-Za-z]', '', 'g'))", 'length(text)', 4)} AS alpha_ratio,
+               {sql_floor_ratio('len(list_distinct(toks))', 'len(toks)', 4)} AS distinct_ratio,
+               {sql_floor_ratio('length(text)', 'len(toks)', 4)} AS mean_wordlen
         FROM t
     """,
     doc="Text analysis: token counting + quality-signal ratios "
     "(length, alphabetic ratio, repetition) — the Gopher/C4-style "
-    "corpus-filter signals, all JVM-side builtins.",
+    "corpus-filter signals, all JVM-side builtins. Count ratios use "
+    "the integer-floor idiom (conventions #13): they sit exactly on "
+    "decimal ties, where dround's double→decimal rounding is "
+    "magnitude-dependent across engines.",
     tags=("text",),
 )
 def x02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,15 +148,13 @@ def x02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("n_bpe_tokens"),
         n_chars.cast("bigint").alias("n_chars"),
-        dround(
-            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
-            / F.nullif(n_chars, F.lit(0)),
-            4,
+        floor_ratio(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")), n_chars, 4
         ).alias("alpha_ratio"),
-        dround(
-            F.size(F.array_distinct(toks)) * 1.0 / F.nullif(n_tok, F.lit(0)), 4
-        ).alias("distinct_ratio"),
-        dround(n_chars * 1.0 / F.nullif(n_tok, F.lit(0)), 4).alias("mean_wordlen"),
+        floor_ratio(F.size(F.array_distinct(toks)), n_tok, 4).alias(
+            "distinct_ratio"
+        ),
+        floor_ratio(n_chars, n_tok, 4).alias("mean_wordlen"),
     )
 
 
@@ -692,7 +698,7 @@ def x14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                             OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                             OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
                         THEN 1 ELSE 0 END AS is_new
             FROM lagged
         ), sessions AS (
@@ -885,10 +891,14 @@ def x23_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position (a repartition is NOT enough — the optimizer pushes
     # the projection through the exchange; see functions/text.py
     # char_gram_hashes)
-    hashed = (
-        docs.repartition(n, "doc_id")
-        .select("doc_id", T.char_gram_hashes("text", k=5).alias("hs"))
-        .persist()
+    # rotating_persist, not a bare .persist(): an unowned per-call
+    # cache entry leaks once per invocation (the pattern that OOM'd
+    # bench at the 100× decade — see memo.rotating_persist)
+    hashed = rotating_persist(
+        docs.repartition(n, "doc_id").select(
+            "doc_id", T.char_gram_hashes("text", k=5).alias("hs")
+        ),
+        _X23_HASHED_SLOT,
     )
     fps = hashed.select(
         "doc_id", T.winnow_from_hashes("hs", window=4).alias("fps")
@@ -909,7 +919,7 @@ def x23_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                             OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                             OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
                         THEN 1 ELSE 0 END AS is_new
             FROM lagged
         ), sessions AS (
@@ -1821,7 +1831,14 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered query's cost and grew 100× when both factors grew
     # 10×, hiding the ANN operator the bench exists to track
     sample_q = qset.orderBy("query_id").limit(_X42_CONTRACT_SAMPLE)
-    scored = _exact_batch_scored(emb, sample_q)
+    # the exact side feeds THREE consumers in one plan (checked's
+    # exact_cosine join, the __in_exact membership join, and the
+    # final exact.join) — Spark does not dedupe common subplans, so
+    # the unpersisted O(sample·corpus) scoring scan would run ~3×
+    # per invocation (the same reason the ann frame is persisted)
+    scored = rotating_persist(
+        _exact_batch_scored(emb, sample_q), _X42_SCORED_SLOT
+    )
     exact = S.hierarchical_topk(scored, 3)
 
     ann_sample = ann.join(F.broadcast(sample_q.select("query_id")), "query_id")
@@ -2164,8 +2181,8 @@ def _x28_oracle() -> str:
         ), scored AS (
             SELECT doc_id, toks,
                    len(toks) AS n_tokens,
-                   {sql_dround("length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / NULLIF(length(text), 0)", 4)} AS alpha_ratio,
-                   {sql_dround('len(list_distinct(toks)) * 1.0 / NULLIF(len(toks), 0)', 4)} AS distinct_ratio,
+                   {sql_floor_ratio("length(regexp_replace(text, '[^A-Za-z]', '', 'g'))", 'length(text)', 4)} AS alpha_ratio,
+                   {sql_floor_ratio('len(list_distinct(toks))', 'len(toks)', 4)} AS distinct_ratio,
                    {_sql_lang_hits('de')} AS h_de,
                    {_sql_lang_hits('en')} AS h_en,
                    {_sql_lang_hits('es')} AS h_es,
@@ -2213,14 +2230,15 @@ def x28_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
-        dround(
-            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1.0
-            / F.nullif(n_chars, F.lit(0)),
-            4,
+        # floor_ratio, not dround: these ratios FILTER below, so a
+        # tie-rounding divergence would flip row membership, not
+        # just a 4th decimal (conventions #13)
+        floor_ratio(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")), n_chars, 4
         ).alias("alpha_ratio"),
-        dround(
-            F.size(F.array_distinct(toks)) * 1.0 / F.nullif(n_tok, F.lit(0)), 4
-        ).alias("distinct_ratio"),
+        floor_ratio(F.size(F.array_distinct(toks)), n_tok, 4).alias(
+            "distinct_ratio"
+        ),
         T.predict_lang("text").alias("predicted_lang"),
     )
     return (
