@@ -114,18 +114,29 @@ def draw_bars(
     values: Sequence[float],
     color=(61, 90, 241),
 ) -> None:
-    """Bar chart filling ``panel`` = (y0, x0, y1, x1)."""
+    """Bar chart filling ``panel`` = (y0, x0, y1, x1). Bars grow from
+    the ZERO line, not the panel bottom — a signed series renders
+    negatives downward instead of as invisible slivers that
+    misrepresent sign (the dashboard's own series are positive by
+    construction, but this is the shared mark library)."""
     y0, x0, y1, x1 = panel
     if not len(values):
         return
-    n = len(values)
+    vals = [float(v) for v in values]
+    vmax = max(max(vals), 0.0)
+    vmin = min(min(vals), 0.0)
+    span = (vmax - vmin) or 1.0
+    height = y1 - y0
+    n = len(vals)
     slot = (x1 - x0) // n
     bar_w = max(1, int(slot * 0.7))
-    heights = _scaled(values, 0, y1 - y0)
-    base = y1
-    for i, hpx in enumerate(heights):
+    zero_px = int(height * (0.0 - vmin) / span)
+    for i, v in enumerate(vals):
+        vpx = int(height * (v - vmin) / span)
+        lo, hi = sorted((vpx, zero_px))
+        hi = max(hi, lo + 1)  # a 0-height bar stays a visible tick
         bx = x0 + i * slot + (slot - bar_w) // 2
-        canvas[base - hpx : base, bx : bx + bar_w] = color
+        canvas[y1 - hi : y1 - lo, bx : bx + bar_w] = color
 
 def draw_polyline(
     canvas: np.ndarray,

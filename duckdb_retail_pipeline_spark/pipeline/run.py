@@ -76,9 +76,12 @@ def _build_layers_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFr
     # fct_sales) — cache it so the 5-way source join runs once per
     # build instead of per consumer
     raw["raw_retail_data"] = raw["raw_retail_data"].cache()
+    # cached like the other dims: calendar feeds fct_sales, the agg
+    # layer, and two validation checks — uncached, each action on
+    # those replays its bounds aggregation + spine explode
     dim_calendar = build_dim_calendar(
         raw["raw_retail_data"], raw["raw_uk_holidays"]
-    )
+    ).cache()
     # dims feed both fct_sales and the aggregation layer; fct_sales
     # feeds fx/eur/agg — cache each so every downstream layer reads
     # the computed result instead of replaying the mode windows and

@@ -21,6 +21,10 @@ def build_monthly_sales_summary(agg_country_day: DataFrame) -> DataFrame:
     d = F.col("date")
     filtered = agg_country_day.filter(F.col("net_revenue_gbp") > 0)
     grouped = filtered.groupBy(
+        # re-derived from date on purpose, though agg_country_day
+        # carries year/month: the builder accepts any (date, country,
+        # measures) frame (tests feed minimal ones), and the carried
+        # columns are year(date)/month(date) by construction anyway
         F.year(d).cast("bigint").alias("year"),
         F.month(d).cast("bigint").alias("month"),
         F.date_trunc("month", d).cast("date").alias("month_start_date"),

@@ -112,6 +112,11 @@ def _perturb_vectors(col, seed: int):
     import numpy as np
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        # from_arrays(offsets, values) would DROP the validity bitmap,
+        # silently turning null rows into empty lists — fail loudly
+        # instead (shipped fixtures are null-free)
+        raise ValueError("embeddings column contains nulls; perturbation would drop the null mask")
     # use the stored value dtype: a hardcoded float32 cast would
     # silently quantize float64 embeddings beyond the documented noise
     dtype = arr.type.value_type.to_pandas_dtype()
@@ -156,6 +161,15 @@ def scale(src: Path, dest: Path, k: int, grow_groups: bool = False) -> None:
                 elif grow_groups and t == "documents" and name == "text":
                     col = pc.binary_join_element_wise(
                         col, pa.scalar(f"gg{i}"), pa.scalar(" ")
+                    )
+                elif grow_groups and t == "documents" and name == "n_chars":
+                    # keep the stored length in sync with the " ggN"
+                    # suffix appended to text above — a stale n_chars
+                    # breaks the n_chars == length(text) invariant
+                    # every text-stats consumer relies on
+                    col = pc.add(
+                        col,
+                        pa.scalar(len(f"gg{i}") + 1, type=pa.int64()),
                     )
                 elif grow_groups and t == "embeddings" and name == "embedding":
                     col = _perturb_vectors(col, seed=i)
