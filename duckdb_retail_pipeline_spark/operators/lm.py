@@ -1,0 +1,118 @@
+"""Reference-corpus n-gram language-model quality scoring.
+
+The training-data filter the Gopher/C4-style ratio signals (x02) do
+not cover: how REFERENCE-LIKE is each document's word sequence? The
+classic form scores mean token log-probability under a KenLM-style
+n-gram model. This engine's form keeps the ranking and drops the
+logarithm: conditional bigram probabilities are INTEGER floor-scaled
+rationals (the x54 PMI / x33 fill_frac convention), summed exactly
+and floor-averaged, so the score is bit-identical in ANSI SQL — no
+libm ln() whose last-ulp behavior differs across engines, no float
+fold-order dependence.
+
+    p_scaled(w1 w2)  = (c(w1, w2) * SCALE) DIV c(w1 ·)
+    doc_score_scaled = SUM(p_scaled over the doc's bigrams)
+                       DIV n_bigrams
+
+Higher = the document's transitions are more typical of the
+reference corpus (templated/repetitive docs score high; junk with
+unusual transitions scores low — both ends are the screening
+signal). With the corpus itself as reference (self-scoring, the
+usual bootstrap before a curated reference exists), every observed
+bigram has count ≥ 1, so no smoothing term is needed; against an
+external reference, unseen bigrams contribute 0 (the floor of any
+add-k estimate at corpus scale).
+
+Scale shape: one explode to (doc, w1, w2) bigram rows; two
+vocabulary-bounded count aggregations (context counts, bigram
+counts); one join per count table keyed on vocabulary terms (hash
+joins — count tables are vocab-sized, not corpus-sized; hot
+contexts like stopwords are exactly what AQE skew handling exists
+for); one final per-doc aggregation. All counts/sums are int64 —
+headroom: SUM(p_scaled) ≤ n_bigrams × SCALE, fine to ~9e12 bigrams
+per document at SCALE=1e6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.functions import text as T
+
+SCALE = 10**6
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs, one row per bigram
+    OCCURRENCE (order within the doc does not matter downstream, so
+    no position column rides the explode)."""
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        docs.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM quality score (module docstring).
+
+    Returns (id, n_bigrams, lm_score_scaled): the floor-mean of the
+    floor-scaled conditional bigram probabilities under
+    ``reference`` (default: ``docs`` itself — self-scoring).
+    Documents with < 2 tokens have no bigrams and are omitted — a
+    length filter (x02/x28) owns that regime.
+    """
+    bg = doc_bigrams(docs, id_col=id_col, text_col=text_col)
+    ref_bg = (
+        bg
+        if reference is None
+        else doc_bigrams(reference, id_col=id_col, text_col=text_col)
+    )
+    c_ctx = ref_bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ctx")
+    )
+    c_bg = ref_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_bg")
+    )
+    scored = (
+        bg.join(c_bg, ["w1", "w2"], "left")
+        .join(c_ctx, "w1", "left")
+        .select(
+            id_col,
+            # unseen-in-reference bigram → 0 (left-join NULL counts);
+            # integer DIV keeps the sum exact and order-independent
+            F.coalesce(
+                F.call_function(
+                    "div",
+                    F.col("c_bg") * F.lit(SCALE),
+                    F.col("c_ctx"),
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("p_scaled"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.call_function(
+                "div", F.sum("p_scaled"), F.count(F.lit(1))
+            ).alias("lm_score_scaled"),
+        )
+    )

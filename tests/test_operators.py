@@ -525,3 +525,73 @@ def test_scd2_same_day_correction_is_deterministic(spark):
     assert current == {"v1": False, "v2": True}
     visible = MG.as_of(hist, "2020-06-01").collect()
     assert len(visible) == 1 and visible[0]["attr"] == "v2"
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus with known counts: contexts 'a'->{b:2, c:1},
+    so p(b|a)=666666 scaled, p(c|a)=333333; doc scores are exact
+    integer floor-means of those."""
+    from duckdb_retail_pipeline_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),          # one bigram: (a,b)
+            (2, "a b"),          # same
+            (3, "a c"),          # (a,c)
+            (4, "solo"),         # < 2 tokens: omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 1 and out[1]["lm_score_scaled"] == 666666
+    assert out[3]["lm_score_scaled"] == 333333
+
+
+def test_bigram_lm_scores_matches_duckdb(spark, sf_dir, duck):
+    """Full differential on the real documents table: the integer
+    floor-scaled arithmetic must replay exactly in ANSI SQL (the
+    x54 no-ln convention)."""
+    from duckdb_retail_pipeline_spark.operators.lm import SCALE, bigram_lm_scores
+    from tests.compare import assert_matches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_lm_scores(docs)
+    oracle = rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks)-1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM t WHERE len(toks) >= 2
+        ), ctx AS (
+            SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_ctx FROM bg GROUP BY 1
+        ), cbg AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1, 2
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(CAST(SUM((c.c_bg * {SCALE}) // x.c_ctx) AS BIGINT)
+                    // COUNT(*) AS BIGINT) AS lm_score_scaled
+        FROM bg b
+        JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN ctx x ON b.w1 = x.w1
+        GROUP BY b.doc_id
+    """
+    assert_matches(out, duck, oracle, name="bigram_lm_scores")
+
+
+def test_bigram_lm_scores_external_reference(spark):
+    """Against an external reference, unseen bigrams contribute 0
+    instead of dropping the row."""
+    from duckdb_retail_pipeline_spark.operators.lm import bigram_lm_scores
+
+    ref = spark.createDataFrame([(10, "x y"), (11, "x y")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "x y x z")], "doc_id long, text string")
+    # bigrams of doc 1: (x,y) seen p=1.0, (y,x) unseen 0, (x,z) unseen 0
+    row = bigram_lm_scores(docs, reference=ref).collect()[0]
+    assert row["n_bigrams"] == 3
+    assert row["lm_score_scaled"] == 1_000_000 // 3
