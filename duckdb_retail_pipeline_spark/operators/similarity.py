@@ -516,3 +516,67 @@ def ivf_topk(
         F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    dp: int = 12,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (Cormack
+    et al., SIGIR'09) — the standard hybrid-retrieval combiner for a
+    lexical (BM25) and a dense (ANN) ranking:
+
+        rrf(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d))
+
+    computed EXACTLY: with da = k + rank_a and db = k + rank_b, the
+    sum is the rational (da + db)/(da·db), ranked by its integer
+    floor scaling ``(da + db)·10^dp DIV (da·db)`` — no float
+    addition whose engine-specific rounding could flip a tie (the
+    x54 no-ln convention applied to unit fractions). A document
+    missing from one list contributes only its present term (the
+    convention for partial overlap; both-absent documents don't
+    appear at all). Ties total-order by (query, id).
+
+    int64 headroom: (da + db)·10^12 needs da·db < ~9·10^6 after the
+    DIV and da + db < ~9·10^6 before the scale — fine to list
+    depths of ~10^5 per query at dp=12; drop dp for deeper lists.
+
+    Shape: one full-outer equi-join on (query, id) — both inputs are
+    top-k lists, so rows per query are bounded by 2k, never corpus-
+    sized; the join shuffles list-sized frames only.
+    """
+    scale = 10**dp
+    a = ranked_a.select(
+        query_col,
+        id_col,
+        (F.col(rank_col).cast("bigint") + F.lit(k)).alias("__da"),
+    )
+    b = ranked_b.select(
+        query_col,
+        id_col,
+        (F.col(rank_col).cast("bigint") + F.lit(k)).alias("__db"),
+    )
+    j = a.join(b, [query_col, id_col], "full_outer")
+    da, db = F.col("__da"), F.col("__db")
+    score = (
+        F.when(
+            da.isNotNull() & db.isNotNull(),
+            F.call_function("div", (da + db) * F.lit(scale), da * db),
+        )
+        .when(da.isNotNull(), F.call_function("div", F.lit(scale), da))
+        .otherwise(F.call_function("div", F.lit(scale), db))
+    )
+    scored = j.select(
+        query_col, id_col, score.alias("rrf_scaled")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_scaled").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("fused_rank", F.row_number().over(w))

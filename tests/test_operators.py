@@ -595,3 +595,59 @@ def test_bigram_lm_scores_external_reference(spark):
     row = bigram_lm_scores(docs, reference=ref).collect()[0]
     assert row["n_bigrams"] == 3
     assert row["lm_score_scaled"] == 1_000_000 // 3
+
+
+def test_rrf_fuse_hand_computed_and_duckdb(spark, duck):
+    """Hybrid-retrieval RRF: exact rational ranking (no float sum),
+    partial-overlap semantics, deterministic ties — checked by hand
+    and against a DuckDB twin with the same integer arithmetic."""
+    from duckdb_retail_pipeline_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, doc_id long, rnk long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 1)],
+        "query_id long, doc_id long, rnk long",
+    )
+    out = rrf_fuse(a, b, k=60)
+    rows = {(r["query_id"], r["doc_id"]): r for r in out.collect()}
+    # doc 11: ranks (2, 1) -> (62+61)*1e12 // (62*61)
+    assert rows[(1, 11)]["rrf_scaled"] == (62 + 61) * 10**12 // (62 * 61)
+    assert rows[(1, 11)]["fused_rank"] == 1  # both-lists doc wins
+    # doc 10 only in a at rank 1: 1e12 // 61
+    assert rows[(1, 10)]["rrf_scaled"] == 10**12 // 61
+    assert rows[(2, 20)]["fused_rank"] == 1
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE ra AS SELECT * FROM (VALUES "
+                 "(1,10,1),(1,11,2),(1,12,3),(2,20,1)) t(query_id, doc_id, rnk)")
+    duck.execute("CREATE OR REPLACE TEMP TABLE rb AS SELECT * FROM (VALUES "
+                 "(1,11,1),(1,13,2),(2,20,1)) t(query_id, doc_id, rnk)")
+    oracle = """
+        WITH j AS (
+            SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                   COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CAST(a.rnk + 60 AS BIGINT) AS da,
+                   CAST(b.rnk + 60 AS BIGINT) AS db
+            FROM ra a FULL OUTER JOIN rb b
+              ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+        ), s AS (
+            SELECT query_id, doc_id,
+                   CASE
+                     WHEN da IS NOT NULL AND db IS NOT NULL
+                       THEN ((da + db) * 1000000000000) // (da * db)
+                     WHEN da IS NOT NULL THEN 1000000000000 // da
+                     ELSE 1000000000000 // db
+                   END AS rrf_scaled
+            FROM j
+        )
+        SELECT query_id, doc_id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_scaled DESC, doc_id ASC) AS INTEGER) AS fused_rank
+        FROM s
+    """
+    from tests.compare import assert_matches
+
+    assert_matches(out, duck, oracle, name="rrf_fuse")
