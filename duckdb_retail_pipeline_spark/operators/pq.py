@@ -161,3 +161,81 @@ def adc_topk(
         F.col(id_col), F.round(score, 4).alias("adc_dot")
     )
     return scored.orderBy(F.col("adc_dot").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: dict | None = None,
+) -> DataFrame:
+    """The classic IVF-PQ pipeline in one call: coarse cells prune
+    the corpus (probe the ``nprobe`` nearest of ``n_cells``), ADC
+    ranks the survivors over their codes, and the top
+    ``refine_factor × k`` shortlist is re-scored EXACTLY (cosine over
+    the float vectors) before the final top-k — the standard
+    three-stage shape (FAISS's IndexIVFPQ + refinement). Returns
+    (id, cosine) like the other ANN entry points, so the a05/x12
+    contract frame applies unchanged.
+
+    ``index`` (optional) carries a prebuilt
+    ``{"ivf": build_ivf_index(...), "books": train_pq(...),
+    "codes": encode_pq(...)}`` — the dataset_memo pattern; built
+    inline (unpersisted) for one-shot callers.
+
+    At scale the three stages touch successively less data: the cell
+    filter prunes to ~nprobe/n_cells of the corpus, ADC scans only
+    integer codes for the survivors, and exact scoring reads float
+    vectors for refine_factor × k rows — the only stage that touches
+    them."""
+    from duckdb_retail_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    dim = len(query_vec)
+    if index is None:
+        ivf = build_ivf_index(
+            emb, n_cells, id_col=id_col, vec_col=vec_col, persist=False
+        )
+        books = train_pq(
+            emb, dim=dim, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+        )
+        codes = encode_pq(emb, books, dim=dim, id_col=id_col, vec_col=vec_col)
+    else:
+        ivf, books, codes = index["ivf"], index["books"], index["codes"]
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return num / (na * nb) if na and nb else -2.0
+
+    cents = ivf["cents"]
+    probe_cells = sorted(
+        range(len(cents)), key=lambda i: -cos(query_vec, cents[i])
+    )[:nprobe]
+    cand_ids = ivf["assigned"].filter(
+        F.col("__cell").isin(*probe_cells)
+    ).select(id_col)
+
+    shortlist = adc_topk(
+        codes.join(cand_ids, id_col, "left_semi"),
+        books,
+        query_vec,
+        k=refine_factor * k,
+        id_col=id_col,
+    ).select(id_col)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = emb.join(F.broadcast(shortlist), id_col, "left_semi").select(
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return exact.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -743,3 +743,30 @@ def test_pq_adc_recall_and_compression(spark, sf_dir):
 
     # run-to-run determinism of the full path
     assert got == [r["vec_id"] for r in PQ.adc_topk(codes, books, q, k=10).collect()]
+
+
+def test_ivf_pq_topk_self_found_and_contract_shape(spark, sf_dir):
+    """Three-stage IVF-PQ: the self-query must surface at cosine 1.0
+    rank 1, the result carries exactly k (id, cosine) rows with
+    EXACT cosines (the refinement stage re-scores, so scores match
+    brute force for every returned id), and the run is
+    deterministic."""
+    from duckdb_retail_pipeline_spark.operators import pq as PQ
+    from duckdb_retail_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    out = PQ.ivf_pq_topk(emb, q, k=5, n_cells=4, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] >= 0.9999
+
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(emb, q, k=500).collect()
+    }
+    for r in rows:
+        assert r["cosine"] == exact[r["vec_id"]]  # refinement is exact
+
+    again = PQ.ivf_pq_topk(emb, q, k=5, n_cells=4, nprobe=2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
