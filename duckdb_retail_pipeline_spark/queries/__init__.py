@@ -29,57 +29,60 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs ALL 94).
 #
-# Round-7 window (see ROTATION.md): with cumulative driver-green at
-# 134/134 after r6, rule 1 holds only this round's TWO new
-# registrations (exactly the genuinely-free slot count after rules
-# 2-3 — the r6 verdict's #5 constraint): x86 (canonical-document
-# selection over the memoized dedup clusters) and a17 (PIVOT
-# surface). Rule 2, r6→r7 diff guards: the Arrow dot-kernel rewrite
-# (functions/vectors.py — bit-identity-tested, but every cosine
-# consumer gets a driver row: x10, x12, x13, x39, x42, x65; x11 is
-# already in-window via rule 3), x13 additionally memoizes its IVF
-# index, x42's contract gained the score-range invariant + memoized
-# ANN frame, x60's sink probe moved off the local glob. Rule 3,
-# oldest-green re-entry (the rotation invariant: every registered
-# query's last driver row <= 2 rounds old): the 11 r3-stale queries
-# (q12, q25, x02-x04, x06, x08, x22, x23, x28, x29 — rule-3 head
-# promised by ROTATION.md) and the full 30-query r4-green block.
-# 2 + 7 + 41 = 50. Headline queries outside the window are
-# re-verified every round by the local 136-query pytest oracle gate.
+# Round-8 window (see ROTATION.md): CORRECTNESS_r07 landed 50/50
+# (cumulative 136/136; rotation invariant held for the first time).
+# Rule 1, never-checked: this round's THREE new registrations — the
+# r7 verdict's #1 ask (pytest-only operators promoted to
+# driver-oracled queries): x87 (bigram-LM quality scoring), x88
+# (RRF hybrid retrieval), x89 (IVF-PQ + ADC + exact refine).
+# Rule 2, r7→r8 diff guards (20): the late-r7 sweeps landed AFTER
+# queries outside the r7 window got their last rows — x09/x26/x81
+# (memo-signature + pair-graph persist changes), x44 (Arrow kernels
+# + rotating_persist move; ALSO refactored this round to share its
+# scored frame with x88), x48/x58/x85 (streaming/scale review
+# sweep), a07/a08 (merge/scd2 tie-handling sweep), q02/q17
+# (broadcast hint dropped), pl01/pl03/pl06/pl08/pl09/q15 (shared
+# pipeline helpers refactor) — plus this round's own diff: x07
+# (auto-mode corpus-count memo), and x23/x42 (rotating_persist
+# internals restructured per ADVICE r7). Rule 3, oldest-green
+# re-entry, oldest-first: the r5-green block (25 queries whose last
+# driver row is r5 — owed by the ≤2-rounds invariant), then the
+# r6-green head (a02, a03) as slots allow. 3 + 20 + 25 + 2 = 50.
+# The rest of the r6-green block (a04-a16, pl11, q03, x61-x84, …)
+# is exactly 2 rounds old at r8 and re-enters in r9; headline
+# queries outside the window are re-verified every round by the
+# local 139-query pytest oracle gate.
 _ROTATED_IN = [
-    # never driver-green: this round's two new registrations
-    "x86_canonical_docs", "a17_pivot_surface",
+    # never driver-green: this round's three new registrations
+    "x87_bigram_lm_quality", "x88_rrf_hybrid", "x89_ivf_pq_topk",
 ]
 _GUARDS = [
-    # r6→r7 diff guards: cosine-kernel consumers + x13 (IVF index
-    # memo) + x42 (score-range contract, memoized ANN frame) + x60
-    # (sink probe via the filesystem read)
-    "x42_ann_batch_retrieval", "x13_similarity_ivf_topk",
-    "x12_similarity_lsh_topk", "x10_embedding_cosine_topk",
-    "x39_similarity_batch_topk", "x65_rag_pipeline",
-    "x60_streaming_upsert_sink",
-    # oldest-green re-entry, oldest-first: the r3-stale eleven…
-    "q12_ratio_nullif", "q25_asof_join", "x02_text_stats",
-    "x03_lang_id", "x04_fingerprint", "x06_minhash_signatures",
-    "x08_simhash_values", "x22_term_frequency",
-    "x23_winnowing_fingerprints", "x28_corpus_curation",
-    "x29_stratified_split",
-    # …then the r4-green block (two rounds stale by r7)
-    "pl02_staging_fx", "pl04_dim_product", "pl05_dim_customer",
-    "pl07_daily_fx_rates", "pl10_monthly_sales_summary",
-    "q04_filter_like_prefix", "q05_null_sentinel_filters",
-    "q06_semi_join_in_subquery", "q07_anti_join_orphans",
-    "q08_composite_key_join", "q09_conditional_agg",
-    "q10_conditional_count_distinct", "q11_scalar_multi_agg",
-    "x05_ngram_jaccard_pairs", "x11_embedding_dup_pairs",
-    "x15_events_sessionize", "x16_events_json_extract",
-    "x17_streaming_hourly", "x18_events_pivot",
-    "x21_session_window_batch", "x24_grouped_ols_trend",
-    "x25_streaming_sliding", "x27_text_chunking",
-    "x30_variant_extract", "x31_streaming_stateful_totals",
-    "x34_streaming_dedup", "x35_salted_agg",
-    "x37_embedding_quantization", "x38_stream_static_join",
-    "x41_fixed_count_sample",
+    # r7→r8 diff guards
+    "x07_minhash_lsh_pairs", "x09_simhash_pairs",
+    "x26_dedup_clusters", "x81_dedup_savings", "x44_bm25_search",
+    "x48_salted_join", "x58_stream_stream_join",
+    "x85_stream_stream_left_outer", "a07_merge_upsert",
+    "a08_scd2_history", "q02_monthly_revenue_by_nation",
+    "q17_union_all_checks", "pl01_staging_retail",
+    "pl03_dim_calendar", "pl06_fct_sales", "pl08_fct_sales_eur",
+    "pl09_agg_country_day", "q15_forward_fill",
+    "x23_winnowing_fingerprints", "x42_ann_batch_retrieval",
+    # oldest-green re-entry: the r5-green block (last row r5)
+    "x43_range_join_binned", "x45_event_funnel",
+    "x47_pii_redaction", "x49_data_profiling",
+    "x50_importance_sampling", "x52_token_rarity",
+    "x54_pmi_pairs", "x55_last_touch_attribution",
+    "x57_incremental_agg", "x59_media_resize_grid",
+    "q13_weekend_cohort", "q14_date_parts",
+    "q16_lag_gap_detection", "q18_cte_scalar_subquery",
+    "q19_view_over_join", "q20_deterministic_mode",
+    "q22_distinct_dedup", "q23_top_per_group",
+    "q24_between_range_scan", "a01_rollup",
+    "x32_repetition_filter", "x33_sequence_packing",
+    "x36_decontamination", "x40_robust_stats",
+    "x46_cohort_retention",
+    # …then the r6-green head as slots allow
+    "a02_cube", "a03_intersect_except",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.functions import text as T
+from duckdb_retail_pipeline_spark.operators import lm as LM
 from duckdb_retail_pipeline_spark.operators import scale as SC
+from duckdb_retail_pipeline_spark.operators import similarity as SIM
 from duckdb_retail_pipeline_spark.queries.base import (
     dround,
     floor_ratio,
@@ -29,7 +31,12 @@ from duckdb_retail_pipeline_spark.queries.base import (
     sql_money_sum,
     tbl,
 )
-from duckdb_retail_pipeline_spark.queries.extensions import SQL_HASH28, SQL_TOKS
+from duckdb_retail_pipeline_spark.queries.extensions import (
+    SQL_COSINE_PARTS,
+    SQL_HASH28,
+    SQL_TOKS,
+    _sql_norm,
+)
 
 # ---------------------------------------------------------------- x43
 _X43_MIN_ERRORS = 3  # hourly error count that flags an incident window
@@ -120,7 +127,10 @@ _X44_K1 = 1.2
 _X44_B = 0.75
 
 
-def _x44_oracle() -> str:
+def _x44_ctes() -> str:
+    """The d/t/stats/scored CTE chain — scored(doc_id, bm25, tf_*,
+    dl) over the hit set — shared by the x44 oracle and x88's
+    lexical ranked list so the two cannot silently diverge."""
     toks = SQL_TOKS.format(x="text")
     tf = {t: f"len(list_filter(toks, t -> t = '{t}'))" for t in _X44_TERMS}
     idf = {
@@ -139,8 +149,7 @@ def _x44_oracle() -> str:
         for t in _X44_TERMS
     }
     score = " + ".join(f"({contrib[t]})" for t in _X44_TERMS)
-    return f"""
-        WITH d AS (
+    return f"""d AS (
             SELECT doc_id, {toks} AS toks FROM documents
         ), t AS (
             SELECT doc_id, len(toks) AS dl,
@@ -151,13 +160,23 @@ def _x44_oracle() -> str:
                    CAST(SUM(dl) AS BIGINT) AS sum_dl,
                    {", ".join(f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in _X44_TERMS)}
             FROM t
-        )
-        SELECT doc_id,
-               {sql_dround(score, 4)} AS bm25,
+        ), scored AS (
+            SELECT doc_id,
+                   {sql_dround(score, 4)} AS bm25,
+                   {", ".join(f"tf_{t}" for t in _X44_TERMS)},
+                   dl
+            FROM t, stats
+            WHERE {" + ".join(f"tf_{t}" for t in _X44_TERMS)} > 0
+        )"""
+
+
+def _x44_oracle() -> str:
+    return f"""
+        WITH {_x44_ctes()}
+        SELECT doc_id, bm25,
                {", ".join(f"CAST(tf_{t} AS BIGINT) AS tf_{t}" for t in _X44_TERMS)},
                CAST(dl AS BIGINT) AS dl
-        FROM t, stats
-        WHERE {" + ".join(f"tf_{t}" for t in _X44_TERMS)} > 0
+        FROM scored
         ORDER BY bm25 DESC, doc_id ASC
         LIMIT 20
     """
@@ -181,6 +200,17 @@ def _x44_oracle() -> str:
     tags=("text", "search", "ranking"),
 )
 def x44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _x44_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _x44_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25 dround(4), tf_* bigint, dl bigint) over the hit
+    set — the Spark twin of the ``scored`` CTE in ``_x44_ctes``;
+    x44's top-20 and x88's lexical ranked list both consume it."""
     docs = tbl(spark, sf_dir, "documents")
 
     def tf_expr(term: str):
@@ -234,16 +264,11 @@ def x44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"tf_{term}") for term in _X44_TERMS[1:]),
         F.col(f"tf_{_X44_TERMS[0]}"),
     )
-    return (
-        j.filter(hit > 0)
-        .select(
-            "doc_id",
-            dround(score, 4).alias("bm25"),
-            *[F.col(f"tf_{term}").cast("bigint").alias(f"tf_{term}") for term in _X44_TERMS],
-            F.col("dl").cast("bigint").alias("dl"),
-        )
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
+    return j.filter(hit > 0).select(
+        "doc_id",
+        dround(score, 4).alias("bm25"),
+        *[F.col(f"tf_{term}").cast("bigint").alias(f"tf_{term}") for term in _X44_TERMS],
+        F.col("dl").cast("bigint").alias("dl"),
     )
 
 
@@ -2840,4 +2865,149 @@ def x85_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.crossJoin(F.broadcast(bounds))
         .filter(F.col("click_ts") < F.col("cutoff"))
         .select("user_id", "click_id", "purchase_id", "purchase_cents")
+    )
+
+
+# ---------------------------------------------------------------- x87
+@register(
+    "x87_bigram_lm_quality",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks)-1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM t WHERE len(toks) >= 2
+        ), ctx AS (
+            SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_ctx FROM bg GROUP BY 1
+        ), cbg AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1, 2
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(CAST(SUM((c.c_bg * {LM.SCALE}) // x.c_ctx) AS BIGINT)
+                    // COUNT(*) AS BIGINT) AS lm_score_scaled
+        FROM bg b
+        JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN ctx x ON b.w1 = x.w1
+        GROUP BY b.doc_id
+    """,
+    doc="Reference-corpus bigram-LM quality scoring "
+    "(operators/lm.py): per-document floor-mean of integer "
+    "floor-scaled conditional bigram probabilities under the corpus "
+    "itself (the self-scoring bootstrap) — the KenLM-style "
+    "sequence-typicality screen with the logarithm dropped so every "
+    "value is int64-exact in ANSI SQL (the x54 no-ln convention). "
+    "Shape: one explode to bigram rows, two vocab-bounded count "
+    "aggs, two hash joins keyed on vocabulary terms, one per-doc "
+    "agg — no UDF, no window, all shuffles vocabulary- or "
+    "corpus-linear.",
+    tags=("text", "quality", "lm"),
+)
+def x87_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return LM.bigram_lm_scores(docs)
+
+
+# ---------------------------------------------------------------- x88
+_X88_TOPN = 20  # per-ranker list depth fed into the fusion
+_X88_K = 60     # the RRF constant (Cormack et al. SIGIR'09)
+_X88_TOPK = 10
+
+
+def _x88_oracle() -> str:
+    cosine = sql_dround(
+        SQL_COSINE_PARTS.format(a="e.embedding", b="q.qv")
+        + f" / NULLIF({_sql_norm('e.embedding')} * {_sql_norm('q.qv')}, 0.0)",
+        4,
+    )
+    return f"""
+        WITH {_x44_ctes()},
+        lex AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM (SELECT doc_id, bm25 FROM scored
+                  ORDER BY bm25 DESC, doc_id ASC LIMIT {_X88_TOPN})
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), dense AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM (SELECT e.vec_id AS doc_id, {cosine} AS cosine
+                  FROM embeddings e, q
+                  ORDER BY cosine DESC, doc_id ASC LIMIT {_X88_TOPN})
+        ), j AS (
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CAST(a.rnk + {_X88_K} AS BIGINT) AS da,
+                   CAST(b.rnk + {_X88_K} AS BIGINT) AS db
+            FROM lex a FULL OUTER JOIN dense b ON a.doc_id = b.doc_id
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                          THEN ((da + db) * 1000000000000) // (da * db)
+                        WHEN da IS NOT NULL THEN 1000000000000 // da
+                        ELSE 1000000000000 // db END AS rrf_scaled
+            FROM j
+        ), fused AS (
+            SELECT doc_id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY rrf_scaled DESC, doc_id ASC) AS INTEGER)
+                       AS fused_rank
+            FROM s
+        )
+        SELECT doc_id, rrf_scaled, fused_rank FROM fused
+        WHERE fused_rank <= {_X88_TOPK}
+    """
+
+
+@register(
+    "x88_rrf_hybrid",
+    oracle=_x88_oracle(),
+    doc="Hybrid retrieval via reciprocal-rank fusion "
+    "(similarity.py rrf_fuse; Cormack et al. SIGIR'09): the lexical "
+    "ranker is x44's BM25 top-20 over documents, the dense ranker "
+    "is the exact cosine top-20 over the embeddings table (vec_id "
+    "IS the document id in the testdata corpus), fused as exact "
+    "integer-scaled rationals 1/(60+rank) — no float sum, so a tie "
+    "can never flip between engines — and cut to the fused top-10. "
+    "Both ranked lists are engine-deterministic (dround(4) scores, "
+    "id tiebreaks); the fusion join touches 2×20 rows per query, "
+    "never the corpus.",
+    tags=("text", "similarity", "ranking", "rag"),
+)
+def x88_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id")
+    lex = (
+        _x44_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_X88_TOPN)
+        .withColumn("query_id", F.lit(0).cast("bigint"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(w.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("query_id", "doc_id", "rnk")
+    )
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dense = (
+        SIM.brute_force_topk(emb, qvec, k=_X88_TOPN)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("query_id", F.lit(0).cast("bigint"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(w.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("query_id", "doc_id", "rnk")
+    )
+    fused = SIM.rrf_fuse(lex, dense, k=_X88_K)
+    return fused.filter(F.col("fused_rank") <= _X88_TOPK).select(
+        "doc_id", "rrf_scaled", "fused_rank"
     )
