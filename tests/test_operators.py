@@ -464,6 +464,31 @@ def test_rotating_persist_invalidates_on_in_session_regeneration(spark, tmp_path
     assert rotating_persist(spark.read.parquet(p), slot) is second
 
 
+def test_memoized_count_caches_and_invalidates(spark, tmp_path):
+    """The auto-mode corpus probe must be a dict hit on repeat
+    invocations (r7 verdict #2: the unmemoized count re-scanned the
+    persisted signature table every bench pass) and must re-count
+    when the dataset regenerates in-session under the same path."""
+    import time
+
+    from duckdb_retail_pipeline_spark.memo import _COUNT_MEMO, memoized_count
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(5)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    assert memoized_count(spark.read.parquet(p)) == 5
+    before = len(_COUNT_MEMO)
+    assert memoized_count(spark.read.parquet(p)) == 5
+    assert len(_COUNT_MEMO) == before  # repeat was a dict hit, no new entry
+
+    time.sleep(0.01)  # distinct mtime_ns even on coarse filesystems
+    spark.createDataFrame([(i,) for i in range(7)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    assert memoized_count(spark.read.parquet(p)) == 7
+
+
 def test_inline_ivf_topk_does_not_leak_cache_entries(spark, sf_dir):
     """ivf_topk with index=None is the one-shot path: repeated calls
     must not pin per-call corpus-sized SQL-cache entries (only an
