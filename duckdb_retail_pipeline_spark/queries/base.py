@@ -65,10 +65,19 @@ def register(
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
-            # a silent overwrite would DROP the shadowed query from
-            # the driver's correctness gate with no signal anywhere —
-            # fail at import time instead
-            raise ValueError(f"query {name!r} is already registered")
+            prev = REGISTRY[name].fn
+            if (
+                getattr(prev, "__module__", None) != fn.__module__
+                or getattr(prev, "__qualname__", None) != fn.__qualname__
+            ):
+                # a silent overwrite would DROP the shadowed query
+                # from the driver's correctness gate with no signal
+                # anywhere — fail at import time instead
+                raise ValueError(f"query {name!r} is already registered")
+            # same qualified function re-registering (importlib.reload,
+            # double import under different sys.path roots): refresh
+            # idempotently instead of exploding far from the cause
+            # (r7 ADVICE)
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             headline=headline, tags=tags,

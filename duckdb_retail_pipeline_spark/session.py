@@ -66,6 +66,22 @@ def get_spark(
     if existing is not None:
         try:
             if not existing.sparkContext._jsc.sc().isStopped():
+                if shuffle_partitions is not None or extra_conf:
+                    # the caller asked for specific confs it is NOT
+                    # getting — say so instead of silently dropping
+                    # them (r7 ADVICE): startup confs cannot be
+                    # applied to a live session; runtime ones can,
+                    # via tune_for_session / spark.conf.set.
+                    import warnings
+
+                    warnings.warn(
+                        "get_spark returned an already-active session; "
+                        "the explicit shuffle_partitions/extra_conf "
+                        "arguments were NOT applied. Configure the "
+                        "session you own (tune_for_session or "
+                        "spark.conf.set), or stop it first.",
+                        stacklevel=2,
+                    )
                 return existing
         except Exception:  # noqa: BLE001 — dead gateway → build fresh
             pass

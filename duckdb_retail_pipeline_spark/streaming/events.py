@@ -252,14 +252,17 @@ def stream_upsert_daily_totals(
 
     Pass ``checkpoint`` to resume a previous run's offsets (the
     restart-recovery path); by default each call gets a fresh
-    checkpoint dir — and a fresh run CLEARS any ``batch=*``
-    partitions already under ``dest_path``: batch ids are only
-    meaningful relative to one checkpoint's offsets, so partials
-    left by a PREVIOUS run (different checkpoint, different
-    batching) would otherwise survive the per-id overwrites and be
+    checkpoint dir — and a fresh run retires any ``batch=*``
+    partitions a PREVIOUS run left under ``dest_path``: batch ids
+    are only meaningful relative to one checkpoint's offsets, so
+    prior partials the new run's ids did not overwrite would be
     re-aggregated into the final result — silent double counting.
-    A resumed run keeps them; its replayed ids overwrite the same
-    paths with the same bytes.
+    The retirement happens only AFTER the new run commits (a fresh
+    run that fails leaves prior results untouched — r7 ADVICE);
+    ``dest_path`` must be exclusively owned by this operator, since
+    a concurrent writer's partitions would be swept as stale. A
+    resumed run keeps prior partials; its replayed ids overwrite
+    the same paths with the same bytes.
     """
     # Hadoop path resolution glob-interprets load paths, so a
     # dest_path containing glob metacharacters cannot be re-read
@@ -272,7 +275,14 @@ def stream_upsert_daily_totals(
             f"dest_path {dest_path!r} contains glob metacharacters; "
             "Hadoop path resolution cannot address it unambiguously"
         )
+    stale_paths = []
     if checkpoint is None:
+        # Snapshot any batch=* partitions a PREVIOUS run left behind —
+        # they are deleted only AFTER this run commits (below): a
+        # pre-write delete would destroy prior results with no
+        # replacement if the fresh run then fails (r7 ADVICE).
+        # dest_path must be exclusively owned by this operator — a
+        # concurrent writer's partitions would be swept as stale.
         # Hadoop FS API, not local-filesystem ops: dest may be
         # hdfs:// or s3a:// at scale (the r6 ADVICE lesson for the
         # empty-sink probe applies to the cleanup too)
@@ -281,8 +291,7 @@ def stream_upsert_daily_totals(
             os.path.join(dest_path, "batch=*")
         )
         fs = jdest.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        for status in fs.globStatus(jdest) or []:
-            fs.delete(status.getPath(), True)
+        stale_paths = [s.getPath() for s in fs.globStatus(jdest) or []]
 
     stream = _read_stream(
         spark,
@@ -292,7 +301,10 @@ def stream_upsert_daily_totals(
         max_files_per_trigger=max_files_per_trigger,
     )
 
+    written_ids: set[int] = set()  # foreachBatch runs driver-side
+
     def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        written_ids.add(batch_id)
         (
             batch_df.select(
                 F.to_date("ts").alias("day"),
@@ -319,6 +331,12 @@ def stream_upsert_daily_totals(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
+    # the run is committed — NOW retire prior-run partials this run
+    # did not overwrite (stale batch ids re-aggregate into the final
+    # result as silent double counting; overwritten ids are current)
+    for path in stale_paths:
+        if int(path.getName().split("=", 1)[1]) not in written_ids:
+            fs.delete(path, True)
     if checkpoint is None:
         # a fresh (unnamed) checkpoint has no resume value once the
         # run completed; leaving it would leak one dir per call
