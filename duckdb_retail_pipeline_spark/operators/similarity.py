@@ -104,19 +104,96 @@ def lsh_topk(
         )
     planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
     bucketed = emb.withColumn("__bucket", _bucket_expr(vec_col, planes))
+    probes = _query_probes(planes, query_vec, nprobe)
 
-    # compute the query's bucket driver-side with the same planes
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = bucketed.filter(F.col("__bucket").isin(probes))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _query_probes(
+    planes: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The query's bucket + its nprobe−1 least-confident single-bit
+    flips, computed driver-side with the index's own planes
+    (multi-probe order: ascending |dot|, ties by plane index —
+    deterministic)."""
     dots = [
         sum(float(a) * float(b) for a, b in zip(query_vec, p)) for p in planes
     ]
     qb = sum(2**i for i, d in enumerate(dots) if d >= 0)
-    # multi-probe order: flip bits ascending by |dot| (ties by index
-    # — deterministic), one flipped bucket per extra probe
     flip_order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
-    probes = [qb] + [qb ^ (1 << i) for i in flip_order[: max(0, nprobe - 1)]]
+    return [qb] + [qb ^ (1 << i) for i in flip_order[: max(0, nprobe - 1)]]
 
+
+def lsh_index(
+    emb: DataFrame,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the serveable LSH index ONCE: data-derived hyperplanes
+    (frozen with the index — every later ingest and query must hash
+    with THESE planes or bucket membership is meaningless) and the
+    bucketed corpus frame. Returns ``{"planes": [...], "bucketed":
+    DataFrame(id, vec, __bucket)}``. Persistence belongs to an owner
+    (``dataset_memo``), same contract as ``build_ivf_index``."""
+    planes = _hyperplanes_from_data(emb, vec_col, id_col, bits)
+    bucketed = emb.select(id_col, vec_col).withColumn(
+        "__bucket", _bucket_expr(vec_col, planes)
+    )
+    return {"planes": planes, "bucketed": bucketed}
+
+
+def lsh_index_upsert(
+    index: dict,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental ANN-index ingest — the maintenance operation a
+    100 TB deployment performs instead of rebuilding: bucket ONLY the
+    delta with the index's frozen planes (O(|delta|) — one kernel
+    pass, no corpus scan), supersede same-id rows (delta wins, the
+    upsert convention) via an id anti-join, and union. Because bucket
+    assignment is a pure function of (planes, vector), the upserted
+    index is row-identical to bulk-loading the union corpus with the
+    same planes — the invariant x91's driver contract pins in-plan.
+    Recall for NEW vectors matches their bulk-loaded recall
+    immediately; planes are never re-derived (re-deriving them from
+    the grown corpus would re-bucket EVERYTHING — that is a rebuild,
+    not an upsert, and real systems schedule it separately)."""
+    delta_b = delta.select(id_col, vec_col).withColumn(
+        "__bucket", _bucket_expr(vec_col, index["planes"])
+    )
+    kept = index["bucketed"].join(
+        delta.select(id_col), id_col, "left_anti"
+    )
+    return {
+        "planes": index["planes"],
+        "bucketed": kept.unionByName(delta_b),
+    }
+
+
+def lsh_index_query(
+    index: dict,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a top-k query from a built/upserted LSH index: probe the
+    query's bucket + flips (driver-side O(nprobe) probe list), exact
+    cosine within the probed buckets — ``lsh_topk``'s query stage
+    decoupled from its index build."""
+    probes = _query_probes(index["planes"], query_vec, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = bucketed.filter(F.col("__bucket").isin(probes))
+    cand = index["bucketed"].filter(F.col("__bucket").isin(probes))
     scored = cand.select(
         F.col(id_col),
         F.round(V.cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),

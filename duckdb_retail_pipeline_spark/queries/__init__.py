@@ -31,10 +31,13 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 #
 # Round-8 window (see ROTATION.md): CORRECTNESS_r07 landed 50/50
 # (cumulative 136/136; rotation invariant held for the first time).
-# Rule 1, never-checked: this round's THREE new registrations — the
+# Rule 1, never-checked: this round's FIVE new registrations — the
 # r7 verdict's #1 ask (pytest-only operators promoted to
 # driver-oracled queries): x87 (bigram-LM quality scoring), x88
-# (RRF hybrid retrieval), x89 (IVF-PQ + ADC + exact refine).
+# (RRF hybrid retrieval), x89 (IVF-PQ + ADC + exact refine) — plus
+# two new operators registered WITH their driver rows in the same
+# round (the contract the verdict enforces): x90 (positional-index
+# phrase search), x91 (incremental ANN-index upsert).
 # Rule 2, r7→r8 diff guards (20): the late-r7 sweeps landed AFTER
 # queries outside the r7 window got their last rows — x09/x26/x81
 # (memo-signature + pair-graph persist changes), x44 (Arrow kernels
@@ -46,15 +49,16 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # (auto-mode corpus-count memo), and x23/x42 (rotating_persist
 # internals restructured per ADVICE r7). Rule 3, oldest-green
 # re-entry, oldest-first: the r5-green block (25 queries whose last
-# driver row is r5 — owed by the ≤2-rounds invariant), then the
-# r6-green head (a02, a03) as slots allow. 3 + 20 + 25 + 2 = 50.
-# The rest of the r6-green block (a04-a16, pl11, q03, x61-x84, …)
-# is exactly 2 rounds old at r8 and re-enters in r9; headline
+# driver row is r5 — owed by the ≤2-rounds invariant).
+# 5 + 20 + 25 = 50. The r6-green block (a02-a16, pl11, q03,
+# x61-x84, …) is exactly 2 rounds old at r8 (invariant intact
+# without re-entry) and takes rule-3 head priority in r9; headline
 # queries outside the window are re-verified every round by the
-# local 139-query pytest oracle gate.
+# local 141-query pytest oracle gate.
 _ROTATED_IN = [
-    # never driver-green: this round's three new registrations
+    # never driver-green: this round's five new registrations
     "x87_bigram_lm_quality", "x88_rrf_hybrid", "x89_ivf_pq_topk",
+    "x90_phrase_search", "x91_ann_index_upsert",
 ]
 _GUARDS = [
     # r7→r8 diff guards
@@ -81,8 +85,6 @@ _GUARDS = [
     "x32_repetition_filter", "x33_sequence_packing",
     "x36_decontamination", "x40_robust_stats",
     "x46_cohort_retention",
-    # …then the r6-green head as slots allow
-    "a02_cube", "a03_intersect_except",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

@@ -3011,3 +3011,43 @@ def x88_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.filter(F.col("fused_rank") <= _X88_TOPK).select(
         "doc_id", "rrf_scaled", "fused_rank"
     )
+
+
+# ---------------------------------------------------------------- x90
+_X90_PHRASE = ("slow", "join")
+
+
+@register(
+    "x90_phrase_search",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKS.format(x='text')} AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks)-1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM bg
+        WHERE w1 = '{_X90_PHRASE[0]}' AND w2 = '{_X90_PHRASE[1]}'
+        GROUP BY doc_id
+    """,
+    doc="Exact phrase search over a positional inverted index "
+    "(operators/search.py; the Manning/Raghavan/Schütze positional-"
+    "intersection algorithm): one posexplode builds (token, doc, "
+    "pos) postings, and a k-word phrase is k−1 hash equi-joins on "
+    "(doc, start_position) with each side pre-filtered to ONE "
+    "token's posting list — join inputs are posting-list-sized, "
+    "never corpus-sized, which is why search engines persist "
+    "exactly this frame (partitioned by token at scale). The oracle "
+    "re-derives occurrences from adjacent-token pairs — an "
+    "independent formulation of the same semantics.",
+    tags=("text", "search"),
+)
+def x90_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import search as SR
+
+    docs = tbl(spark, sf_dir, "documents")
+    idx = SR.positional_index(docs)
+    return SR.phrase_search(idx, list(_X90_PHRASE))

@@ -710,6 +710,88 @@ def x89_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract_frame(spark, sf_dir, ann, min_recall_hits=7)
 
 
+# ---------------------------------------------------------------- x91
+def _x91_oracle() -> str:
+    cosine = sql_dround(
+        SQL_COSINE_PARTS.format(a="e.embedding", b="q.qv")
+        + f" / NULLIF({_sql_norm('e.embedding')} * {_sql_norm('q.qv')}, 0.0)",
+        4,
+    )
+    return rf"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id, {cosine} AS cosine
+            FROM embeddings e, q
+        )
+        SELECT vec_id, cosine,
+               TRUE AS recall_ge_bound, TRUE AS scores_exact,
+               TRUE AS self_found, TRUE AS returned_k,
+               TRUE AS upsert_equals_bulk
+        FROM scored
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+"""
+
+
+@register(
+    "x91_ann_index_upsert",
+    oracle=_x91_oracle(),
+    doc="Incremental ANN-index ingest (similarity.py lsh_index_"
+    "upsert): 90% of the corpus bulk-loads an LSH index (bits=4, "
+    "planes frozen with the index), the remaining 10% — including "
+    "the query vector itself — arrives as a DELTA bucketed with the "
+    "index's own planes (O(|delta|), no corpus scan, no rebuild) "
+    "and unioned after an id anti-join (delta supersedes). The "
+    "driver-hashed frame is the exact top-k + the a05/x12 contract "
+    "booleans + upsert_equals_bulk: the upserted index's query "
+    "results compared row-for-row (exceptAll both ways, in-plan) "
+    "against an index bulk-loaded over the FULL corpus with the "
+    "same planes — bucket assignment is a pure function of (planes, "
+    "vector), so any divergence means the ingest corrupted bucket "
+    "membership. self_found proves a newly ingested vector is "
+    "immediately retrievable — the property an index maintenance "
+    "path exists to provide. Recall bound 3: the x12 convention "
+    "(same bits/nprobe config; planes derive from the 90% base) — "
+    "measured 4/4/8 at sf0.001/0.01/0.1 (r8), bound one hit under "
+    "the weakest measurement for data-regeneration headroom.",
+    tags=("similarity", "vectors", "index"),
+)
+def x91_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    def build() -> dict:
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        delta = emb.filter(F.col("vec_id") % 10 == 0)
+        up = S.lsh_index_upsert(S.lsh_index(base, bits=4), delta)
+        up["bucketed"] = up["bucketed"].persist()
+        return up
+
+    idx = dataset_memo(spark, sf_dir, "lsh_index_upserted_b4", build)
+    ann = S.lsh_index_query(idx, qvec, k=10, nprobe=3)
+    exact = S.brute_force_topk(emb, qvec, k=10)
+    contract = S.ann_contract(emb, qvec, ann, k=10, min_recall_hits=3)
+    # upsert ≡ bulk-load-with-the-same-planes, checked in-plan: the
+    # bucketed frames are row-identical by construction, so the two
+    # query results must match exactly (both are tiny top-k frames)
+    bulk = {
+        "planes": idx["planes"],
+        "bucketed": emb.select("vec_id", "embedding").withColumn(
+            "__bucket", S._bucket_expr("embedding", idx["planes"])
+        ),
+    }
+    ann_bulk = S.lsh_index_query(bulk, qvec, k=10, nprobe=3)
+    diff = ann.exceptAll(ann_bulk).unionByName(ann_bulk.exceptAll(ann))
+    consistency = diff.agg(
+        (F.count(F.lit(1)) == 0).alias("upsert_equals_bulk")
+    )
+    return exact.crossJoin(F.broadcast(contract)).crossJoin(
+        F.broadcast(consistency)
+    )
+
+
 # ---------------------------------------------------------------- x14
 @register(
     "x14_events_hourly",
@@ -2133,14 +2215,26 @@ def minhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 verdict #2) for a result every consumer re-reads unchanged."""
     from duckdb_retail_pipeline_spark.memo import dataset_memo
 
-    return dataset_memo(
-        spark,
-        sf_dir,
-        "minhash_pair_graph",
-        lambda: D.minhash_lsh_pairs(
+    def build() -> DataFrame:
+        pairs = D.minhash_lsh_pairs(
             _aug_corpus(spark, sf_dir), threshold=0.7, num_hashes=16, bands=8
-        ).persist(),
-    )
+        ).persist()
+        # materialize while the signature table is hot, then release
+        # that table: it only serves the BUILD, and it is the largest
+        # resident in the dedup family (per-doc shingle arrays — GBs
+        # at the 100× decade, where the r7 bench measured resident
+        # persists evicting shared frames between passes: warm > cold
+        # for unrelated queries). The pair graph's lineage can still
+        # recompute through it if its own blocks are evicted.
+        pairs.count()
+        if D._MINHASH_BASE_SLOT:
+            try:
+                D._MINHASH_BASE_SLOT.pop()[0].unpersist()
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
+        return pairs
+
+    return dataset_memo(spark, sf_dir, "minhash_pair_graph", build)
 
 
 def simhash_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

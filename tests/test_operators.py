@@ -795,3 +795,63 @@ def test_ivf_pq_topk_self_found_and_contract_shape(spark, sf_dir):
 
     again = PQ.ivf_pq_topk(emb, q, k=5, n_cells=4, nprobe=2).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_phrase_search_hand_computed(spark):
+    """Positional-intersection phrase search: overlapping and repeated
+    occurrences count per START position; 3-word phrases chain two
+    adjacency joins; docs without the full phrase never appear."""
+    from duckdb_retail_pipeline_spark.operators import search as SR
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),   # "a b" twice, "a b c" once
+            (2, "a a a"),       # "a a" twice (overlapping starts 1, 2)
+            (3, "b a"),         # reversed — no "a b"
+            (4, "a"),           # too short
+        ],
+        "doc_id long, text string",
+    )
+    idx = SR.positional_index(docs)
+    out = {r["doc_id"]: r["n_occurrences"] for r in SR.phrase_search(idx, ["a", "b"]).collect()}
+    assert out == {1: 2}
+    out3 = {r["doc_id"]: r["n_occurrences"] for r in SR.phrase_search(idx, ["a", "b", "c"]).collect()}
+    assert out3 == {1: 1}
+    overlap = {r["doc_id"]: r["n_occurrences"] for r in SR.phrase_search(idx, ["a", "a"]).collect()}
+    assert overlap == {2: 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SR.phrase_search(idx, [])
+
+
+def test_lsh_index_upsert_supersedes_and_equals_bulk(spark):
+    """Delta rows with an existing id supersede the old vector, new
+    ids append, and the upserted index is row-identical to
+    bulk-loading the union corpus with the same planes."""
+    from duckdb_retail_pipeline_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = S.lsh_index(base, bits=2)
+    delta = spark.createDataFrame(
+        [(3, [9.0, 9.0, 9.0, 9.0]), (100, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    up = S.lsh_index_upsert(idx, delta)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in up["bucketed"].collect()}
+    assert rows[3] == [9.0, 9.0, 9.0, 9.0]  # delta superseded the old row
+    assert 100 in rows and len(rows) == 9
+
+    union = base.filter("vec_id != 3").unionByName(delta)
+    bulk = union.select("vec_id", "embedding").withColumn(
+        "__bucket", S._bucket_expr("embedding", idx["planes"])
+    )
+    assert up["bucketed"].exceptAll(bulk).count() == 0
+    assert bulk.exceptAll(up["bucketed"]).count() == 0
+
+    # a freshly ingested vector is immediately retrievable
+    got = S.lsh_index_query(up, [9.0, 9.0, 9.0, 9.0], k=3)
+    assert 3 in {r["vec_id"] for r in got.collect()}
