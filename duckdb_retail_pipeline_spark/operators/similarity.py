@@ -18,6 +18,8 @@ RNG) so runs are reproducible.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -481,6 +483,100 @@ def _nearest_cell_expr(col, cents: list[list[float]]):
     )
 
 
+#: above this many cells the literal-expression argmax becomes the
+#: wrong shape (n_cells × dim literals in ONE expression tree: at 64
+#: cells × 64 dims that is 4k literals per plan, and each cell's
+#: cosine is its own Arrow-kernel call — 64 kernel invocations/row);
+#: the pinned driver-contract configs (8 cells) stay on the literal
+#: path so their swept recall floors and bit-exact oracles never move
+CELL_EXPR_MAX = 16
+
+
+def _nearest_cell_kernel(col, cents: list[list[float]]):
+    """Nearest-centroid assignment for LARGE n_cells — the shape the
+    x13/x89 docstrings promise at 100 TB: ONE Arrow kernel call per
+    row computes every per-centroid dot (the centroid matrix rides
+    in the kernel closure — n_cells × dim floats shipped once per
+    executor, not inlined as plan literals; the same per-dimension
+    fold order as ``plane_dots``, so the dots are bit-identical to
+    the literal path's), divides by the centroid norms only (the
+    per-row ‖v‖ factor is common to every cell and cannot change
+    the argmax), and returns the argmax cell id directly — no
+    n_cells-wide JVM array expression (a 447-cell ``F.array`` of
+    element_at/division nodes measured 5× slower than the 8-cell
+    literal path on the assignment pass; the in-kernel argmax
+    removes it). Ties break to the lower cell id (np.argmax's
+    first-max), zero/NULL/ragged vectors fall back to cell 0 — the
+    ``_nearest_cell_expr`` semantics. A zero-norm centroid scores
+    −inf (cosine to it is undefined; it can never be nearest unless
+    every cell is degenerate, where argmax's first-max yields 0)."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.array(cents, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError("cents must be a non-empty list of equal-length lists")
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    inv = np.where(cnorm > 0, 1.0 / np.where(cnorm > 0, cnorm, 1.0), np.nan)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def _cells(v: pd.Series) -> pd.Series:
+        vv = v.to_numpy()
+        n = len(vv)
+        dim = C.shape[1]
+        ok = np.fromiter(
+            (x is not None and len(x) == dim for x in vv), dtype=bool, count=n
+        )
+        out = np.zeros(n, dtype=np.int32)
+        if ok.any():
+            rows = vv if ok.all() else vv[ok]
+            A = np.vstack(rows).astype(np.float64, copy=False)
+            acc = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
+            tmp = np.empty_like(acc)
+            for i in range(dim):
+                # same fold order as plane_dots: acc[:, j] += A[:, i] * C[j, i]
+                # (in-place buffers: the naive form allocates two
+                # batch × n_cells arrays per dimension — GBs of churn
+                # per 10k-row batch at 447 cells)
+                np.multiply(A[:, i, None], C[:, i], out=tmp)
+                np.add(acc, tmp, out=acc)
+            scores = acc * inv  # NaN columns = zero-norm centroids
+            scores = np.where(np.isnan(scores), -np.inf, scores)
+            best = np.argmax(scores, axis=1).astype(np.int32)
+            out[np.nonzero(ok)[0]] = best
+        return pd.Series(out)
+
+    return F.coalesce(_cells(V._c(col)), F.lit(0))
+
+
+def assign_cells(col, cents: list[list[float]]):
+    """Nearest-centroid assignment, path chosen by cell count: the
+    literal-expression argmax for pinned small configs (bit-exact
+    with the driver contracts), the single-kernel matrix form past
+    ``CELL_EXPR_MAX`` (the at-scale path — plan size and kernel
+    invocations stay O(1) in n_cells). Both break ties to the lower
+    cell id and send zero/NULL vectors to cell 0; the paths are
+    differentially tested equal on real embeddings at the boundary
+    config."""
+    if len(cents) <= CELL_EXPR_MAX:
+        return _nearest_cell_expr(col, cents)
+    return _nearest_cell_kernel(col, cents)
+
+
+def resolve_ivf_cells(n_corpus: int) -> int:
+    """n_cells for a corpus size: ≈ sqrt(corpus) (the standard IVF
+    sizing — cells and per-cell scan cost grow together, so probe
+    cost is ~nprobe·sqrt(corpus)), clamped to [8, 4096]. 4096 cells
+    × 64 dims × 8 B = 2 MB of centroids — comfortably a driver list
+    / kernel closure at any realistic dim; beyond that the centroid
+    set itself should live in a broadcast table and train with
+    sampled Lloyd, which is a different operator tier."""
+    import math
+
+    return max(8, min(4096, int(math.sqrt(max(n_corpus, 0)))))
+
+
 def refine_centroids(
     emb: DataFrame,
     cents: list[list[float]],
@@ -496,7 +592,7 @@ def refine_centroids(
     (standard empty-cluster fallback)."""
     dim = len(cents[0])
     for _ in range(iters):
-        assigned = emb.withColumn("__cell", _nearest_cell_expr(F.col(vec_col), cents))
+        assigned = emb.withColumn("__cell", assign_cells(F.col(vec_col), cents))
         stats = (
             assigned.select(
                 "__cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
@@ -517,7 +613,7 @@ def refine_centroids(
 
 def build_ivf_index(
     emb: DataFrame,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -534,6 +630,13 @@ def build_ivf_index(
     index instead of re-running Lloyd per call (r6 verdict #3: x13
     warm was ~4.5 s at sf0.1 re-deriving per invocation).
 
+    ``n_cells=None`` resolves ≈ sqrt(corpus) via ``resolve_ivf_cells``
+    (one count() driver probe); past ``CELL_EXPR_MAX`` cells the
+    assignment runs on the single-kernel matrix path (``assign_cells``)
+    — centroids ship in the kernel closure, never as plan literals,
+    so plan analysis stays O(1) in n_cells. The pinned contract
+    configs (8 cells) are unaffected.
+
     ``persist`` applies to the assignment frame and belongs with an
     OWNER that will unpersist it (``dataset_memo`` rotates its entry
     on dataset change). One-shot callers must pass False: a bare
@@ -541,13 +644,15 @@ def build_ivf_index(
     cache entry per invocation for the session's lifetime — the
     exact pattern that OOM-failed bench at the 100× decade (see
     ``memo.rotating_persist``)."""
+    if n_cells is None:
+        n_cells = resolve_ivf_cells(emb.count())
     cents = [
         list(map(float, r[vec_col]))
         for r in emb.orderBy(id_col).limit(n_cells).collect()
     ]
     if kmeans_iters:
-        cents = refine_centroids(emb, cents, kmeans_iters, vec_col=vec_col)
-    assigned = emb.withColumn("__cell", _nearest_cell_expr(F.col(vec_col), cents))
+        cents = refine_centroids(emb, cents, vec_col=vec_col, iters=kmeans_iters)
+    assigned = emb.withColumn("__cell", assign_cells(F.col(vec_col), cents))
     if persist:
         assigned = assigned.persist()
     return {"cents": cents, "assigned": assigned}

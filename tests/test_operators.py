@@ -855,3 +855,55 @@ def test_lsh_index_upsert_supersedes_and_equals_bulk(spark):
     # a freshly ingested vector is immediately retrievable
     got = S.lsh_index_query(up, [9.0, 9.0, 9.0, 9.0], k=3)
     assert 3 in {r["vec_id"] for r in got.collect()}
+
+
+def test_assign_cells_kernel_matches_literal_path(spark, sf_dir):
+    """The large-n_cells kernel assignment must agree with the pinned
+    literal-expression argmax cell-for-cell on real embeddings (the
+    ‖v‖ factor is common per row and cannot flip an argmax), and both
+    send zero/NULL vectors to cell 0."""
+    from duckdb_retail_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        list(map(float, r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    both = emb.select(
+        "vec_id",
+        S._nearest_cell_expr(F.col("embedding"), cents).alias("lit_cell"),
+        S._nearest_cell_kernel(F.col("embedding"), cents).alias("ker_cell"),
+    )
+    assert both.filter(F.col("lit_cell") != F.col("ker_cell")).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, None)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: (r["lit_cell"], r["ker_cell"])
+        for r in degenerate.select(
+            "vec_id",
+            S._nearest_cell_expr(F.col("embedding"), cents).alias("lit_cell"),
+            S._nearest_cell_kernel(F.col("embedding"), cents).alias("ker_cell"),
+        ).collect()
+    }
+    assert rows[1] == (0, 0) and rows[2] == (0, 0)
+
+
+def test_ivf_auto_cells_scale_path(spark, sf_dir):
+    """n_cells=None resolves ~sqrt(corpus) (> CELL_EXPR_MAX on the
+    driver corpus → the kernel path), and the auto-sized index still
+    returns a full, self-containing top-k."""
+    from duckdb_retail_pipeline_spark.operators import similarity as S
+
+    assert S.resolve_ivf_cells(0) == 8
+    assert S.resolve_ivf_cells(500) == 22
+    assert S.resolve_ivf_cells(10**9) == 4096
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = S.build_ivf_index(emb, n_cells=None, persist=False)
+    assert len(idx["cents"]) > S.CELL_EXPR_MAX or emb.count() < 289
+    got = S.ivf_topk(emb, q, k=10, nprobe=3, index=idx).collect()
+    assert len(got) == 10
+    assert any(r["cosine"] >= 0.9999 for r in got)  # self-find

@@ -210,3 +210,34 @@ def test_agg_country_day_post_agg_calendar_join(spark, sf_dir):
     for seg in shuffles:
         keys = seg.split(")")[0]
         assert "is_weekend" not in keys, keys
+
+
+def test_phrase_search_is_equi_join_on_postings(spark, sf_dir):
+    """x90's positional intersection must plan as a hash equi-join on
+    (doc, start) — never a nested-loop/cartesian over postings — and
+    only (doc_id, text) may be read from the documents scan."""
+    df = REGISTRY["x90_phrase_search"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert X.read_schema_columns(df) == {"doc_id", "text"}, plan
+
+
+def test_ivf_pq_refine_broadcasts_shortlist(spark, sf_dir):
+    """x89's exact-refine stage joins the corpus against the ADC
+    top-160 shortlist — shortlist-sized, so it must broadcast (never
+    shuffle the corpus for 160 ids), and no cartesian may appear."""
+    df = REGISTRY["x89_ivf_pq_topk"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert X.broadcast_join_count(df) >= 1, plan
+
+
+def test_ann_index_upsert_no_cartesian_and_anti_join(spark, sf_dir):
+    """x91's ingest path: the same-id supersede is a (broadcastable)
+    anti-join, the consistency check joins tiny top-k frames — no
+    cartesian product anywhere in the contract frame's plan."""
+    df = REGISTRY["x91_ann_index_upsert"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
