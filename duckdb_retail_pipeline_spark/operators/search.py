@@ -30,7 +30,18 @@ def positional_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(token, doc_id, pos) — one row per token OCCURRENCE, pos
-    1-based. The frame a deployment persists partitioned by token."""
+    1-based. The frame a deployment persists partitioned by token.
+
+    Deliberately a plain ``posexplode`` + downstream filter, NOT a
+    pre-explode HOF filter inside the token array: the struct-
+    building ``transform``/``filter`` lambdas are CodegenFallback
+    (interpreted per row), and replacing the explode with them was
+    measured 10× SLOWER at sf0.1 (0.63 → 6.6 s warm) and worse at
+    the 100× decade (22 → 28 s) — posexplode and the token equality
+    filter fuse into one whole-stage-codegen stage, so non-matching
+    occurrences never leave the stage, let alone a shuffle (the same
+    interpreted-HOF lesson as the r7 dot-kernel work, re-measured
+    here rather than assumed)."""
     return (
         docs.select(
             F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos0", "token")
