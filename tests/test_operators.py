@@ -907,3 +907,77 @@ def test_ivf_auto_cells_scale_path(spark, sf_dir):
     got = S.ivf_topk(emb, q, k=10, nprobe=3, index=idx).collect()
     assert len(got) == 10
     assert any(r["cosine"] >= 0.9999 for r in got)  # self-find
+
+
+def test_rrf_fuse_matches_exact_fractions_property(spark):
+    """Property: the integer-scaled RRF ranking equals the ranking by
+    EXACT rationals 1/(k+ra) + 1/(k+rb) (python Fraction — no float
+    anywhere), ties by doc id, under random partial-overlap lists."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators.similarity import rrf_fuse
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=8, unique=True),
+        st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=8, unique=True),
+    )
+    def prop(docs_a, docs_b):
+        a = [(0, d, i + 1) for i, d in enumerate(docs_a)]
+        b = [(0, d, i + 1) for i, d in enumerate(docs_b)]
+        fa = spark.createDataFrame(a, "query_id long, doc_id long, rnk long")
+        fb = spark.createDataFrame(b, "query_id long, doc_id long, rnk long")
+        got = [
+            r["doc_id"]
+            for r in rrf_fuse(fa, fb, k=60).orderBy("fused_rank").collect()
+        ]
+        ra = {d: i + 1 for i, d in enumerate(docs_a)}
+        rb = {d: i + 1 for i, d in enumerate(docs_b)}
+        exact = {
+            d: (Fraction(1, 60 + ra[d]) if d in ra else 0)
+            + (Fraction(1, 60 + rb[d]) if d in rb else 0)
+            for d in set(docs_a) | set(docs_b)
+        }
+        want = sorted(exact, key=lambda d: (-exact[d], d))
+        assert got == want, (got, want)
+
+    prop()
+
+
+def test_phrase_search_matches_python_reference_property(spark):
+    """Property: phrase occurrence counts over random small-alphabet
+    token sequences equal a pure-Python sliding-window count."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators import search as SR
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.lists(tok, min_size=0, max_size=12), min_size=1, max_size=5),
+        st.lists(tok, min_size=1, max_size=3),
+    )
+    def prop(docs_tokens, phrase):
+        docs = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in SR.phrase_search(SR.positional_index(docs), phrase).collect()
+        }
+        want = {}
+        for i, toks in enumerate(docs_tokens):
+            c = sum(
+                1
+                for s in range(len(toks) - len(phrase) + 1)
+                if toks[s : s + len(phrase)] == phrase
+            )
+            if c:
+                want[i] = c
+        assert got == want, (got, want)
+
+    prop()
