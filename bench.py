@@ -56,19 +56,21 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
-    # median of 3 timed passes per query: single-pass numbers showed
+    # median of 5 timed passes per query: single-pass numbers showed
     # ±50% run-to-run noise on the join-heavy queries (x66 measured
-    # 1.4-2.6 s across r6 runs), which swamps real round-over-round
-    # regressions; the median at ~20 queries costs ~25 extra seconds
+    # 1.4-2.6 s across r6 runs), and at median-of-3 the TOTAL still
+    # swung ±1 s across same-code runs (r8 sampled 9.8/10.3/11.0/
+    # 11.4/12.2 on one HEAD) — enough to swamp real round-over-round
+    # regressions. Five passes cost ~30 extra seconds at ~20 queries.
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
         runs: list[float] = []
         try:
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 spec.fn(spark, SF_DIR).count()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(sorted(runs)[1], 4)
+            timings[name] = round(sorted(runs)[2], 4)
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0

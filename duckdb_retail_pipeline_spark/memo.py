@@ -160,34 +160,62 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     the signature WITH the occupant (instead of a module dict keyed
     by ``id(slot)``) means it lives exactly as long as the occupant
     — no leak for garbage-collected slots, no CPython id-reuse
-    associating a stale signature with a new list (r7 ADVICE). The
-    signature stat pass runs only when the plans already compare
-    equal (the candidate fast path) or when persisting a new
-    occupant — a plan-mismatch rotation skips it entirely."""
-    sig = None
-    sig_known = False
+    associating a stale signature with a new list (r7 ADVICE).
+
+    Staleness is validated by RE-STAT-ing the occupant's own stored
+    uris, never by listing the fresh plan's input files: once the
+    occupant is cached, a semantically-equal fresh plan's
+    ``inputFiles()`` returns [] (Spark substitutes the cached
+    relation), so the fresh-side listing compared unequal on every
+    warm call and the slot silently CHURNED — pop + unpersist +
+    re-persist + full re-materialization per pass, measured on the
+    x87 count tables (r8; the probe: fresh plan inputFiles [] while
+    the occupant's own inputFiles still returns the parquet). An
+    in-session regeneration under the same path still rotates: the
+    stored uris' mtime_ns/size change (overwrite) or the stat fails
+    (part files renamed), either of which mismatches."""
     if slot:
         occupant, occ_sig = slot[0]
         try:
             if (
                 occupant.sparkSession is df.sparkSession
                 and occupant.sameSemantics(df)
+                and occ_sig == _restat(occ_sig)
             ):
-                sig = _input_signature(df)
-                sig_known = True
-                if occ_sig == sig:
-                    return occupant
+                return occupant
         except Exception:  # noqa: BLE001 — fall through to rotation
             pass
         try:
             slot.pop()[0].unpersist()
         except Exception:  # noqa: BLE001 — occupant's session may be
             pass  # stopped (test teardown); rotation must still work
-    if not sig_known:
-        sig = _input_signature(df)
+    sig = _input_signature(df)
     df = df.persist()
     slot.append((df, sig))
     return df
+
+
+def _restat(sig: frozenset | None) -> frozenset | None:
+    """Recompute a stored input signature by re-stat-ing its own
+    uris: equal iff every backing file still has the recorded
+    mtime_ns/size (and no recorded file vanished). ``None`` (pure-
+    synthetic or degraded plans) validates as None — plan equality
+    is then the only proof, as before."""
+    if sig is None:
+        return None
+    out = []
+    for uri, _mt, _sz in sig:
+        path = uri
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(uri).path)
+        try:
+            st = os.stat(path)
+            out.append((uri, st.st_mtime_ns, st.st_size))
+        except OSError:
+            out.append((uri, -1, -1))
+    return frozenset(out)
 
 
 def memoized_count(df: DataFrame) -> int:

@@ -39,8 +39,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.functions import text as T
+from duckdb_retail_pipeline_spark.memo import rotating_persist
 
 SCALE = 10**6
+
+# one-entry persist rotations for the two count tables — the
+# "trained model" of the scorer (vocabulary-sized, NOT corpus-sized:
+# safe residents at any scale). Without them every scoring call
+# re-runs the bigram explode THREE times (context agg, bigram agg,
+# scoring join — three different exchanges, no reuse); with them a
+# warm call explodes once, for the scoring join only.
+_CTX_SLOT: list = []
+_BG_SLOT: list = []
 
 
 def doc_bigrams(
@@ -84,11 +94,17 @@ def bigram_lm_scores(
         if reference is None
         else doc_bigrams(reference, id_col=id_col, text_col=text_col)
     )
-    c_ctx = ref_bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_ctx")
+    c_ctx = rotating_persist(
+        ref_bg.groupBy("w1").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_ctx")
+        ),
+        _CTX_SLOT,
     )
-    c_bg = ref_bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_bg")
+    c_bg = rotating_persist(
+        ref_bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_bg")
+        ),
+        _BG_SLOT,
     )
     scored = (
         bg.join(c_bg, ["w1", "w2"], "left")

@@ -981,3 +981,33 @@ def test_phrase_search_matches_python_reference_property(spark):
         assert got == want, (got, want)
 
     prop()
+
+
+def test_rotating_persist_serves_aggregate_plans_across_passes(spark, tmp_path):
+    """Once an AGGREGATE-shaped occupant is cached, a fresh equal
+    plan's inputFiles() returns [] (Spark substitutes the cached
+    relation) — the staleness check must re-stat the occupant's own
+    stored uris, not the fresh listing, or the slot churns
+    (unpersist + re-persist + re-materialize every pass; the r8 x87
+    count-table probe)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "k long, v long"
+    ).write.mode("overwrite").parquet(p)
+    slot: list = []
+
+    def agg_plan():
+        return (
+            spark.read.parquet(p)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    first = rotating_persist(agg_plan(), slot)
+    first.count()  # materialize the cache — the substitution trigger
+    assert rotating_persist(agg_plan(), slot) is first
+    assert rotating_persist(agg_plan(), slot) is first
