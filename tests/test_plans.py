@@ -241,3 +241,20 @@ def test_ann_index_upsert_no_cartesian_and_anti_join(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_bigram_lm_prunes_documents_scan(spark, sf_dir):
+    """x87 must read only (doc_id, text) from the documents scan, and
+    its count-table joins must never plan a cartesian."""
+    df = REGISTRY["x87_bigram_lm_quality"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert X.read_schema_columns(df) == {"doc_id", "text"}, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_hybrid_joins_are_list_sized(spark, sf_dir):
+    """x88's fusion join touches two top-20 lists — the plan may not
+    contain a cartesian; the one crossJoin-free shape is pinned."""
+    df = REGISTRY["x88_rrf_hybrid"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
