@@ -27,8 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 # (appId, path, tag) -> (dataset_signature, value)
 _MEMO: dict[tuple[str, str, str], tuple[frozenset, Any]] = {}
 
-# (appId, semanticHash, input signature) -> row count
-_COUNT_MEMO: dict[tuple[str, int, frozenset | None], int] = {}
+# (appId, semanticHash) -> (input signature, row count) — the
+# signature lives in the VALUE, not the key, so an in-session dataset
+# regeneration REPLACES the entry instead of minting a new key beside
+# the stale one (r8 ADVICE: the signature-in-key form grew without
+# bound, one dead entry per regeneration); same replace-per-key shape
+# as _MEMO
+_COUNT_MEMO: dict[tuple[str, int], tuple[frozenset | None, int]] = {}
 
 _WARNED_REMOTE = False
 
@@ -229,17 +234,34 @@ def memoized_count(df: DataFrame) -> int:
     signature invalidates on in-session dataset regeneration the
     same way ``rotating_persist``'s fast path does; a stopped
     session changes applicationId, so entries never serve across
-    sessions."""
+    sessions. A signature mismatch REPLACES the entry (the memo is
+    bounded by the number of distinct plans per session, not by the
+    number of regenerations — r8 ADVICE).
+
+    A plan with NO provable input signature is never served from the
+    memo (r9 probe, predicted by the r8 verdict #6: a plan built over
+    a CACHED occupant gets cache-substituted, its ``inputFiles()``
+    returns [], and two such plans across an in-session dataset
+    regeneration + rotation are semantically equal with None == None
+    signatures — the memo served the STALE count while the plan
+    computed the new data; reproduced in
+    tests/test_operators.py::test_memoized_count_matches_plan_under_cache_substitution).
+    Callers that want the memo pass the persisted occupant itself —
+    its own ``inputFiles()`` still names the backing parquet — which
+    is what the one production consumer (dedup auto-mode) does."""
+    sig = _input_signature(df)
+    if sig is None:
+        return df.count()
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
-        _input_signature(df),
     )
     hit = _COUNT_MEMO.get(key)
-    if hit is None:
-        hit = df.count()
-        _COUNT_MEMO[key] = hit
-    return hit
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    n = df.count()
+    _COUNT_MEMO[key] = (sig, n)
+    return n
 
 
 def dataset_memo(

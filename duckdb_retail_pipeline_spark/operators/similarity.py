@@ -499,9 +499,16 @@ def _nearest_cell_kernel(col, cents: list[list[float]]):
     in the kernel closure — n_cells × dim floats shipped once per
     executor, not inlined as plan literals; the same per-dimension
     fold order as ``plane_dots``, so the dots are bit-identical to
-    the literal path's), divides by the centroid norms only (the
-    per-row ‖v‖ factor is common to every cell and cannot change
-    the argmax), and returns the argmax cell id directly — no
+    the literal path's), divides by the centroid norms only — the
+    per-row ‖v‖ factor is common to every cell, so in exact
+    arithmetic it cannot change the argmax; in floats the literal
+    path's EXTRA division by ‖v‖ can flip or create a tie within
+    one ulp on adversarial near-tie vectors, so the two paths may
+    assign different cells there (r8 ADVICE — consequence is
+    bounded: only the ANN candidate set shifts, and the contract
+    booleans gate recall; the differential test covers real
+    embeddings, where measured assignments agree) — and returns
+    the argmax cell id directly — no
     n_cells-wide JVM array expression (a 447-cell ``F.array`` of
     element_at/division nodes measured 5× slower than the 8-cell
     literal path on the assignment pass; the in-kernel argmax

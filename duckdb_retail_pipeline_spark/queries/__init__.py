@@ -21,70 +21,75 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # -- driver-window prioritization -----------------------------------------
 #
 # The driver's CORRECTNESS gate records the FIRST 50 registry entries
-# (dict insertion order). With 94 registered queries, registration
-# order decides which queries get a hard driver-side oracle row per
-# round. The rotation schedule lives in ROTATION.md at the repo root:
-# never-driver-checked queries enter first; remaining slots hold
-# regression guards for code paths changed since the last green round.
+# (dict insertion order). Registration order therefore decides which
+# of the (currently len(REGISTRY)) registered queries get a hard
+# driver-side oracle row per round. The rotation schedule lives in
+# ROTATION.md at the repo root: never-driver-checked queries enter
+# first; remaining slots hold regression guards for code paths
+# changed since the last green round, then the oldest-green block.
 # Everything outside the window keeps its local DuckDB-oracle pytest
-# row (tests/test_queries_oracle.py runs ALL 94).
+# row (tests/test_queries_oracle.py runs the WHOLE registry).
 #
-# Round-8 window (see ROTATION.md): CORRECTNESS_r07 landed 50/50
-# (cumulative 136/136; rotation invariant held for the first time).
-# Rule 1, never-checked: this round's FIVE new registrations — the
-# r7 verdict's #1 ask (pytest-only operators promoted to
-# driver-oracled queries): x87 (bigram-LM quality scoring), x88
-# (RRF hybrid retrieval), x89 (IVF-PQ + ADC + exact refine) — plus
-# two new operators registered WITH their driver rows in the same
-# round (the contract the verdict enforces): x90 (positional-index
-# phrase search), x91 (incremental ANN-index upsert).
-# Rule 2, r7→r8 diff guards (20): the late-r7 sweeps landed AFTER
-# queries outside the r7 window got their last rows — x09/x26/x81
-# (memo-signature + pair-graph persist changes), x44 (Arrow kernels
-# + rotating_persist move; ALSO refactored this round to share its
-# scored frame with x88), x48/x58/x85 (streaming/scale review
-# sweep), a07/a08 (merge/scd2 tie-handling sweep), q02/q17
-# (broadcast hint dropped), pl01/pl03/pl06/pl08/pl09/q15 (shared
-# pipeline helpers refactor) — plus this round's own diff: x07
-# (auto-mode corpus-count memo), and x23/x42 (rotating_persist
-# internals restructured per ADVICE r7). Rule 3, oldest-green
-# re-entry, oldest-first: the r5-green block (25 queries whose last
-# driver row is r5 — owed by the ≤2-rounds invariant).
-# 5 + 20 + 25 = 50. The r6-green block (a02-a16, pl11, q03,
-# x61-x84, …) is exactly 2 rounds old at r8 (invariant intact
-# without re-entry) and takes rule-3 head priority in r9; headline
-# queries outside the window are re-verified every round by the
-# local 141-query pytest oracle gate.
+# Round-9 window (see ROTATION.md): CORRECTNESS_r08 landed 50/50
+# (cumulative 141/141). The r8 verdict's #1 finding binds this
+# window: six queries' last driver rows date to r5 — three rounds
+# stale, a silent break of this file's own ≤2-rounds invariant — and
+# the r6-green block (37 queries) is three rounds stale by r9.
+# 6 + 37 = 43 slots are owed re-entry before anything else.
+# Rule 1, never-checked: this round's two new registrations (x92,
+# x93 — registered WITH their driver rows, the x90/x91 precedent).
+# Rule 2, r8→r9 diff guards (5): x05 (the late-r8 rotating_persist
+# churn fix changed the code under its _PREFIX_D_SLOT persist; its
+# r7 row predates the fix — the one guard the r8 pre-draft owed),
+# x90 (positional index split into memoized build + serve this
+# round), x91 (recall-sweep config change this round), x60 (fresh
+# runs stage partials and swap after commit this round), x07
+# (memoized_count re-keyed for bounded growth this round).
+# Rule 3, oldest-green re-entry, oldest-first: the six r5-stale
+# queries FIRST (q01, q21, x01, x14, x19, x20), then the full
+# 37-query r6-green block. 2 + 5 + 6 + 37 = 50. After this round a
+# recount must show no registered query's last driver row older
+# than r7 (the r8 verdict's done-condition). The r7-green block
+# (48 queries) is two rounds old at r9 — invariant intact without
+# re-entry — and takes rule-3 head priority in r10 together with
+# whatever r8-green queries age out; headline queries outside the
+# window are re-verified every round by the local full-registry
+# pytest oracle gate.
 _ROTATED_IN = [
-    # never driver-green: this round's five new registrations
-    "x87_bigram_lm_quality", "x88_rrf_hybrid", "x89_ivf_pq_topk",
-    "x90_phrase_search", "x91_ann_index_upsert",
+    # rule-1 placeholders: two r7-green headline queries hold these
+    # slots until this round's two new registrations (x92, x93) land
+    # with their driver rows — swapped in the registration commit
+    "x10_embedding_cosine_topk", "x65_rag_pipeline",
 ]
 _GUARDS = [
-    # r7→r8 diff guards
-    "x07_minhash_lsh_pairs", "x09_simhash_pairs",
-    "x26_dedup_clusters", "x81_dedup_savings", "x44_bm25_search",
-    "x48_salted_join", "x58_stream_stream_join",
-    "x85_stream_stream_left_outer", "a07_merge_upsert",
-    "a08_scd2_history", "q02_monthly_revenue_by_nation",
-    "q17_union_all_checks", "pl01_staging_retail",
-    "pl03_dim_calendar", "pl06_fct_sales", "pl08_fct_sales_eur",
-    "pl09_agg_country_day", "q15_forward_fill",
-    "x23_winnowing_fingerprints", "x42_ann_batch_retrieval",
-    # oldest-green re-entry: the r5-green block (last row r5)
-    "x43_range_join_binned", "x45_event_funnel",
-    "x47_pii_redaction", "x49_data_profiling",
-    "x50_importance_sampling", "x52_token_rarity",
-    "x54_pmi_pairs", "x55_last_touch_attribution",
-    "x57_incremental_agg", "x59_media_resize_grid",
-    "q13_weekend_cohort", "q14_date_parts",
-    "q16_lag_gap_detection", "q18_cte_scalar_subquery",
-    "q19_view_over_join", "q20_deterministic_mode",
-    "q22_distinct_dedup", "q23_top_per_group",
-    "q24_between_range_scan", "a01_rollup",
-    "x32_repetition_filter", "x33_sequence_packing",
-    "x36_decontamination", "x40_robust_stats",
-    "x46_cohort_retention",
+    # r8→r9 diff guards
+    "x05_ngram_jaccard_pairs", "x90_phrase_search",
+    "x91_ann_index_upsert", "x60_streaming_upsert_sink",
+    "x07_minhash_lsh_pairs",
+    # oldest-green re-entry head: the six r5-stale queries (the r8
+    # verdict's #1 — owed since r7 by the ≤2-rounds invariant)
+    "q01_pricing_summary", "q21_multikey_star_agg",
+    "x01_dedup_exact", "x14_events_hourly",
+    "x19_media_schema", "x20_media_features",
+    # oldest-green re-entry: the full r6-green block (last row r6)
+    "a02_cube", "a03_intersect_except", "a04_unpivot",
+    "a05_approx_aggregates", "a06_grouping_sets_sql",
+    "a09_moving_average", "a10_string_functions",
+    "a11_window_rank_surface", "a12_array_agg_surface",
+    "a13_correlated_subqueries", "a14_regex_surface",
+    "a15_exact_percentiles", "a16_correlated_avg_filter",
+    "pl11_validation", "q03_top_customers",
+    "x61_bpe_token_stats", "x62_seasonal_anomaly",
+    "x63_cross_source_dups", "x64_vocab_oov",
+    "x66_basket_pairs", "x67_rfm_segments",
+    "x68_supplier_latency", "x69_deletion_audit",
+    "x70_late_data_audit", "x71_fuzzy_entity_match",
+    "x72_ab_test", "x73_histogram", "x74_token_budget",
+    "x75_hypertable_rollup", "x76_rolling_distinct_users",
+    "x77_skew_report", "x78_correlation_report",
+    "x79_pareto_analysis", "x80_event_transitions",
+    "x82_part_velocity", "x83_seasonal_index",
+    "x84_cohort_ltv_curves",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

@@ -66,18 +66,30 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             prev = REGISTRY[name].fn
+
+            def _lineno(f):  # None for non-plain callables
+                return getattr(getattr(f, "__code__", None), "co_firstlineno", None)
+
             if (
                 getattr(prev, "__module__", None) != fn.__module__
                 or getattr(prev, "__qualname__", None) != fn.__qualname__
+                or _lineno(prev) != _lineno(fn)
             ):
                 # a silent overwrite would DROP the shadowed query
                 # from the driver's correctness gate with no signal
-                # anywhere — fail at import time instead
+                # anywhere — fail at import time instead. The source
+                # line is part of the identity: a PASTED duplicate
+                # definition of the same-named function in the same
+                # module rebinds the name silently in Python but lives
+                # at a different line, while an importlib.reload
+                # re-executes the same source line (r8 ADVICE — the
+                # module/qualname-only compare waved the paste case
+                # through)
                 raise ValueError(f"query {name!r} is already registered")
-            # same qualified function re-registering (importlib.reload,
-            # double import under different sys.path roots): refresh
-            # idempotently instead of exploding far from the cause
-            # (r7 ADVICE)
+            # same qualified function at the same source line
+            # re-registering (importlib.reload, double import under
+            # different sys.path roots): refresh idempotently instead
+            # of exploding far from the cause (r7 ADVICE)
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             headline=headline, tags=tags,

@@ -486,7 +486,78 @@ def test_memoized_count_caches_and_invalidates(spark, tmp_path):
     spark.createDataFrame([(i,) for i in range(7)], "id long").write.mode(
         "overwrite"
     ).parquet(p)
+    n_entries = len(_COUNT_MEMO)
     assert memoized_count(spark.read.parquet(p)) == 7
+    # the regeneration REPLACED the entry under its (app, hash) key —
+    # signature-in-key minted a dead entry per regeneration and the
+    # memo grew without bound (r8 ADVICE)
+    assert len(_COUNT_MEMO) == n_entries
+
+
+def test_memoized_count_matches_plan_under_cache_substitution(spark, tmp_path):
+    """r8 verdict #6 probe: once a frame is cached, a semantically
+    equal plan's inputFiles() returns [] (Spark substitutes the
+    cached relation), so the memo's input-file signature degrades to
+    None for DERIVED plans over the cached occupant. The invariant
+    that must hold anyway: memoized_count(df) == df.count() at every
+    step — including while a stale cache is being served (the count
+    must agree with what the PLAN computes, which IS the stale cache)
+    and after rotating_persist rotates the occupant on regeneration
+    (fresh file-backed signature → recount on the new data)."""
+    import time
+
+    from duckdb_retail_pipeline_spark.memo import memoized_count, rotating_persist
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(5)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    slot: list = []
+    occ = rotating_persist(spark.read.parquet(p), slot)
+    derived = occ.filter("id >= 0")
+    assert memoized_count(derived) == derived.count() == 5
+
+    time.sleep(0.01)
+    spark.createDataFrame([(i,) for i in range(7)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    # rotation evicts the stale occupant and persists the new frame
+    occ2 = rotating_persist(spark.read.parquet(p), slot)
+    derived2 = occ2.filter("id >= 0")
+    assert memoized_count(derived2) == derived2.count() == 7
+    slot.pop()[0].unpersist()
+
+
+def test_register_rejects_pasted_duplicate_same_module():
+    """A pasted duplicate definition of a same-named function in the
+    same module rebinds the name silently in Python; the registry
+    guard must catch it via the source line (r8 ADVICE — the
+    module/qualname-only compare waved it through), while the same
+    function re-registering from the same line (importlib.reload)
+    stays idempotent."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.queries.base import REGISTRY, register
+
+    name = "zz_test_paste_guard"
+    try:
+
+        @register(name, oracle=None)
+        def probe(spark, sf_dir):  # noqa: ANN001
+            return None
+
+        first = REGISTRY[name].fn
+        # same function object re-registering (reload semantics) is fine
+        register(name, oracle=None)(first)
+        assert REGISTRY[name].fn is first
+
+        with pytest.raises(ValueError, match="already registered"):
+
+            @register(name, oracle=None)
+            def probe(spark, sf_dir):  # noqa: ANN001, F811 — the paste case
+                return None
+    finally:
+        REGISTRY.pop(name, None)
 
 
 def test_inline_ivf_topk_does_not_leak_cache_entries(spark, sf_dir):
