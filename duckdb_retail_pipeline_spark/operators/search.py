@@ -27,7 +27,10 @@ from duckdb_retail_pipeline_spark.functions import text as T
 
 
 def positional_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_by_token: bool = False,
 ) -> DataFrame:
     """(token, doc_id, pos) — one row per token OCCURRENCE, pos
     1-based. The frame a deployment persists partitioned by token.
@@ -41,13 +44,27 @@ def positional_index(
     filter fuse into one whole-stage-codegen stage, so non-matching
     occurrences never leave the stage, let alone a shuffle (the same
     interpreted-HOF lesson as the r7 dot-kernel work, re-measured
-    here rather than assumed)."""
-    return (
+    here rather than assumed).
+
+    ``cluster_by_token=True`` is the SERVED-index layout: one shuffle
+    hash-partitions the postings by token and sorts within each
+    partition, so a persisted (or parquet-written) index stores each
+    token's posting list contiguously — cached-scan batch pruning
+    (min/max token stats per column batch) then skips everything but
+    the queried words' batches, the in-memory analogue of the
+    partitioned-by-token layout the deployment writes. Build pays the
+    one shuffle; every phrase query afterwards touches posting-list-
+    sized data (the x42/x89/x91 build/serve split, applied here per
+    the r8 verdict #2)."""
+    out = (
         docs.select(
             F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos0", "token")
         )
         .select("token", id_col, (F.col("pos0") + 1).cast("bigint").alias("pos"))
     )
+    if cluster_by_token:
+        out = out.repartition("token").sortWithinPartitions("token")
+    return out
 
 
 def phrase_search(

