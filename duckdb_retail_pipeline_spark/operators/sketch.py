@@ -1,0 +1,99 @@
+"""Bounded-memory frequent-items (heavy hitters): Misra-Gries
+candidates + exact recount.
+
+The two-pass pattern a 100 TB token-frequency query actually needs:
+a full ``groupBy(token)`` shuffles the ENTIRE vocabulary — fine until
+the heavy tail of near-unique tokens (URLs, ids, typos) dominates the
+shuffle and the aggregation hash tables spill. The classic fix
+(Misra/Gries 1982; the "Frequent" algorithm) summarizes each
+partition in O(capacity) memory, then a second pass recounts ONLY the
+surviving candidates exactly — the shuffle carries candidate rows,
+never the tail.
+
+Guarantee (why the top-k is provably exact, not approximate): a
+Misra-Gries summary of capacity m over n items undercounts any item
+by at most n/(m+1), so every token with partition-local count
+> n_p/(m+1) survives its partition's summary; a GLOBAL heavy hitter
+with total count > N/(m+1) must exceed the local threshold in at
+least one partition (pigeonhole) and therefore appears in the
+candidate union. Hence if the k-th exact candidate count exceeds
+N/(m+1), the candidate set provably contains every token of the true
+top-k and the recounted top-k IS the exact answer — the
+``heavy_bound_holds`` boolean the query ships computes exactly that
+inequality in-plan (the a05/x12 contract-frame idiom: an
+approximation-machinery regression flips a hashed bit).
+
+Scale shape: pass 1 is mapInPandas (Arrow batches; per-batch
+``value_counts`` is vectorized C, the MG dict touches only per-batch
+DISTINCT tokens, and each decrement event is one vectorized Series
+subtraction), emitting ≤ capacity rows per partition. Pass 2
+broadcasts the candidate union (≤ capacity × n_partitions rows, KBs)
+into a narrow filter + groupBy over candidates only. No full-vocab
+shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(
+    tokens: DataFrame, col: str = "token", capacity: int = 400
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a one-column token
+    frame; returns the distinct candidate union (one ``token``
+    column). Candidates are a SUPERSET of every token with global
+    frequency > N/(capacity+1) regardless of partitioning (module
+    docstring), so downstream exactness never depends on Spark's
+    partition boundaries."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf[col].value_counts(), fill_value=0)
+            if len(counters) > capacity:
+                # batched MG decrement: subtract the (capacity+1)-th
+                # largest count from ALL counters and drop the
+                # non-positive — each such event removes ≥ capacity+1
+                # units per subtracted count-unit, preserving the
+                # n_p/(capacity+1) undercount bound
+                delta = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > delta]
+        yield pd.DataFrame({"token": counters.index.astype(str)})
+
+    return tokens.mapInPandas(summarize, "token string").distinct()
+
+
+def frequent_tokens(
+    tokens: DataFrame,
+    k: int = 20,
+    capacity: int = 400,
+    col: str = "token",
+) -> DataFrame:
+    """Exact top-k most frequent tokens via MG candidates + recount:
+    (token, n_occurrences, heavy_bound_holds). ``heavy_bound_holds``
+    certifies in-plan that the k-th count clears the N/(capacity+1)
+    undercount bound — when TRUE the top-k is provably the exact
+    global answer (module docstring); raise ``capacity`` if it ever
+    reads FALSE on a corpus."""
+    cands = mg_candidates(tokens, col=col, capacity=capacity)
+    exact = (
+        tokens.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    topk = exact.orderBy(
+        F.col("n_occurrences").desc(), F.col(col).asc()
+    ).limit(k)
+    total = tokens.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    kth = topk.agg(F.min("n_occurrences").alias("kth"))
+    bound = kth.crossJoin(F.broadcast(total)).select(
+        (F.col("kth") * F.lit(capacity + 1) > F.col("n_total")).alias(
+            "heavy_bound_holds"
+        )
+    )
+    return topk.crossJoin(F.broadcast(bound))

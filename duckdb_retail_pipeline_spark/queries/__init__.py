@@ -56,10 +56,8 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # window are re-verified every round by the local full-registry
 # pytest oracle gate.
 _ROTATED_IN = [
-    # rule-1 placeholders: two r7-green headline queries hold these
-    # slots until this round's two new registrations (x92, x93) land
-    # with their driver rows — swapped in the registration commit
-    "x10_embedding_cosine_topk", "x65_rag_pipeline",
+    # never driver-green: this round's two new registrations
+    "x92_copurchase_pagerank", "x93_frequent_tokens",
 ]
 _GUARDS = [
     # r8→r9 diff guards

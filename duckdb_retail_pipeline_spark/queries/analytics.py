@@ -3061,3 +3061,118 @@ def x90_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist(),
     )
     return SR.phrase_search(idx, list(_X90_PHRASE))
+
+
+# ---------------------------------------------------------------- x92
+_X92_ITERS = 3
+_X92_TOPK = 20
+
+
+def _x92_oracle() -> str:
+    """Unrolled exact-integer PageRank CTE chain — the same fixed
+    iterations operators/graph.py builds, independently formulated
+    in ANSI SQL (integer division is `//`; all values positive, so
+    trunc ≡ floor in both engines)."""
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+        " FROM lineitem)",
+        "edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM items a"
+        " JOIN items b ON a.ok = b.ok AND a.pk <> b.pk)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, _X92_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS node,"
+            f" CAST(150000 + SUM((r.r * 85) // (100 * d.outdeg)) AS BIGINT)"
+            f" AS r FROM edges e"
+            f" JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f"""
+        SELECT f.node AS part, d.outdeg AS n_neighbors,
+               f.r AS pagerank_scaled
+        FROM r{_X92_ITERS} f JOIN deg d ON f.node = d.src
+        ORDER BY pagerank_scaled DESC, part ASC
+        LIMIT {_X92_TOPK}
+    """
+    )
+
+
+@register(
+    "x92_copurchase_pagerank",
+    oracle=_x92_oracle(),
+    doc="Fixed-iteration exact-integer PageRank over the part "
+    "co-purchase graph (operators/graph.py; Page/Brin/Motwani/"
+    "Winograd 1999) — the iterative graph-centrality operator next "
+    "to x26's connected components, and the computation a web-corpus "
+    "curation pipeline runs over a link graph to quality-weight "
+    "documents. Ranks are INTEGER floor-scaled rationals (the "
+    "x54/x66/x87 convention): fold-order-independent sums, so three "
+    "unrolled iterations are bit-identical to the oracle's CTE "
+    "chain. Shape: edges built once via the x66 order-keyed "
+    "self-join bound and persisted (one slot); each iteration is "
+    "one node-sized hash join + one groupBy(dst) with map-side "
+    "partials — the vertex-centric shape that scales to billions "
+    "of edges.",
+    tags=("graph", "retail", "iterative"),
+)
+def x92_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    edges = G.copurchase_edges(tbl(spark, sf_dir, "lineitem"))
+    pr = G.pagerank(edges, iters=_X92_ITERS)
+    return (
+        pr.select(
+            F.col("node").alias("part"),
+            F.col("outdeg").alias("n_neighbors"),
+            "pagerank_scaled",
+        )
+        .orderBy(F.col("pagerank_scaled").desc(), F.col("part").asc())
+        .limit(_X92_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- x93
+_X93_TOPK = 20
+_X93_CAPACITY = 400
+
+
+@register(
+    "x93_frequent_tokens",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT unnest({SQL_TOKS.format(x='text')}) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks GROUP BY token
+        )
+        SELECT token, n_occurrences, TRUE AS heavy_bound_holds
+        FROM counts
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT {_X93_TOPK}
+    """,
+    doc="Exact top-k frequent tokens in bounded memory "
+    "(operators/sketch.py; Misra/Gries 1982): per-partition "
+    "Misra-Gries summaries (mapInPandas, O(capacity) state, "
+    "vectorized batch merge) produce a candidate set that PROVABLY "
+    "contains every token with frequency > N/(capacity+1); a second "
+    "pass recounts only the broadcast candidates — the shuffle "
+    "carries candidate rows, never the near-unique vocabulary tail "
+    "that makes a full groupBy spill at 100 TB. heavy_bound_holds "
+    "certifies the exactness precondition in-plan (kth count × "
+    "(capacity+1) > N), the a05/x12 contract idiom — the oracle is "
+    "the plain full groupBy, so the two-pass machinery must "
+    "reproduce it hash-exactly.",
+    tags=("text", "sketch", "frequency"),
+)
+def x93_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    toks = tbl(spark, sf_dir, "documents").select(
+        F.explode(T.tokens("text")).alias("token")
+    )
+    return SK.frequent_tokens(toks, k=_X93_TOPK, capacity=_X93_CAPACITY)

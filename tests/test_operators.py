@@ -1082,3 +1082,83 @@ def test_rotating_persist_serves_aggregate_plans_across_passes(spark, tmp_path):
     first.count()  # materialize the cache — the substitution trigger
     assert rotating_persist(agg_plan(), slot) is first
     assert rotating_persist(agg_plan(), slot) is first
+
+
+def test_pagerank_exact_small_graph(spark):
+    """Hand-computed two-iteration PageRank on the symmetrized path
+    a-b-c: integer floor-scaled arithmetic must reproduce the exact
+    values (no float enters the ranking — the whole point of the
+    x92 convention)."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    G._EDGE_SLOT.clear()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["outdeg"], r["pagerank_scaled"])
+        for r in G.pagerank(edges, iters=2).collect()
+    }
+    # r1: a=150000+425000, b=150000+850000*2, c=a
+    # r2: a=150000+(1850000*85)//200, b=150000+2*((575000*85)//100), c=a
+    assert got == {
+        1: (1, 936250),
+        2: (2, 1127500),
+        3: (1, 936250),
+    }
+    G._EDGE_SLOT.clear()
+
+
+def test_pagerank_symmetric_clique_is_fixed_point(spark):
+    """On a symmetric clique every node's rank is a fixed point of
+    the damped update (mass in = mass out), so iterating must leave
+    the initial scale value unchanged — a mass-conservation check
+    over the integer arithmetic."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    G._EDGE_SLOT.clear()
+    nodes = range(1, 5)
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b], "src long, dst long"
+    )
+    got = {r["node"]: r["pagerank_scaled"] for r in G.pagerank(edges, iters=3).collect()}
+    # outdeg 3; contrib = (1e6*85)//300 = 283333; r' = 150000 + 3*283333
+    # = 999999; then contrib = (999999*85)//300 = 283333 again -> stable
+    assert set(got.values()) == {999999}
+    G._EDGE_SLOT.clear()
+
+
+def test_mg_candidates_superset_and_frequent_tokens_exact(spark):
+    """The Misra-Gries candidate union must contain every token with
+    global frequency > N/(capacity+1) regardless of partitioning,
+    and frequent_tokens must equal the plain full-groupBy top-k with
+    heavy_bound_holds TRUE on a skewed corpus."""
+    from pyspark.sql import functions as F
+
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    # skewed stream: token_i appears (50 - i) times, i in 0..39,
+    # plus a long near-unique tail
+    rows = [(f"t{i:02d}",) for i in range(40) for _ in range(50 - i)]
+    rows += [(f"tail{j}",) for j in range(800)]
+    toks = spark.createDataFrame(rows, "token string").repartition(7)
+
+    n_total = len(rows)
+    exact = {}
+    for t, in ((r["token"],) for r in toks.collect()):
+        exact[t] = exact.get(t, 0) + 1
+
+    # superset guarantee under a STRESS capacity (forces decrements)
+    capacity = 30
+    cands = {
+        r["token"] for r in SK.mg_candidates(toks, capacity=capacity).collect()
+    }
+    heavy = {t for t, c in exact.items() if c > n_total / (capacity + 1)}
+    assert heavy <= cands
+
+    # exactness + certified bound under an adequate capacity: the
+    # 10th count (41) must clear N/(capacity+1) = 2020/101 = 20
+    got = SK.frequent_tokens(toks, k=10, capacity=100).collect()
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["n_occurrences"]) for r in got] == want
+    assert all(r["heavy_bound_holds"] for r in got)

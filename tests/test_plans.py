@@ -271,3 +271,24 @@ def test_rrf_hybrid_joins_are_list_sized(spark, sf_dir):
     df = REGISTRY["x88_rrf_hybrid"].fn(spark, sf_dir)
     plan = X.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark, sf_dir):
+    """x92's three unrolled iterations must plan as hash equi-joins
+    (edges ⋈ node-sized ranks) — never a cartesian/nested-loop over
+    the edge frame."""
+    df = REGISTRY["x92_copurchase_pagerank"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_frequent_tokens_recount_broadcasts_candidates(spark, sf_dir):
+    """x93's second pass must join the token stream against the
+    BROADCAST candidate union (capacity-bounded, KBs) — the full
+    vocabulary must never shuffle; the only nested-loop joins are the
+    one-row contract-frame crossJoins."""
+    df = REGISTRY["x93_frequent_tokens"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert X.broadcast_join_count(df) >= 1, plan
