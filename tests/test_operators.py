@@ -1162,3 +1162,32 @@ def test_mg_candidates_superset_and_frequent_tokens_exact(spark):
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["token"], r["n_occurrences"]) for r in got] == want
     assert all(r["heavy_bound_holds"] for r in got)
+
+
+def test_dataset_memo_across_sessions_same_context(spark, tmp_path):
+    """r8 verdict #6 probe: two sessions over ONE SparkContext share
+    applicationId, so dataset_memo serves session A's persisted frame
+    to session B. That is SAFE — cached frames are context-scoped
+    (B can act on and even join the served frame), and a context
+    restart mints a new applicationId so nothing stale ever serves —
+    pinned here so a future key change cannot silently regress it."""
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(9)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    d = str(tmp_path)
+
+    a = dataset_memo(
+        spark, d, "xsession_probe", lambda: spark.read.parquet(p).persist()
+    )
+    assert a.count() == 9
+    s2 = spark.newSession()
+    b = dataset_memo(
+        s2, d, "xsession_probe", lambda: s2.read.parquet(p).persist()
+    )
+    assert b is a  # same appId + dataset + tag -> one shared build
+    own = s2.createDataFrame([(3,), (4,)], "id long")
+    assert b.join(own, "id").count() == 2  # usable inside session B
+    a.unpersist()
