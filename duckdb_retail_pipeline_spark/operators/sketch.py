@@ -73,13 +73,21 @@ def frequent_tokens(
     k: int = 20,
     capacity: int = 400,
     col: str = "token",
+    total: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k most frequent tokens via MG candidates + recount:
     (token, n_occurrences, heavy_bound_holds). ``heavy_bound_holds``
     certifies in-plan that the k-th count clears the N/(capacity+1)
     undercount bound — when TRUE the top-k is provably the exact
     global answer (module docstring); raise ``capacity`` if it ever
-    reads FALSE on a corpus."""
+    reads FALSE on a corpus.
+
+    ``total``: optional one-row (n_total bigint) frame. Callers that
+    can compute the stream length WITHOUT re-scanning the exploded
+    tokens should pass it — e.g. a doc-level SUM(size(tokens(text)))
+    is one column-pruned scan of the document table instead of a
+    third pass over N exploded rows (what x93 does); by default the
+    count runs over ``tokens`` itself."""
     cands = mg_candidates(tokens, col=col, capacity=capacity)
     exact = (
         tokens.join(F.broadcast(cands), col)
@@ -89,7 +97,8 @@ def frequent_tokens(
     topk = exact.orderBy(
         F.col("n_occurrences").desc(), F.col(col).asc()
     ).limit(k)
-    total = tokens.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    if total is None:
+        total = tokens.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     kth = topk.agg(F.min("n_occurrences").alias("kth"))
     bound = kth.crossJoin(F.broadcast(total)).select(
         (F.col("kth") * F.lit(capacity + 1) > F.col("n_total")).alias(

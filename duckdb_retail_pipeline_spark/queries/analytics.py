@@ -3170,9 +3170,21 @@ _X93_CAPACITY = 400
     tags=("text", "sketch", "frequency"),
 )
 def x93_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import dedup as D
     from duckdb_retail_pipeline_spark.operators import sketch as SK
 
-    toks = tbl(spark, sf_dir, "documents").select(
-        F.explode(T.tokens("text")).alias("token")
+    # _spread: the small-SF documents parquet is ONE split, which
+    # would serialize the MG pass and the recount onto one core
+    # (measured: warm 6.0 s at sf0.1 vs 3.6 s at 10× where the file
+    # splits naturally); the doc-level spread is the dedup-family
+    # convention — no-op cost at real scale
+    docs = D._spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    # stream length from ONE column-pruned doc-level scan — not a
+    # third pass over the exploded token rows
+    total = docs.agg(
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_total")
     )
-    return SK.frequent_tokens(toks, k=_X93_TOPK, capacity=_X93_CAPACITY)
+    return SK.frequent_tokens(
+        toks, k=_X93_TOPK, capacity=_X93_CAPACITY, total=total
+    )
