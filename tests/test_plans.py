@@ -292,3 +292,27 @@ def test_frequent_tokens_recount_broadcasts_candidates(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert X.broadcast_join_count(df) >= 1, plan
+
+
+def test_positional_index_on_disk_partition_prunes(spark, sf_dir, tmp_path):
+    """The x90 deployment layout: the positional index written ONCE
+    as parquet partitioned by token. A phrase probe over the on-disk
+    index must hit partition pruning (PartitionFilters on token), so
+    each query reads only its words' posting directories — the disk
+    twin of the memoized token-clustered cache the registered query
+    serves from."""
+    from duckdb_retail_pipeline_spark.operators import search as SR
+    from duckdb_retail_pipeline_spark.queries.base import tbl
+
+    docs = tbl(spark, sf_dir, "documents").limit(200)
+    p = str(tmp_path / "posidx")
+    SR.positional_index(docs).write.partitionBy("token").parquet(p)
+
+    idx = spark.read.parquet(p)
+    probe = SR.phrase_search(idx, ["slow", "join"])
+    plan = X.formatted_plan(probe)
+    assert "PartitionFilters: [" in plan, plan
+    # the token filter must appear as a partition filter, not a data
+    # filter over a full scan
+    seg = [s for s in plan.split("PartitionFilters: [")[1:] if "token" in s.split("]")[0]]
+    assert seg, plan
