@@ -1191,3 +1191,36 @@ def test_dataset_memo_across_sessions_same_context(spark, tmp_path):
     own = s2.createDataFrame([(3,), (4,)], "id long")
     assert b.join(own, "id").count() == 2  # usable inside session B
     a.unpersist()
+
+
+def test_rotating_persist_alternating_sessions_churns_but_stays_correct(
+    spark, tmp_path
+):
+    """Continuation of the r9 probe discipline: two sessions over one
+    context ALTERNATING through the same rotating_persist slot. The
+    session-identity check makes each switch rotate (the other
+    session's occupant is unpersisted and replaced) — a performance
+    footgun in multi-session deployments (documented; the bench and
+    driver are single-session) but NEVER a correctness one: the
+    superseded frame recomputes on access and both sessions always
+    see current data."""
+    from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(6)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    s2 = spark.newSession()
+    slot: list = []
+
+    a = rotating_persist(spark.read.parquet(p), slot)
+    assert a.count() == 6
+    b = rotating_persist(s2.read.parquet(p), slot)  # rotates: B's session
+    assert b is not a
+    assert b.count() == 6
+    # A's occupant was unpersisted by the rotation but stays CORRECT
+    assert a.count() == 6
+    # and switching back rotates again — same values
+    a2 = rotating_persist(spark.read.parquet(p), slot)
+    assert a2.count() == 6
+    slot.pop()[0].unpersist()
