@@ -1224,3 +1224,85 @@ def test_rotating_persist_alternating_sessions_churns_but_stays_correct(
     a2 = rotating_persist(spark.read.parquet(p), slot)
     assert a2.count() == 6
     slot.pop()[0].unpersist()
+
+
+def test_pagerank_matches_python_reference_property(spark):
+    """Property: the Spark exact-integer PageRank equals a pure-Python
+    reference (dict arithmetic, same floor convention) on random
+    symmetrized edge sets — iteration count drawn too, so the unroll
+    depth itself is exercised."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=1, max_value=8),
+                st.integers(min_value=1, max_value=8),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=16,
+        ),
+        st.integers(min_value=1, max_value=3),
+    )
+    def prop(raw_edges, iters):
+        edges = sorted({e for ab in raw_edges for e in (ab, ab[::-1])})
+        G._EDGE_SLOT.clear()
+        G._DEG_SLOT.clear()
+        sdf = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["pagerank_scaled"]
+            for r in G.pagerank(sdf, iters=iters).collect()
+        }
+        # pure-Python reference, same floor-scaled convention
+        outdeg: dict = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {n: 10**6 for n in outdeg}
+        for _ in range(iters):
+            nxt: dict = {}
+            for s, d in edges:
+                nxt[d] = nxt.get(d, 0) + (r[s] * 85) // (100 * outdeg[s])
+            r = {n: 150000 + v for n, v in nxt.items()}
+        assert got == r, (got, r)
+        G._EDGE_SLOT.clear()
+        G._DEG_SLOT.clear()
+
+    prop()
+
+
+def test_frequent_tokens_matches_counter_reference_property(spark):
+    """Property: when the heavy bound holds, frequent_tokens equals
+    the collections.Counter top-k (count desc, token asc) on random
+    skewed streams under random partitioning."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=30,
+            max_size=200,
+        ),
+        st.integers(min_value=2, max_value=6),
+    )
+    def prop(stream, nparts):
+        toks = spark.createDataFrame(
+            [(t,) for t in stream], "token string"
+        ).repartition(nparts)
+        got = SK.frequent_tokens(toks, k=5, capacity=50).collect()
+        # capacity 50 > 12 distinct tokens: no decrements, bound holds
+        # whenever kth*51 > N, which the 12-token vocab guarantees
+        # for streams of <= 200 tokens only if counts are high enough;
+        # assert the certified rows against the exact reference
+        want = sorted(Counter(stream).items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [(r["token"], r["n_occurrences"]) for r in got] == want
+        assert all(isinstance(r["heavy_bound_holds"], bool) for r in got)
+
+    prop()
