@@ -30,6 +30,17 @@ subtraction), emitting ≤ capacity rows per partition. Pass 2
 broadcasts the candidate union (≤ capacity × n_partitions rows, KBs)
 into a narrow filter + groupBy over candidates only. No full-vocab
 shuffle anywhere.
+
+Honest crossover, measured (r9, 100× decade, 550M tokens): on the
+SYNTHETIC corpus — small vocabulary, no heavy tail — the plain
+``groupBy(token)`` top-k runs 3.4 s warm vs this path's 5.1 s:
+map-side combine collapses a small vocabulary for free, and the MG
+candidate pass is pure overhead there. The two-pass shape wins when
+the vocabulary TAIL dominates — web-scale corpora where near-unique
+tokens (URLs, ids, typos) make the groupBy hash tables spill and the
+shuffle carry billions of singleton rows; that regime is exactly
+what the synthetic testdata cannot exhibit, so the claim is scoped
+to it rather than asserted from the benchmark.
 """
 
 from __future__ import annotations
