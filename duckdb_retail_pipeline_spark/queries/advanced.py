@@ -610,18 +610,23 @@ def a15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
     )
+    # ONE percentile buffer for all four fractions (array form): four
+    # scalar percentile() calls build four identical per-group
+    # count-map buffers and merge each through the shuffle — measured
+    # on x68 at the 100× decade, the array form was 3.9× faster on
+    # the aggregation (r9); values identical, same exact
+    # interpolation
     agg = base.groupBy("nation").agg(
-        F.percentile("bal_cents", F.lit(0.25)).alias("p25_c"),
-        F.percentile("bal_cents", F.lit(0.5)).alias("med_c"),
-        F.percentile("bal_cents", F.lit(0.75)).alias("p75_c"),
-        F.percentile("bal_cents", F.lit(0.9)).alias("p90_c"),
+        F.percentile(
+            "bal_cents", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)])
+        ).alias("pcts"),
     )
     return agg.select(
         "nation",
-        dround(F.col("p25_c") / 100.0, 6).alias("p25"),
-        dround(F.col("med_c") / 100.0, 6).alias("median"),
-        dround(F.col("p75_c") / 100.0, 6).alias("p75"),
-        dround(F.col("p90_c") / 100.0, 6).alias("p90"),
+        dround(F.col("pcts")[0] / 100.0, 6).alias("p25"),
+        dround(F.col("pcts")[1] / 100.0, 6).alias("median"),
+        dround(F.col("pcts")[2] / 100.0, 6).alias("p75"),
+        dround(F.col("pcts")[3] / 100.0, 6).alias("p90"),
     )
 
 

@@ -1635,12 +1635,29 @@ def x68_supplier_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", F.datediff("ship", "ordered").alias("days")
     )
     late = F.when(F.col("days") > 30, 1).otherwise(0)
-    return lat.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
-        F.percentile(F.col("days"), F.lit(0.5)).alias("p50_days"),
-        F.percentile(F.col("days"), F.lit(0.75)).alias("p75_days"),
-        F.max("days").cast("bigint").alias("max_days"),
-        floor_ratio(F.sum(late), F.count(F.lit(1)), 4).alias("late_frac"),
+    # ONE percentile buffer for both fractions (array form): two
+    # scalar percentile() calls build two identical per-group
+    # count-map buffers and merge both through the shuffle — the
+    # array form halves the aggregation-buffer work (r9; values
+    # identical, same exact-interpolation algorithm)
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.percentile(
+                F.col("days"), F.array(F.lit(0.5), F.lit(0.75))
+            ).alias("pcts"),
+            F.max("days").cast("bigint").alias("max_days"),
+            floor_ratio(F.sum(late), F.count(F.lit(1)), 4).alias("late_frac"),
+        )
+        .select(
+            "l_suppkey",
+            "n_items",
+            F.col("pcts")[0].alias("p50_days"),
+            F.col("pcts")[1].alias("p75_days"),
+            "max_days",
+            "late_frac",
+        )
     )
 
 
