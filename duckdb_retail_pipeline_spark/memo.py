@@ -14,6 +14,14 @@ result; the superseded entry's DataFrames are unpersisted so cached
 blocks don't pin executor memory for the application's lifetime.
 Driver testdata is read-only, so in normal rounds the mtime probe is
 one os.scandir per call and never invalidates.
+
+At-scale note: every memo/persist staleness probe here is O(backing
+files) driver-side stats per call. Fine at thousands of part files
+(one scandir / restat burst, milliseconds); a deployment with
+hundreds of thousands of parts swaps the per-file signature for a
+table-format snapshot/version id (Delta/Iceberg metadata gives the
+same regeneration-invalidation for O(1) probes) — same contract,
+cheaper witness.
 """
 
 from __future__ import annotations

@@ -434,3 +434,39 @@ def test_streaming_upsert_rejects_glob_metachar_dest(spark, sf_dir, tmp_path):
         SE.stream_upsert_daily_totals(
             spark, sf_dir, str(tmp_path / "out[1]")
         )
+
+
+def test_phrase_search_memo_rebuilds_on_dataset_regeneration(spark, sf_dir, tmp_path):
+    """End-to-end invalidation through a REGISTERED memoized query:
+    x90 serves from a dataset-memoized persisted index; regenerating
+    the dataset's documents parquet IN-SESSION under the same path
+    must rebuild the index and serve the new corpus — never the stale
+    cache (the dataset_memo mtime-signature contract, exercised here
+    on the real query rather than a synthetic memo probe)."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    for t in ("documents",):
+        shutil.copy(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    first = REGISTRY["x90_phrase_search"].fn(spark, str(d)).count()
+    assert first > 0
+
+    time.sleep(0.01)  # distinct mtime_ns on coarse filesystems
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["slow join slow join", "nothing here"]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = REGISTRY["x90_phrase_search"].fn(spark, str(d)).collect()
+    got = {r["doc_id"]: r["n_occurrences"] for r in rows}
+    assert got == {1: 2}  # the regenerated corpus, not the stale index
