@@ -379,7 +379,18 @@ def stream_upsert_daily_totals(
             )
             if fs.exists(dst):
                 fs.delete(dst, True)
-            fs.rename(src, dst)
+            # Hadoop rename reports failure by RETURNING false, not
+            # raising — unchecked, a failed move would fall through to
+            # the staging delete below and lose the run's partials
+            # while stale prior batches survive (r9 review). Staging
+            # lives UNDER dest_path so same-filesystem rename is the
+            # norm; if it ever fails, fail LOUDLY with both paths.
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"streaming upsert commit: rename {src} -> {dst} "
+                    "failed; staged partials left in place for "
+                    "inspection (dest may hold a partial swap)"
+                )
         for path in stale_paths:
             if int(path.getName().split("=", 1)[1]) not in written_ids:
                 fs.delete(path, True)
