@@ -393,7 +393,18 @@ def stream_upsert_daily_totals(
                 )
         for path in stale_paths:
             if int(path.getName().split("=", 1)[1]) not in written_ids:
-                fs.delete(path, True)
+                # delete() also reports failure by returning false; a
+                # surviving stale batch re-aggregates into the final
+                # result as silent double counting — the one cleanup
+                # here that is correctness-relevant, so it must raise
+                # (the staging sweeps below/above are benign: dot-dirs
+                # are invisible to the batch=* reader)
+                if not fs.delete(path, True) and fs.exists(path):
+                    raise IOError(
+                        f"streaming upsert commit: could not retire "
+                        f"stale partial {path}; reading dest now "
+                        "would double-count"
+                    )
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(write_root), True
         )
