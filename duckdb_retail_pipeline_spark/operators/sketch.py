@@ -52,31 +52,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_candidates(
-    tokens: DataFrame, col: str = "token", capacity: int = 400
-) -> DataFrame:
-    """Per-partition Misra-Gries summaries over a one-column token
-    frame; returns the distinct candidate union (one ``token``
-    column). Candidates are a SUPERSET of every token with global
-    frequency > N/(capacity+1) regardless of partitioning (module
-    docstring), so downstream exactness never depends on Spark's
-    partition boundaries."""
+def _make_mg_summarize(col: str, capacity: int):
+    """Build one partition's Misra-Gries pass as a CLOSURE: nested
+    functions pickle BY VALUE (code + cells), which is what lets the
+    pass run on executors that cannot import this package (the repo
+    is driver-side only; a module-level function pickles by
+    reference and the worker's unpickle raises
+    ModuleNotFoundError — hit when this was briefly refactored to a
+    module function in r9). The factory also gives the unit tests a
+    direct handle on the decrement semantics with hand-built batch
+    sequences (Arrow batch boundaries cannot be controlled finely
+    enough through mapInPandas for the adversarial cases)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters = pd.Series(dtype="int64")
         for pdf in batches:
             counters = counters.add(pdf[col].value_counts(), fill_value=0)
             if len(counters) > capacity:
-                # batched MG decrement: subtract the (capacity+1)-th
+                # batched MG decrement: SUBTRACT the (capacity+1)-th
                 # largest count from ALL counters and drop the
                 # non-positive — each such event removes ≥ capacity+1
                 # units per subtracted count-unit, preserving the
-                # n_p/(capacity+1) undercount bound
+                # n_p/(capacity+1) undercount bound. The subtraction
+                # is load-bearing (r9 review found the original code
+                # FILTERING without subtracting: dominant counters
+                # never depleted, so a token arriving across many
+                # batches could be re-dropped with unbounded total
+                # loss — the superset guarantee and the exactness
+                # certificate were both unsound;
+                # tests/test_operators.py pins the reviewer's
+                # counterexample)
                 delta = counters.nlargest(capacity + 1).iloc[-1]
-                counters = counters[counters > delta]
-        yield pd.DataFrame({"token": counters.index.astype(str)})
+                counters = counters - delta
+                counters = counters[counters > 0]
+        yield pd.DataFrame({col: counters.index.astype(str)})
 
-    return tokens.mapInPandas(summarize, "token string").distinct()
+    return summarize
+
+
+def _mg_summarize(
+    batches: Iterator[pd.DataFrame], col: str, capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Test-facing convenience over the closure factory."""
+    return _make_mg_summarize(col, capacity)(batches)
+
+
+def mg_candidates(
+    tokens: DataFrame, col: str = "token", capacity: int = 400
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a one-column token
+    frame; returns the distinct candidate union (one ``col``
+    column). Candidates are a SUPERSET of every token with global
+    frequency > N/(capacity+1) regardless of partitioning (module
+    docstring), so downstream exactness never depends on Spark's
+    partition boundaries."""
+    return tokens.mapInPandas(
+        _make_mg_summarize(col, capacity), f"{col} string"
+    ).distinct()
 
 
 def frequent_tokens(

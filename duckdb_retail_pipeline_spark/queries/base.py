@@ -67,29 +67,37 @@ def register(
         if name in REGISTRY:
             prev = REGISTRY[name].fn
 
-            def _lineno(f):  # None for non-plain callables
-                return getattr(getattr(f, "__code__", None), "co_firstlineno", None)
+            def _token(f):
+                # per-module-execution nonce (each query module binds
+                # a fresh ``_EXEC_TOKEN = object()`` at its top): a
+                # PASTED duplicate registers twice within ONE module
+                # execution (same token), while importlib.reload
+                # re-executes the module top first and mints a NEW
+                # token before any re-registration fires. This is the
+                # only reliable discriminator — the r9 review showed
+                # the earlier co_firstlineno compare re-broke the r7
+                # reload-idempotence fix (any edit shifting lines
+                # above a query made reload raise), while qualname
+                # alone waved the paste case through (r8 ADVICE).
+                return getattr(f, "__globals__", {}).get("_EXEC_TOKEN")
 
+            same_execution = (
+                _token(prev) is not None and _token(prev) is _token(fn)
+            )
             if (
                 getattr(prev, "__module__", None) != fn.__module__
                 or getattr(prev, "__qualname__", None) != fn.__qualname__
-                or _lineno(prev) != _lineno(fn)
+                or (same_execution and prev is not fn)
             ):
                 # a silent overwrite would DROP the shadowed query
                 # from the driver's correctness gate with no signal
-                # anywhere — fail at import time instead. The source
-                # line is part of the identity: a PASTED duplicate
-                # definition of the same-named function in the same
-                # module rebinds the name silently in Python but lives
-                # at a different line, while an importlib.reload
-                # re-executes the same source line (r8 ADVICE — the
-                # module/qualname-only compare waved the paste case
-                # through)
+                # anywhere — fail at import time instead
                 raise ValueError(f"query {name!r} is already registered")
-            # same qualified function at the same source line
-            # re-registering (importlib.reload, double import under
-            # different sys.path roots): refresh idempotently instead
-            # of exploding far from the cause (r7 ADVICE)
+            # same qualified function re-registering from a NEW module
+            # execution (importlib.reload, double import under
+            # different sys.path roots) or the same object re-passed:
+            # refresh idempotently instead of exploding far from the
+            # cause (r7 ADVICE)
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             headline=headline, tags=tags,

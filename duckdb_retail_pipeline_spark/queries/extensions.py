@@ -19,6 +19,12 @@ Oracle-design notes:
 
 from __future__ import annotations
 
+# per-module-execution nonce for the registry's paste-vs-reload
+# discrimination (queries/base.py register): reload re-executes this
+# line and mints a new token; a pasted duplicate registers under the
+# same one
+_EXEC_TOKEN = object()
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -11,6 +11,12 @@ every layer's full contents against the Spark build.
 
 from __future__ import annotations
 
+# per-module-execution nonce for the registry's paste-vs-reload
+# discrimination (queries/base.py register): reload re-executes this
+# line and mints a new token; a pasted duplicate registers under the
+# same one
+_EXEC_TOKEN = object()
+
 from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_retail_pipeline_spark.pipeline.run import build_layers

@@ -528,34 +528,42 @@ def test_memoized_count_matches_plan_under_cache_substitution(spark, tmp_path):
     slot.pop()[0].unpersist()
 
 
-def test_register_rejects_pasted_duplicate_same_module():
-    """A pasted duplicate definition of a same-named function in the
-    same module rebinds the name silently in Python; the registry
-    guard must catch it via the source line (r8 ADVICE — the
-    module/qualname-only compare waved it through), while the same
-    function re-registering from the same line (importlib.reload)
-    stays idempotent."""
+def test_register_paste_vs_reload_discrimination():
+    """A pasted duplicate registers twice within ONE module execution
+    (same _EXEC_TOKEN) — must raise; an importlib.reload re-executes
+    the module top first and mints a NEW token, so re-registration
+    after a reload (even with the definition moved to a different
+    line, the edit-reload workflow) stays idempotent. The r9 review
+    showed a source-line compare cannot make this distinction — any
+    edit shifting lines above a query re-broke the r7 reload fix."""
     import pytest
 
     from duckdb_retail_pipeline_spark.queries.base import REGISTRY, register
 
     name = "zz_test_paste_guard"
+    src_v1 = "def probe(spark, sf_dir):\n    return None\n"
+    src_v2 = "# an edit shifting every line below it\n\n" + src_v1
     try:
+        ns = {"_EXEC_TOKEN": object(), "__name__": "zz_fake_queries_mod"}
+        exec(src_v1, ns)
+        first = ns["probe"]
+        register(name, oracle=None)(first)
 
-        @register(name, oracle=None)
-        def probe(spark, sf_dir):  # noqa: ANN001
-            return None
-
-        first = REGISTRY[name].fn
-        # same function object re-registering (reload semantics) is fine
+        # same function object re-registering is always fine
         register(name, oracle=None)(first)
         assert REGISTRY[name].fn is first
 
+        # PASTE: a second same-named definition in the SAME execution
+        exec(src_v1, ns)
         with pytest.raises(ValueError, match="already registered"):
+            register(name, oracle=None)(ns["probe"])
 
-            @register(name, oracle=None)
-            def probe(spark, sf_dir):  # noqa: ANN001, F811 — the paste case
-                return None
+        # RELOAD: new module execution (fresh token), definition at a
+        # DIFFERENT source line — idempotent refresh, never a raise
+        ns2 = {"_EXEC_TOKEN": object(), "__name__": "zz_fake_queries_mod"}
+        exec(src_v2, ns2)
+        register(name, oracle=None)(ns2["probe"])
+        assert REGISTRY[name].fn is ns2["probe"]
     finally:
         REGISTRY.pop(name, None)
 
@@ -1084,6 +1092,21 @@ def test_rotating_persist_serves_aggregate_plans_across_passes(spark, tmp_path):
     assert rotating_persist(agg_plan(), slot) is first
 
 
+def _drain_graph_slots():
+    """Release the pagerank operators' persisted occupants — a bare
+    .clear() drops the handle while the frame stays pinned in the
+    shared session's SQL cache (r9 review), the exact leak class
+    rotating_persist exists to prevent."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    for slot in (G._EDGE_SLOT, G._DEG_SLOT):
+        while slot:
+            try:
+                slot.pop()[0].unpersist()
+            except Exception:
+                pass
+
+
 def test_pagerank_exact_small_graph(spark):
     """Hand-computed two-iteration PageRank on the symmetrized path
     a-b-c: integer floor-scaled arithmetic must reproduce the exact
@@ -1091,7 +1114,7 @@ def test_pagerank_exact_small_graph(spark):
     x92 convention)."""
     from duckdb_retail_pipeline_spark.operators import graph as G
 
-    G._EDGE_SLOT.clear()
+    _drain_graph_slots()
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
     )
@@ -1106,7 +1129,7 @@ def test_pagerank_exact_small_graph(spark):
         2: (2, 1127500),
         3: (1, 936250),
     }
-    G._EDGE_SLOT.clear()
+    _drain_graph_slots()
 
 
 def test_pagerank_symmetric_clique_is_fixed_point(spark):
@@ -1116,7 +1139,7 @@ def test_pagerank_symmetric_clique_is_fixed_point(spark):
     over the integer arithmetic."""
     from duckdb_retail_pipeline_spark.operators import graph as G
 
-    G._EDGE_SLOT.clear()
+    _drain_graph_slots()
     nodes = range(1, 5)
     edges = spark.createDataFrame(
         [(a, b) for a in nodes for b in nodes if a != b], "src long, dst long"
@@ -1125,7 +1148,7 @@ def test_pagerank_symmetric_clique_is_fixed_point(spark):
     # outdeg 3; contrib = (1e6*85)//300 = 283333; r' = 150000 + 3*283333
     # = 999999; then contrib = (999999*85)//300 = 283333 again -> stable
     assert set(got.values()) == {999999}
-    G._EDGE_SLOT.clear()
+    _drain_graph_slots()
 
 
 def test_mg_candidates_superset_and_frequent_tokens_exact(spark):
@@ -1249,8 +1272,7 @@ def test_pagerank_matches_python_reference_property(spark):
     )
     def prop(raw_edges, iters):
         edges = sorted({e for ab in raw_edges for e in (ab, ab[::-1])})
-        G._EDGE_SLOT.clear()
-        G._DEG_SLOT.clear()
+        _drain_graph_slots()
         sdf = spark.createDataFrame(edges, "src long, dst long")
         got = {
             r["node"]: r["pagerank_scaled"]
@@ -1267,8 +1289,7 @@ def test_pagerank_matches_python_reference_property(spark):
                 nxt[d] = nxt.get(d, 0) + (r[s] * 85) // (100 * outdeg[s])
             r = {n: 150000 + v for n, v in nxt.items()}
         assert got == r, (got, r)
-        G._EDGE_SLOT.clear()
-        G._DEG_SLOT.clear()
+        _drain_graph_slots()
 
     prop()
 
@@ -1306,3 +1327,42 @@ def test_frequent_tokens_matches_counter_reference_property(spark):
         assert all(isinstance(r["heavy_bound_holds"], bool) for r in got)
 
     prop()
+
+
+def test_mg_decrement_subtracts_counterexample():
+    """r9 review finding: the batched MG decrement must SUBTRACT the
+    (capacity+1)-th largest count, not merely filter by it. Without
+    the subtraction, dominant counters never deplete and a heavy
+    token arriving across batches is re-dropped with unbounded loss —
+    the reviewer's counterexample: capacity=3, batches
+    [A*52,B*52,C*52], [t*51], [t*51], [A*48]; true counts t=102,
+    A=100, N=306 and 100*(3+1)=400 > 306, so heavy_bound_holds would
+    have CERTIFIED the wrong top-1 (A) as provably exact while the
+    true top-1 is t. Correct MG keeps t in the candidates."""
+    import pandas as pd
+
+    from duckdb_retail_pipeline_spark.operators.sketch import _mg_summarize
+
+    batches = [
+        pd.DataFrame({"token": ["A"] * 52 + ["B"] * 52 + ["C"] * 52}),
+        pd.DataFrame({"token": ["t"] * 51}),
+        pd.DataFrame({"token": ["t"] * 51}),
+        pd.DataFrame({"token": ["A"] * 48}),
+    ]
+    out = next(_mg_summarize(iter(batches), "token", capacity=3))
+    cands = set(out["token"])
+    # every token with count > N/(capacity+1) = 76.5 must survive
+    assert "t" in cands, cands
+    assert "A" in cands, cands
+
+
+def test_mg_candidates_and_frequent_tokens_custom_column(spark):
+    """r9 review finding: the col parameter must thread through to
+    the candidate frame's schema — a non-default column name used to
+    crash the recount join with AnalysisException."""
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    rows = [(w,) for w in ["x"] * 9 + ["y"] * 5 + ["z"] * 2]
+    toks = spark.createDataFrame(rows, "word string").repartition(3)
+    got = SK.frequent_tokens(toks, k=2, capacity=10, col="word").collect()
+    assert [(r["word"], r["n_occurrences"]) for r in got] == [("x", 9), ("y", 5)]
