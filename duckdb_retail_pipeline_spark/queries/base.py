@@ -51,6 +51,14 @@ class QuerySpec:
     doc: str = ""
     headline: bool = False  # included in bench.py
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # _EXEC_TOKEN snapshot taken AT REGISTRATION TIME (see register):
+    # the paste-vs-reload discriminator must compare against this
+    # snapshot, never a live read through fn.__globals__ — reload
+    # re-executes the module in the SAME dict, so after a reload a
+    # live read resolves to the freshly minted token for BOTH the old
+    # and the new function and every real reload would raise (r9
+    # ADVICE, verified with importlib.reload in test_operators.py)
+    exec_token: object | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -64,25 +72,38 @@ def register(
     tags: tuple[str, ...] = (),
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
+        # per-module-execution nonce (each query module binds a fresh
+        # ``_EXEC_TOKEN = object()`` at its top): a PASTED duplicate
+        # registers twice within ONE module execution (same token),
+        # while importlib.reload re-executes the module top first and
+        # mints a NEW token before any re-registration fires. The
+        # compare must be snapshot-vs-current, NOT live-vs-live:
+        # reload re-executes into the SAME module dict, so a live read
+        # through prev.__globals__ resolves to the fresh token for
+        # both functions and every real reload would raise (r9
+        # ADVICE). The r9 review also showed a co_firstlineno compare
+        # re-broke the r7 reload-idempotence fix (any edit shifting
+        # lines above a query made reload raise), while qualname alone
+        # waved the paste case through (r8 ADVICE).
+        cur_token = getattr(fn, "__globals__", {}).get("_EXEC_TOKEN")
+        if cur_token is None and (fn.__module__ or "").startswith(
+            "duckdb_retail_pipeline_spark.queries"
+        ):
+            # without the nonce a same-qualname pasted (possibly
+            # edited) duplicate silently overwrites its predecessor —
+            # the exact silent-shadow failure this guard exists to
+            # prevent; fail at import time, at the module that forgot
+            # the binding (r9 ADVICE)
+            raise RuntimeError(
+                f"query module {fn.__module__} must bind a module-level "
+                "_EXEC_TOKEN = object() nonce (paste-duplicate guard)"
+            )
         if name in REGISTRY:
-            prev = REGISTRY[name].fn
-
-            def _token(f):
-                # per-module-execution nonce (each query module binds
-                # a fresh ``_EXEC_TOKEN = object()`` at its top): a
-                # PASTED duplicate registers twice within ONE module
-                # execution (same token), while importlib.reload
-                # re-executes the module top first and mints a NEW
-                # token before any re-registration fires. This is the
-                # only reliable discriminator — the r9 review showed
-                # the earlier co_firstlineno compare re-broke the r7
-                # reload-idempotence fix (any edit shifting lines
-                # above a query made reload raise), while qualname
-                # alone waved the paste case through (r8 ADVICE).
-                return getattr(f, "__globals__", {}).get("_EXEC_TOKEN")
-
+            prev_spec = REGISTRY[name]
+            prev = prev_spec.fn
             same_execution = (
-                _token(prev) is not None and _token(prev) is _token(fn)
+                prev_spec.exec_token is not None
+                and prev_spec.exec_token is cur_token
             )
             if (
                 getattr(prev, "__module__", None) != fn.__module__
@@ -100,7 +121,7 @@ def register(
             # cause (r7 ADVICE)
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
-            headline=headline, tags=tags,
+            headline=headline, tags=tags, exec_token=cur_token,
         )
         return fn
 

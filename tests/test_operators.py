@@ -568,6 +568,56 @@ def test_register_paste_vs_reload_discrimination():
         REGISTRY.pop(name, None)
 
 
+def test_register_survives_real_importlib_reload(tmp_path):
+    """importlib.reload re-executes the module in the SAME module
+    dict — so after the reload, a live read of _EXEC_TOKEN through
+    the OLD function's __globals__ resolves to the NEW token. The
+    r9 ADVICE showed the live-vs-live compare therefore classified
+    every real reload as a paste and raised; the snapshot-at-
+    registration compare (QuerySpec.exec_token) must stay idempotent
+    under reload's shared-dict semantics, which the fresh-exec
+    simulation above cannot exercise."""
+    import importlib
+    import importlib.util
+    import sys
+
+    from duckdb_retail_pipeline_spark.queries.base import REGISTRY, register  # noqa: F401
+
+    name = "zz_test_reload_guard"
+    mod_name = "zz_reload_probe_mod"
+    src = (
+        "from duckdb_retail_pipeline_spark.queries.base import register\n"
+        "_EXEC_TOKEN = object()\n"
+        f"@register({name!r}, oracle=None)\n"
+        "def probe(spark, sf_dir):\n"
+        "    return None\n"
+    )
+    path = tmp_path / f"{mod_name}.py"
+    path.write_text(src)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module(mod_name)
+        first = REGISTRY[name].fn
+        reloaded = importlib.reload(mod)  # must NOT raise
+        assert REGISTRY[name].fn is reloaded.probe
+        assert REGISTRY[name].fn is not first
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop(mod_name, None)
+        REGISTRY.pop(name, None)
+
+
+def test_every_registered_query_carries_exec_token():
+    """A query module that omits the _EXEC_TOKEN nonce loses paste-
+    duplicate detection silently (r9 ADVICE): register() now raises
+    at import time for queries-package modules, and this asserts the
+    whole live registry carries the snapshot."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+
+    missing = [n for n, s in REGISTRY.items() if s.exec_token is None]
+    assert missing == []
+
+
 def test_inline_ivf_topk_does_not_leak_cache_entries(spark, sf_dir):
     """ivf_topk with index=None is the one-shot path: repeated calls
     must not pin per-call corpus-sized SQL-cache entries (only an
