@@ -31,6 +31,14 @@ broadcasts the candidate union (≤ capacity × n_partitions rows, KBs)
 into a narrow filter + groupBy over candidates only. No full-vocab
 shuffle anywhere.
 
+Per-batch memory is O(batch distinct tokens), NOT O(capacity): the
+decrement fires once per Arrow batch, AFTER the full per-batch
+``value_counts`` merges into the summary — so the transient peak is
+the batch's distinct-token count plus capacity, shrinking back to
+≤ capacity between batches. Arrow-sized batches (the default
+~10k rows) keep that peak trivially small; do not set a tiny
+capacity expecting it to bound the per-batch peak.
+
 Honest crossover, measured (r9, 100× decade, 550M tokens): on the
 SYNTHETIC corpus — small vocabulary, no heavy tail — the plain
 ``groupBy(token)`` top-k runs 3.4 s warm vs this path's 5.1 s:
@@ -120,10 +128,14 @@ def frequent_tokens(
 ) -> DataFrame:
     """Exact top-k most frequent tokens via MG candidates + recount:
     (token, n_occurrences, heavy_bound_holds). ``heavy_bound_holds``
-    certifies in-plan that the k-th count clears the N/(capacity+1)
-    undercount bound — when TRUE the top-k is provably the exact
-    global answer (module docstring); raise ``capacity`` if it ever
-    reads FALSE on a corpus.
+    certifies in-plan that the result is provably the exact global
+    top-k: the candidate recount returned a FULL k rows AND the k-th
+    count clears the N/(capacity+1) undercount bound (module
+    docstring). A short result (candidate union < k tokens) can never
+    read certified — positions |candidates|+1..k would be silently
+    absent — and an empty result certifies FALSE, not NULL (both
+    r9-ADVICE holes). When it reads FALSE, raise ``capacity`` or use
+    :func:`frequent_tokens_exact`, which escalates automatically.
 
     ``total``: optional one-row (n_total bigint) frame. Callers that
     can compute the stream length WITHOUT re-scanning the exploded
@@ -142,10 +154,65 @@ def frequent_tokens(
     ).limit(k)
     if total is None:
         total = tokens.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    kth = topk.agg(F.min("n_occurrences").alias("kth"))
+    kth = topk.agg(
+        F.min("n_occurrences").alias("kth"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
     bound = kth.crossJoin(F.broadcast(total)).select(
-        (F.col("kth") * F.lit(capacity + 1) > F.col("n_total")).alias(
-            "heavy_bound_holds"
-        )
+        (
+            (F.col("n_rows") == F.lit(k))
+            & F.coalesce(
+                F.col("kth") * F.lit(capacity + 1) > F.col("n_total"),
+                F.lit(False),
+            )
+        ).alias("heavy_bound_holds")
     )
     return topk.crossJoin(F.broadcast(bound))
+
+
+def exact_topk_tokens(tokens: DataFrame, k: int, col: str = "token") -> DataFrame:
+    """The plain full-vocabulary groupBy top-k — the shape the MG
+    path exists to avoid at scale, kept as the unconditional-exact
+    fallback. Same schema as :func:`frequent_tokens`
+    (heavy_bound_holds is TRUE: the result IS exact by
+    construction)."""
+    return (
+        tokens.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col(col).asc())
+        .limit(k)
+        .withColumn("heavy_bound_holds", F.lit(True))
+    )
+
+
+def frequent_tokens_exact(
+    tokens: DataFrame,
+    k: int = 20,
+    capacity: int = 400,
+    col: str = "token",
+    total: DataFrame | None = None,
+    max_doublings: int = 2,
+) -> DataFrame:
+    """:func:`frequent_tokens` with auto-escalation: when the
+    exactness certificate reads FALSE, retry with doubled capacity
+    (``max_doublings`` bounded), then fall back to
+    :func:`exact_topk_tokens` — callers get the exact answer
+    UNCONDITIONALLY, with the bounded-memory two-pass shape as the
+    optimization (r9 verdict #3: a real pipeline never wants a
+    possibly-inexact top-k plus a FALSE flag).
+
+    Driver-side control flow on a one-value aggregate: each attempt
+    evaluates the certificate (one corpus pass); the returned frame
+    re-runs its plan when the caller acts on it. On a corpus where
+    the first capacity certifies — the common case — that is one
+    probe pass, the price of the unconditional-exactness contract."""
+    cap = capacity
+    for _ in range(max_doublings + 1):
+        res = frequent_tokens(tokens, k=k, capacity=cap, col=col, total=total)
+        ok = res.agg(
+            F.min(F.col("heavy_bound_holds").cast("int")).alias("ok")
+        ).first()["ok"]
+        if ok == 1:
+            return res
+        cap *= 2
+    return exact_topk_tokens(tokens, k, col=col)

@@ -1149,7 +1149,7 @@ def _drain_graph_slots():
     rotating_persist exists to prevent."""
     from duckdb_retail_pipeline_spark.operators import graph as G
 
-    for slot in (G._EDGE_SLOT, G._DEG_SLOT):
+    for slot in (G._EDGE_SLOT, G._DEG_SLOT, G._NODE_SLOT):
         while slot:
             try:
                 slot.pop()[0].unpersist()
@@ -1198,6 +1198,158 @@ def test_pagerank_symmetric_clique_is_fixed_point(spark):
     # outdeg 3; contrib = (1e6*85)//300 = 283333; r' = 150000 + 3*283333
     # = 999999; then contrib = (999999*85)//300 = 283333 again -> stable
     assert set(got.values()) == {999999}
+    _drain_graph_slots()
+
+
+def test_copurchase_edges_mega_basket_bounded(spark):
+    """r9 verdict #2: the per-basket quadratic self-join is capped —
+    one pathological order with 500 distinct parts must contribute at
+    most max_basket·(max_basket−1) edges (bounded BEFORE the join,
+    not filtered after), the kept subset must be deterministic across
+    runs, and baskets under the cap must be untouched."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    rows = [(1, p) for p in range(500)] + [(2, 900), (2, 901), (2, 902)]
+    li = spark.createDataFrame(
+        [(ok, pk, 1.0) for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    ).repartition(4)
+
+    capped = G.copurchase_edges(li, max_basket=16).collect()
+    mega = [(r["src"], r["dst"]) for r in capped if r["src"] < 900]
+    small = {(r["src"], r["dst"]) for r in capped if r["src"] >= 900}
+    assert len(mega) == 16 * 15  # exactly the capped clique
+    assert small == {
+        (a, b) for a in (900, 901, 902) for b in (900, 901, 902) if a != b
+    }
+    # deterministic: a re-run under a different partitioning keeps
+    # the SAME hash-selected subset
+    again = {
+        (r["src"], r["dst"])
+        for r in G.copurchase_edges(li.repartition(9), max_basket=16).collect()
+        if r["src"] < 900
+    }
+    assert set(mega) == again
+
+    # default cap (64) sits above real basket sizes: on a ≤7-part
+    # corpus shape the capped and uncapped graphs are identical
+    li_small = li.filter("l_orderkey = 2")
+    got_default = {
+        (r["src"], r["dst"]) for r in G.copurchase_edges(li_small).collect()
+    }
+    got_uncapped = {
+        (r["src"], r["dst"])
+        for r in G.copurchase_edges(li_small, max_basket=None).collect()
+    }
+    assert got_default == got_uncapped == small
+
+
+def _ref_pagerank_redistribute(edges, iters, scale=10**6):
+    """Pure-Python textbook-convention reference: node universe
+    src ∪ dst, dangling mass redistributed uniformly, same integer
+    floor arithmetic."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = (scale * 15) // 100
+    r = {v: scale for v in nodes}
+    for _ in range(iters):
+        contrib: dict = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + (r[s] * 85) // (100 * outdeg[s])
+        dmass = sum(r[v] for v in nodes if v not in outdeg)
+        share = (dmass * 85) // (100 * n)
+        r = {v: base + contrib.get(v, 0) + share for v in nodes}
+    return r, outdeg
+
+
+def test_pagerank_redistribute_matches_python_reference_property(spark):
+    """r9 verdict #4: the textbook dangling-mass convention on
+    ASYMMETRIC graphs — every src∪dst node ranked, dangling nodes
+    (outdeg 0) present with the uniform share — vs a pure-Python
+    reference, edge sets drawn directed (no symmetrization)."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=1, max_value=8),
+                st.integers(min_value=1, max_value=8),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=14,
+        ),
+        st.integers(min_value=1, max_value=3),
+    )
+    def prop(raw_edges, iters):
+        edges = sorted(raw_edges)
+        _drain_graph_slots()
+        sdf = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["outdeg"], r["pagerank_scaled"])
+            for r in G.pagerank(
+                sdf, iters=iters, redistribute_dangling=True
+            ).collect()
+        }
+        want_r, outdeg = _ref_pagerank_redistribute(edges, iters)
+        want = {v: (outdeg.get(v, 0), want_r[v]) for v in want_r}
+        assert got == want, (got, want)
+        _drain_graph_slots()
+
+    prop()
+
+
+def test_pagerank_until_stable_converges_and_matches_reference(spark):
+    """The iterate-to-epsilon variant: (a) a fully symmetric cycle is
+    an exact integer fixed point — epsilon=0 converges in one
+    iteration; (b) on an asymmetric graph with redistribution, the
+    ranks, the iteration count, and the converged flag all match a
+    pure-Python loop running the identical stopping rule."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    _drain_graph_slots()
+    # (a) symmetric 4-cycle + chords: every node outdeg 2, all ranks
+    # stay exactly at scale — delta 0 after the first step
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)],
+        "src long, dst long",
+    )
+    df, iters_run, converged = G.pagerank_until_stable(
+        sym, max_iters=10, epsilon=0
+    )
+    got = {r["node"]: r["pagerank_scaled"] for r in df.collect()}
+    assert converged and iters_run == 1
+    assert set(got.values()) == {10**6}
+    _drain_graph_slots()
+
+    # (b) asymmetric with a dangling node, epsilon above the floor-
+    # rounding limit cycle
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12), (3, 10), (4, 13)]
+    epsilon, max_iters = 10, 40
+    df, iters_run, converged = G.pagerank_until_stable(
+        spark.createDataFrame(edges, "src long, dst long"),
+        max_iters=max_iters,
+        epsilon=epsilon,
+        redistribute_dangling=True,
+    )
+    got = {r["node"]: r["pagerank_scaled"] for r in df.collect()}
+
+    want_prev, _ = _ref_pagerank_redistribute(edges, 0)
+    want_iters, want_converged = 0, False
+    for i in range(1, max_iters + 1):
+        want_r, _ = _ref_pagerank_redistribute(edges, i)
+        delta = sum(abs(want_r[v] - want_prev[v]) for v in want_r)
+        want_prev, want_iters = want_r, i
+        if delta <= epsilon:
+            want_converged = True
+            break
+    assert (iters_run, converged) == (want_iters, want_converged)
+    assert got == want_prev, (got, want_prev)
     _drain_graph_slots()
 
 
@@ -1416,3 +1568,83 @@ def test_mg_candidates_and_frequent_tokens_custom_column(spark):
     toks = spark.createDataFrame(rows, "word string").repartition(3)
     got = SK.frequent_tokens(toks, k=2, capacity=10, col="word").collect()
     assert [(r["word"], r["n_occurrences"]) for r in got] == [("x", 9), ("y", 5)]
+
+
+def test_frequent_tokens_short_result_never_certifies(spark):
+    """r9 ADVICE: with fewer than k candidate tokens the kth aggregate
+    is the min over the AVAILABLE rows, so the old certificate could
+    read TRUE while positions |candidates|+1..k were silently absent.
+    The gate must require a full k rows — a short result never reads
+    certified-exact."""
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    rows = [(w,) for w in ["a"] * 9 + ["b"] * 6 + ["c"] * 3]
+    toks = spark.createDataFrame(rows, "token string").repartition(2)
+    got = SK.frequent_tokens(toks, k=5, capacity=100).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in got] == [
+        ("a", 9), ("b", 6), ("c", 3),
+    ]
+    assert all(r["heavy_bound_holds"] is False for r in got)
+
+
+def test_frequent_tokens_exact_escalates_to_certified_capacity(spark):
+    """frequent_tokens_exact retries with doubled capacity until the
+    certificate holds: a flat 30-token corpus (kth=10, N=300) fails
+    the bound at capacity 16 (10·17 ≤ 300) and certifies at 32
+    (10·33 > 300) — the doubled attempt must return the exact top-k
+    with the certificate TRUE."""
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    rows = [(f"w{i:02d}",) for i in range(30) for _ in range(10)]
+    toks = spark.createDataFrame(rows, "token string").repartition(4)
+    got = SK.frequent_tokens_exact(toks, k=5, capacity=16).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in got] == [
+        (f"w{i:02d}", 10) for i in range(5)
+    ]
+    assert all(r["heavy_bound_holds"] for r in got)
+
+
+def test_frequent_tokens_exact_falls_back_to_plain_groupby(spark):
+    """r9 verdict #3 done-condition: on a corpus where no bounded
+    number of doublings can certify (kth·(cap+1) ≤ N at every retry),
+    the operator must still return the Counter-exact top-k — via the
+    full-groupBy fallback — instead of a possibly-inexact result plus
+    a FALSE flag."""
+    from collections import Counter
+
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    # 60 tokens × 10 occurrences: N=600, kth=10 — capacities 2/4/8
+    # all fail (10·9 ≤ 600), so max_doublings=2 exhausts and falls back
+    stream = [f"w{i:02d}" for i in range(60) for _ in range(10)]
+    toks = spark.createDataFrame(
+        [(t,) for t in stream], "token string"
+    ).repartition(5)
+    got = SK.frequent_tokens_exact(toks, k=7, capacity=2).collect()
+    want = sorted(Counter(stream).items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert [(r["token"], r["n_occurrences"]) for r in got] == want
+    assert all(r["heavy_bound_holds"] for r in got)  # fallback IS exact
+
+
+def test_mg_decrement_at_capacity_plus_one_boundary():
+    """Adversarial Arrow batch sizing (r9 verdict #5c): a batch whose
+    distinct-token count is EXACTLY capacity+1 fires exactly one
+    decrement with delta = the smallest count; a batch at exactly
+    capacity fires none. Both must preserve the n_p/(capacity+1)
+    undercount bound."""
+    import pandas as pd
+
+    from duckdb_retail_pipeline_spark.operators.sketch import _mg_summarize
+
+    # capacity+1 == 4 distinct: counts [5,4,3,1]; delta = 1 → survivors
+    # A=4, B=3, C=2 (all tokens with count > N/(m+1) = 13/4 survive)
+    batch = pd.DataFrame(
+        {"token": ["A"] * 5 + ["B"] * 4 + ["C"] * 3 + ["D"]}
+    )
+    out = next(_mg_summarize(iter([batch]), "token", capacity=3))
+    assert set(out["token"]) == {"A", "B", "C"}
+
+    # exactly capacity distinct: no decrement, everything survives
+    batch2 = pd.DataFrame({"token": ["A"] * 5 + ["B"] * 4 + ["C"] * 3})
+    out2 = next(_mg_summarize(iter([batch2]), "token", capacity=3))
+    assert set(out2["token"]) == {"A", "B", "C"}
