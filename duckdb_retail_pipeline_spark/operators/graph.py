@@ -30,16 +30,27 @@ collected data. int64 headroom: a node's rank is bounded by the total
 mass n_nodes × scale; at 10^9 nodes × 10^6 scale × damp_num=85 the
 worst single term is ~8.5e16, inside int64.
 
-Dangling nodes: a node with no out-edges contributes nothing (its
-rank mass evaporates, the zero-redistribution convention); callers
-that need mass conservation pass a symmetrized edge frame — the
-co-purchase graph is symmetric by construction, so every node there
-has outdeg ≥ 1.
+Dangling nodes — two explicit conventions (r9 verdict #4: the
+operator is exported generically, so the choice is a parameter, not
+an implicit assumption):
+
+- ``redistribute_dangling=False`` (default; the x92 contract): a node
+  with no out-edges contributes nothing — its rank mass evaporates —
+  and ranks are only emitted for nodes with outdeg ≥ 1. Harmless on a
+  symmetrized edge frame (the co-purchase graph is symmetric by
+  construction, every node has outdeg ≥ 1) but NON-STANDARD on an
+  asymmetric link graph.
+- ``redistribute_dangling=True`` (textbook): the node universe is
+  src ∪ dst, dangling mass is summed per iteration and redistributed
+  uniformly — ``(D·damp_num) DIV (damp_den·n_nodes)`` per node, still
+  exact-integer — and every node gets a rank (nodes with no in-edges
+  hold base + dangling share). This is the convention for directed
+  graphs such as web-link or customer→part bipartite graphs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.memo import rotating_persist
@@ -56,13 +67,39 @@ _EDGE_SLOT: list = []
 _DEG_SLOT: list = []
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+def copurchase_edges(
+    lineitem: DataFrame, max_basket: int | None = 64
+) -> DataFrame:
     """Directed co-purchase edges: (src part, dst part) for every
     pair of DISTINCT parts sharing an order, both directions — the
     same order-keyed self-join bound as x66's Apriori candidates
-    (per-basket quadratic by construction, the measured-and-accepted
-    x66 shape)."""
+    (per-basket quadratic by construction).
+
+    ``max_basket`` is the skew guard (r9 verdict: unlike x66, whose
+    OUTPUT is the pairs, here the quadratic frame is an intermediate —
+    one pathological order with 10^5 distinct parts would put 10^10
+    intermediate rows on a single join key at 100 TB). Baskets larger
+    than the cap are down-sampled DETERMINISTICALLY to ``max_basket``
+    parts, ranked by xxhash64(partkey) with partkey as the tie-break:
+    hash order makes the kept subset an unbiased pseudo-random sample
+    (a partkey-ordered cap would bias the graph toward low keys) and
+    input-stable across runs/partitionings. Per-order intermediate is
+    then ≤ max_basket², and the rank window shuffles on l_orderkey —
+    the same key the self-join needs, so the exchange is reused. The
+    default 64 sits far above real basket sizes (TPC-H orders hold
+    ≤ 7 lineitems; the driver corpora never trip it — semantics there
+    are identical to uncapped, which is what the x92 oracle assumes).
+    ``None`` disables the cap (the pre-r10 behavior)."""
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    if max_basket is not None:
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.xxhash64("l_partkey"), F.col("l_partkey")
+        )
+        items = (
+            items.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_basket)
+            .drop("_rn")
+        )
     a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
     return (
@@ -73,16 +110,13 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(
-    edges: DataFrame,
-    iters: int = 3,
-    scale: int = SCALE,
-    damp_num: int = 85,
-    damp_den: int = 100,
-) -> DataFrame:
-    """(node, outdeg, pagerank_scaled) after ``iters`` exact-integer
-    iterations (module docstring). Nodes are the edge frame's
-    distinct sources; on a symmetrized graph that is every vertex."""
+_NODE_SLOT: list = []
+
+
+def _prepare(edges: DataFrame, redistribute_dangling: bool):
+    """Shared per-call frames for the iteration step: (deg,
+    edges_deg, nodes, n_nodes). nodes/n_nodes are None on the
+    evaporate path (node universe = sources only)."""
     deg = rotating_persist(
         edges.groupBy("src").agg(
             F.count(F.lit(1)).cast("bigint").alias("outdeg")
@@ -98,31 +132,188 @@ def pagerank(
     edges_deg = rotating_persist(
         edges.join(deg, "src").repartition("src"), _EDGE_SLOT
     )
-    base = (scale * (damp_den - damp_num)) // damp_den
+    nodes = n_nodes = None
+    if redistribute_dangling:
+        nodes = rotating_persist(
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct(),
+            _NODE_SLOT,
+        )
+        n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return deg, edges_deg, nodes, n_nodes
 
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("r")
+
+def _step(
+    ranks: DataFrame,
+    deg: DataFrame,
+    edges_deg: DataFrame,
+    nodes: DataFrame | None,
+    n_nodes: DataFrame | None,
+    base: int,
+    damp_num: int,
+    damp_den: int,
+) -> DataFrame:
+    """One exact-integer PageRank iteration (module docstring)."""
+    contrib = edges_deg.join(
+        ranks, edges_deg["src"] == ranks["node"]
+    ).select(
+        F.col("dst"),
+        F.call_function(
+            "div",
+            F.col("r") * F.lit(damp_num),
+            F.lit(damp_den) * F.col("outdeg"),
+        ).cast("bigint").alias("c"),
+    )
+    summed = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
+    if nodes is None:
+        # evaporate convention: dangling mass is dropped, node
+        # universe is the sources (every dst with in-edges only
+        # re-enters via the final outdeg join filter)
+        return summed.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.col("s")).cast("bigint").alias("r"),
+        )
+    # textbook convention: dangling mass redistributed uniformly —
+    # both scalars are one-row frames crossJoined in-plan, so the
+    # whole iteration stays declarative (no driver-side collect)
+    dangling = ranks.join(
+        deg, ranks["node"] == deg["src"], "left_anti"
+    ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dmass"))
+    share = dangling.crossJoin(F.broadcast(n_nodes)).select(
+        F.call_function(
+            "div",
+            F.col("dmass") * F.lit(damp_num),
+            F.lit(damp_den) * F.col("n"),
+        ).cast("bigint").alias("share")
+    )
+    return (
+        nodes.join(summed, nodes["node"] == summed["dst"], "left")
+        .crossJoin(F.broadcast(share))
+        .select(
+            F.col("node"),
+            (
+                F.lit(base) + F.coalesce(F.col("s"), F.lit(0)) + F.col("share")
+            ).cast("bigint").alias("r"),
+        )
+    )
+
+
+def _finish(ranks: DataFrame, deg: DataFrame, dangling_in_output: bool) -> DataFrame:
+    if dangling_in_output:
+        return ranks.join(deg, ranks["node"] == deg["src"], "left").select(
+            "node",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("bigint").alias("outdeg"),
+            F.col("r").alias("pagerank_scaled"),
+        )
+    return ranks.join(deg, ranks["node"] == deg["src"]).select(
+        "node", "outdeg", F.col("r").alias("pagerank_scaled")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    redistribute_dangling: bool = False,
+) -> DataFrame:
+    """(node, outdeg, pagerank_scaled) after ``iters`` exact-integer
+    iterations (module docstring). With the default evaporate
+    convention nodes are the edge frame's distinct sources (on a
+    symmetrized graph that is every vertex, the x92 contract); with
+    ``redistribute_dangling=True`` the universe is src ∪ dst, dangling
+    mass is redistributed uniformly each iteration, and dangling
+    nodes appear in the output with outdeg 0."""
+    deg, edges_deg, nodes, n_nodes = _prepare(edges, redistribute_dangling)
+    base = (scale * (damp_den - damp_num)) // damp_den
+    universe = nodes if nodes is not None else deg.select(
+        F.col("src").alias("node")
+    )
+    ranks = universe.select(
+        "node", F.lit(scale).cast("bigint").alias("r")
     )
     for _ in range(iters):
-        contrib = edges_deg.join(
-            ranks, edges_deg["src"] == ranks["node"]
-        ).select(
-            F.col("dst"),
-            F.call_function(
-                "div",
-                F.col("r") * F.lit(damp_num),
-                F.lit(damp_den) * F.col("outdeg"),
-            ).cast("bigint").alias("c"),
+        ranks = _step(
+            ranks, deg, edges_deg, nodes, n_nodes, base, damp_num, damp_den
         )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").cast("bigint").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(base) + F.col("s")).cast("bigint").alias("r"),
-            )
-        )
-    return (
-        ranks.join(deg, ranks["node"] == deg["src"])
-        .select("node", "outdeg", F.col("r").alias("pagerank_scaled"))
+    return _finish(ranks, deg, dangling_in_output=redistribute_dangling)
+
+
+def pagerank_until_stable(
+    edges: DataFrame,
+    max_iters: int = 20,
+    epsilon: int = 0,
+    scale: int = SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    redistribute_dangling: bool = False,
+) -> tuple[DataFrame, int, bool]:
+    """Iterate to an exact fixed point: stop when the total absolute
+    rank change Σ|r_i − r_{i−1}| ≤ ``epsilon`` (an INTEGER — the
+    floor-scaled rational ranks make the convergence test exact, so
+    ``epsilon=0`` is a true fixed-point test, meaningless with float
+    ranks). Returns (ranks frame, iterations run, converged). The
+    delta sequence contracts geometrically but floor rounding can
+    leave a small limit cycle (measured: total delta settling at ~6
+    units of 10^-6 on a 6-node graph), so ``epsilon=0`` may never
+    trigger — production callers pass a few units of the scale;
+    ``converged=False`` after ``max_iters`` is an honest answer, not
+    an error.
+
+    Driver-side loop by necessity (the stop condition is data-
+    dependent); each iteration ``localCheckpoint``s the node-sized
+    rank frame — checkpointing, not persist, because persist leaves
+    the LOGICAL plan lineage intact and the plan tree then doubles
+    per iteration (the delta join reads ranks twice): at ~25
+    iterations merely BUILDING the plan string OOMed the driver
+    (measured r10; AdaptiveSparkPlanExec.explainString). The eager
+    local checkpoint truncates the plan to a leaf, so per-iteration
+    work is constant: the same join + groupBy as the fixed-depth
+    variant plus one node-sized delta aggregate, and the collected
+    value is a single int64, never data-sized. Checkpointed blocks
+    are executor-memory-resident and GC-cleaned when their frames
+    drop out of scope; a cluster deployment that must survive
+    executor loss swaps in reliable ``checkpoint()`` against the
+    checkpoint dir — same contract, durable blocks."""
+    deg, edges_deg, nodes, n_nodes = _prepare(edges, redistribute_dangling)
+    base = (scale * (damp_den - damp_num)) // damp_den
+    universe = nodes if nodes is not None else deg.select(
+        F.col("src").alias("node")
     )
+    ranks = universe.select(
+        "node", F.lit(scale).cast("bigint").alias("r")
+    ).localCheckpoint()
+    iters_run, converged = 0, False
+    for _ in range(max_iters):
+        nxt = _step(
+            ranks, deg, edges_deg, nodes, n_nodes, base, damp_num, damp_den
+        ).localCheckpoint()
+        # the evaporate path can shrink the universe on the first
+        # step (sources with no in-edges drop out) — treat a
+        # missing side as a change of the full rank magnitude
+        delta = (
+            ranks.select("node", F.col("r").alias("r_prev"))
+            .join(nxt.select("node", F.col("r").alias("r_next")),
+                  "node", "full")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.abs(
+                            F.coalesce(F.col("r_next"), F.lit(0))
+                            - F.coalesce(F.col("r_prev"), F.lit(0))
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+        ranks = nxt
+        iters_run += 1
+        if delta <= epsilon:
+            converged = True
+            break
+    return _finish(ranks, deg, dangling_in_output=redistribute_dangling), \
+        iters_run, converged
