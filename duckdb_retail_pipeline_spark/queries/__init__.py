@@ -30,64 +30,86 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs the WHOLE registry).
 #
-# Round-9 window (see ROTATION.md): CORRECTNESS_r08 landed 50/50
-# (cumulative 141/141). The r8 verdict's #1 finding binds this
-# window: six queries' last driver rows date to r5 — three rounds
-# stale, a silent break of this file's own ≤2-rounds invariant — and
-# the r6-green block (37 queries) is three rounds stale by r9.
-# 6 + 37 = 43 slots are owed re-entry before anything else.
-# Rule 1, never-checked: this round's two new registrations (x92,
-# x93 — registered WITH their driver rows, the x90/x91 precedent).
-# Rule 2, r8→r9 diff guards (5): x05 (the late-r8 rotating_persist
-# churn fix changed the code under its _PREFIX_D_SLOT persist; its
-# r7 row predates the fix — the one guard the r8 pre-draft owed),
-# x90 (positional index split into memoized build + serve this
-# round), x91 (recall-sweep config change this round), x60 (fresh
-# runs stage partials and swap after commit this round), x07
-# (memoized_count re-keyed for bounded growth this round).
-# Rule 3, oldest-green re-entry, oldest-first: the six r5-stale
-# queries FIRST (q01, q21, x01, x14, x19, x20), then the full
-# 37-query r6-green block. 2 + 5 + 6 + 37 = 50. After this round a
-# recount must show no registered query's last driver row older
-# than r7 (the r8 verdict's done-condition). The r7-green block
-# (48 queries) is two rounds old at r9 — invariant intact without
-# re-entry — and takes rule-3 head priority in r10 together with
-# whatever r8-green queries age out; headline queries outside the
-# window are re-verified every round by the local full-registry
-# pytest oracle gate.
+# Round-10 window (see ROTATION.md): CORRECTNESS_r09 landed 50/50
+# (cumulative 143/143; rotation invariant verified intact by the r9
+# judge). The r9 verdict's #1 binds this window's arithmetic: the
+# 46-query r7-green block goes 3-rounds-stale at r10 and fills
+# rule-3 almost entirely, so registrations are frozen at 2 and diff
+# guards at 2 — exactly the genuinely-free slot count.
+# Rule 1, never-checked (2): this round's two new registrations,
+# entering WITH their driver rows (the x90–x93 precedent):
+# x94_pagerank_dangling (textbook dangling-mass redistribution on
+# the asymmetric customer→part graph — r9 verdict #4) and
+# x95_frequent_tokens_escalation (the heavy_bound_holds=False
+# auto-escalation path under the oracle — r9 verdict #3).
+# Rule 2, r9→r10 diff guards (2): x92 (copurchase_edges gained the
+# deterministic per-basket skew cap, default 64 — changed plan, r9
+# verdict #2) and x93 (the exactness certificate gained the
+# n_rows==k gate + FALSE-not-NULL coalesce — changed bound
+# expression, r9 ADVICE).
+# Rule 3, oldest-green re-entry (46): the full r7-green block,
+# last driver rows r7 (x05/x60 excepted — they took r9 guard rows).
+# 2 + 2 + 46 = 50. Done-condition (r9 verdict #1): after
+# CORRECTNESS_r10 lands green, a recount must show no registered
+# query's last driver row older than r8. The r8-green block is two
+# rounds old at r10 — invariant intact without re-entry — and takes
+# rule-3 head priority in r11 together with whatever r9-green
+# queries age out; headline queries outside the window are
+# re-verified every round by the local full-registry pytest gate.
 _ROTATED_IN = [
     # never driver-green: this round's two new registrations
-    "x92_copurchase_pagerank", "x93_frequent_tokens",
+    "x94_pagerank_dangling", "x95_frequent_tokens_escalation",
 ]
 _GUARDS = [
-    # r8→r9 diff guards
-    "x05_ngram_jaccard_pairs", "x90_phrase_search",
-    "x91_ann_index_upsert", "x60_streaming_upsert_sink",
-    "x07_minhash_lsh_pairs",
-    # oldest-green re-entry head: the six r5-stale queries (the r8
-    # verdict's #1 — owed since r7 by the ≤2-rounds invariant)
-    "q01_pricing_summary", "q21_multikey_star_agg",
-    "x01_dedup_exact", "x14_events_hourly",
-    "x19_media_schema", "x20_media_features",
-    # oldest-green re-entry: the full r6-green block (last row r6)
-    "a02_cube", "a03_intersect_except", "a04_unpivot",
-    "a05_approx_aggregates", "a06_grouping_sets_sql",
-    "a09_moving_average", "a10_string_functions",
-    "a11_window_rank_surface", "a12_array_agg_surface",
-    "a13_correlated_subqueries", "a14_regex_surface",
-    "a15_exact_percentiles", "a16_correlated_avg_filter",
-    "pl11_validation", "q03_top_customers",
-    "x61_bpe_token_stats", "x62_seasonal_anomaly",
-    "x63_cross_source_dups", "x64_vocab_oov",
-    "x66_basket_pairs", "x67_rfm_segments",
-    "x68_supplier_latency", "x69_deletion_audit",
-    "x70_late_data_audit", "x71_fuzzy_entity_match",
-    "x72_ab_test", "x73_histogram", "x74_token_budget",
-    "x75_hypertable_rollup", "x76_rolling_distinct_users",
-    "x77_skew_report", "x78_correlation_report",
-    "x79_pareto_analysis", "x80_event_transitions",
-    "x82_part_velocity", "x83_seasonal_index",
-    "x84_cohort_ltv_curves",
+    # r9→r10 diff guards
+    "x92_copurchase_pagerank", "x93_frequent_tokens",
+    # oldest-green re-entry: the full r7-green block (last row r7)
+    "pl02_staging_fx",
+    "pl04_dim_product",
+    "pl05_dim_customer",
+    "pl07_daily_fx_rates",
+    "pl10_monthly_sales_summary",
+    "q04_filter_like_prefix",
+    "q05_null_sentinel_filters",
+    "q06_semi_join_in_subquery",
+    "q07_anti_join_orphans",
+    "q08_composite_key_join",
+    "q09_conditional_agg",
+    "q10_conditional_count_distinct",
+    "q11_scalar_multi_agg",
+    "q12_ratio_nullif",
+    "q25_asof_join",
+    "x02_text_stats",
+    "x03_lang_id",
+    "x04_fingerprint",
+    "x06_minhash_signatures",
+    "x08_simhash_values",
+    "x10_embedding_cosine_topk",
+    "x11_embedding_dup_pairs",
+    "x12_similarity_lsh_topk",
+    "x13_similarity_ivf_topk",
+    "x15_events_sessionize",
+    "x16_events_json_extract",
+    "x17_streaming_hourly",
+    "x18_events_pivot",
+    "x21_session_window_batch",
+    "x22_term_frequency",
+    "x24_grouped_ols_trend",
+    "x25_streaming_sliding",
+    "x27_text_chunking",
+    "x28_corpus_curation",
+    "x29_stratified_split",
+    "x30_variant_extract",
+    "x31_streaming_stateful_totals",
+    "x34_streaming_dedup",
+    "x35_salted_agg",
+    "x37_embedding_quantization",
+    "x38_stream_static_join",
+    "x39_similarity_batch_topk",
+    "x41_fixed_count_sample",
+    "x65_rag_pipeline",
+    "x86_canonical_docs",
+    "a17_pivot_surface",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

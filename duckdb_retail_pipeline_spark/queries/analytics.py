@@ -3211,3 +3211,142 @@ def x93_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.frequent_tokens(
         toks, k=_X93_TOPK, capacity=_X93_CAPACITY, total=total
     )
+
+
+# ---------------------------------------------------------------- x94
+_X94_ITERS = 3
+_X94_TOPK = 20
+# parts share the bigint node namespace with customers — offset them
+# clear of every o_custkey so the two id spaces cannot collide
+_X94_OFFSET = 1_000_000_000
+
+
+def _x94_oracle() -> str:
+    """Unrolled textbook-convention PageRank CTE chain: per iteration
+    one dangling-mass scalar CTE (LEFT JOIN deg … IS NULL), one
+    contribution aggregate, and one universe-wide rebuild — the same
+    exact-integer arithmetic operators/graph.py runs with
+    redistribute_dangling=True, independently formulated in ANSI SQL
+    (`//` is integer floor-div; every operand non-negative, so the
+    engines agree)."""
+    ctes = [
+        "edges AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,"
+        f" CAST({_X94_OFFSET} + l.l_partkey AS BIGINT) AS dst"
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, _X94_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS (SELECT (COALESCE(SUM(r.r), 0) * 85)"
+            f" // (100 * (SELECT n FROM nn)) AS share"
+            f" FROM r{p} r LEFT JOIN deg d ON r.node = d.src"
+            f" WHERE d.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" SUM((r.r * 85) // (100 * d.outdeg)) AS s"
+            f" FROM edges e JOIN r{p} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST(150000 + COALESCE(c.s, 0)"
+            f" + (SELECT share FROM d{i}) AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f"""
+        SELECT f.node AS node,
+               CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg,
+               f.r AS pagerank_scaled
+        FROM r{_X94_ITERS} f LEFT JOIN deg d ON f.node = d.src
+        ORDER BY pagerank_scaled DESC, node ASC
+        LIMIT {_X94_TOPK}
+    """
+    )
+
+
+@register(
+    "x94_pagerank_dangling",
+    oracle=_x94_oracle(),
+    doc="Textbook-convention PageRank (redistribute_dangling=True, "
+    "operators/graph.py; Page/Brin/Motwani/Winograd 1999) over the "
+    "ASYMMETRIC customer→part bipartite purchase graph — every part "
+    "is a dangling node (outdeg 0), so this drives exactly the "
+    "semantics x92's symmetric co-purchase graph cannot: the node "
+    "universe is src ∪ dst, per-iteration dangling mass is summed "
+    "in-plan (one-row frame, broadcast crossJoin — no driver "
+    "collect) and redistributed uniformly, and dangling nodes rank. "
+    "Same exact-integer floor-scaled rationals as x92 — three "
+    "unrolled iterations are bit-identical to the oracle's CTE "
+    "chain. Part ids are offset out of the customer key space so "
+    "the shared bigint node namespace cannot collide.",
+    tags=("graph", "retail", "iterative"),
+)
+def x94_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(_X94_OFFSET) + F.col("l_partkey"))
+            .cast("bigint")
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    pr = G.pagerank(edges, iters=_X94_ITERS, redistribute_dangling=True)
+    return pr.orderBy(
+        F.col("pagerank_scaled").desc(), F.col("node").asc()
+    ).limit(_X94_TOPK)
+
+
+# ---------------------------------------------------------------- x95
+_X95_TOPK = 10
+_X95_CAPACITY = 16
+
+
+@register(
+    "x95_frequent_tokens_escalation",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+        ), counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks GROUP BY token
+        )
+        SELECT token, n_occurrences, TRUE AS heavy_bound_holds
+        FROM counts
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT {_X95_TOPK}
+    """,
+    doc="frequent_tokens_exact's auto-escalation under the driver "
+    "oracle (operators/sketch.py; r9 verdict #3): the part-name "
+    "color vocabulary (~92 words, near-uniform counts) structurally "
+    "defeats the Misra-Gries certificate at capacity 16 and its one "
+    "doubling (kth·(cap+1) ≤ N at every attempt), so the operator "
+    "must escalate through the bounded retries and land on the "
+    "plain-groupBy exact fallback — whose result the oracle's full "
+    "groupBy must reproduce hash-exactly. Exactness is "
+    "path-independent by construction (certified MG recount and "
+    "fallback both return the true top-k), which is what makes the "
+    "escalation machinery oracle-gateable at every SF.",
+    tags=("text", "sketch", "frequency"),
+)
+def x95_frequent_tokens_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    toks = tbl(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("token")
+    )
+    return SK.frequent_tokens_exact(
+        toks, k=_X95_TOPK, capacity=_X95_CAPACITY, max_doublings=1
+    )
