@@ -84,6 +84,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        # warm totals increasingly measure memo serving (x07/x42/x90
+        # serve persisted indexes in ~0.1-0.8 s) — the cold total
+        # tracks the underlying build cost round-over-round, so a
+        # regression in the expensive compute can't hide behind warm
+        # cache hits (r9 verdict #7)
+        "headline_queries_cold_total_sec": round(sum(cold.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failed:
