@@ -27,6 +27,7 @@ cheaper witness.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 from typing import Any
 
@@ -34,6 +35,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 # (appId, path, tag) -> (dataset_signature, value)
 _MEMO: dict[tuple[str, str, str], tuple[frozenset, Any]] = {}
+
+# Concurrency (r9 verdict #5a probe): SparkContext is thread-safe and
+# a driver legitimately runs queries from a thread pool, but the
+# module-level dicts here were unlocked check-then-build — two
+# threads racing the same dataset_memo key BOTH ran build(); the
+# loser's persisted frame stayed pinned in the SQL cache forever,
+# served to nobody (reproduced in
+# tests/test_operators.py::test_dataset_memo_concurrent_threads_build_once).
+# dataset_memo takes a PER-KEY lock (same-key callers serialize and
+# share one build; different keys build concurrently); the
+# rotating_persist slot mutations take one global lock — there is no
+# build() inside it (persist is lazy), so the critical section is
+# driver-side metadata only, and per-slot locks would need an
+# id(slot) registry with the CPython id-reuse hazard the slot design
+# explicitly avoids.
+_LOCKS_GUARD = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+_ROTATE_LOCK = threading.Lock()
 
 # (appId, semanticHash) -> (input signature, row count) — the
 # signature lives in the VALUE, not the key, so an in-session dataset
@@ -187,25 +206,26 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     in-session regeneration under the same path still rotates: the
     stored uris' mtime_ns/size change (overwrite) or the stat fails
     (part files renamed), either of which mismatches."""
-    if slot:
-        occupant, occ_sig = slot[0]
-        try:
-            if (
-                occupant.sparkSession is df.sparkSession
-                and occupant.sameSemantics(df)
-                and occ_sig == _restat(occ_sig)
-            ):
-                return occupant
-        except Exception:  # noqa: BLE001 — fall through to rotation
-            pass
-        try:
-            slot.pop()[0].unpersist()
-        except Exception:  # noqa: BLE001 — occupant's session may be
-            pass  # stopped (test teardown); rotation must still work
-    sig = _input_signature(df)
-    df = df.persist()
-    slot.append((df, sig))
-    return df
+    with _ROTATE_LOCK:
+        if slot:
+            occupant, occ_sig = slot[0]
+            try:
+                if (
+                    occupant.sparkSession is df.sparkSession
+                    and occupant.sameSemantics(df)
+                    and occ_sig == _restat(occ_sig)
+                ):
+                    return occupant
+            except Exception:  # noqa: BLE001 — fall through to rotation
+                pass
+            try:
+                slot.pop()[0].unpersist()
+            except Exception:  # noqa: BLE001 — occupant's session may be
+                pass  # stopped (test teardown); rotation must still work
+        sig = _input_signature(df)
+        df = df.persist()
+        slot.append((df, sig))
+        return df
 
 
 def _restat(sig: frozenset | None) -> frozenset | None:
@@ -285,13 +305,16 @@ def dataset_memo(
         os.path.abspath(sf_dir),
         tag,
     )
-    sig = _mtime_signature(os.path.abspath(sf_dir))
-    hit = _MEMO.get(key)
-    if hit is not None:
-        old_sig, value = hit
-        if old_sig == sig:
-            return value
-        _unpersist(value)
-    value = build()
-    _MEMO[key] = (sig, value)
-    return value
+    with _LOCKS_GUARD:
+        klock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with klock:
+        sig = _mtime_signature(os.path.abspath(sf_dir))
+        hit = _MEMO.get(key)
+        if hit is not None:
+            old_sig, value = hit
+            if old_sig == sig:
+                return value
+            _unpersist(value)
+        value = build()
+        _MEMO[key] = (sig, value)
+        return value

@@ -1418,6 +1418,90 @@ def test_dataset_memo_across_sessions_same_context(spark, tmp_path):
     a.unpersist()
 
 
+def test_dataset_memo_concurrent_threads_build_once(spark, tmp_path):
+    """r9 verdict #5a: SparkContext is thread-safe and a driver
+    legitimately runs queries from a thread pool, but dataset_memo
+    was an unlocked check-then-build — threads racing one key ALL ran
+    build() and every losing build's persisted frame stayed pinned in
+    the SQL cache forever, served to nobody. The per-key lock must
+    collapse same-key racers onto ONE build that everyone shares."""
+    import threading
+
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(4)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    d = str(tmp_path)
+
+    builds, results, errors = [], [], []
+    gate = threading.Barrier(6)
+
+    def build():
+        builds.append(1)
+        import time
+
+        time.sleep(0.2)  # widen the race window
+        return spark.read.parquet(p).persist()
+
+    def worker():
+        try:
+            gate.wait(timeout=10)
+            results.append(dataset_memo(spark, d, "race_probe", build))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors
+    assert len(builds) == 1, f"{len(builds)} builds for one key"
+    assert all(r is results[0] for r in results)
+    assert results[0].count() == 4
+    results[0].unpersist()
+
+
+def test_rotating_persist_concurrent_threads_single_occupant(spark, tmp_path):
+    """r9 verdict #5a continuation: concurrent rotating_persist calls
+    on one slot used to interleave the slot[0] check with the LIFO
+    pop — two appends leave TWO entries and later rotations unpersist
+    the wrong one (a pinned-forever leak). Under the rotate lock the
+    slot must end with exactly one occupant and every caller must get
+    a usable frame."""
+    import threading
+
+    from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(i,) for i in range(5)], "id long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    slot: list = []
+    counts, errors = [], []
+    gate = threading.Barrier(6)
+
+    def worker():
+        try:
+            gate.wait(timeout=10)
+            occ = rotating_persist(spark.read.parquet(p), slot)
+            counts.append(occ.count())
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors
+    assert counts == [5] * 6
+    assert len(slot) == 1, f"slot holds {len(slot)} occupants"
+    slot.pop()[0].unpersist()
+
+
 def test_rotating_persist_alternating_sessions_churns_but_stays_correct(
     spark, tmp_path
 ):

@@ -302,6 +302,71 @@ def test_upsert_failed_fresh_run_leaves_prior_results_intact(
     assert not [p for p in os.listdir(dest) if p.startswith(".staging-")]
 
 
+def test_upsert_recovers_from_crash_inside_swap_window(spark, tmp_path):
+    """r9 verdict #5b: the commit swap is delete-then-rename per batch
+    id, so a crash INSIDE the ms-scale swap window can leave the worst
+    on-disk state — one dest batch deleted with its replacement still
+    in the (invisible) staging dir, other dest batches stale, the
+    staging dir orphaned. The documented recovery is the next fresh
+    run: it must sweep the orphaned staging, rebuild every partial
+    from source, and land exactly the single-run truth — no loss, no
+    double counting, no leftover dot-dirs."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "swap_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "swap_out")
+    first = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet", max_files_per_trigger=1
+    )
+    truth = {(r["day"], r["event_type"]): r["n_events"] for r in first.collect()}
+    assert sorted(
+        p for p in os.listdir(dest) if p.startswith("batch=")
+    ) == ["batch=0", "batch=1", "batch=2"]
+
+    # hand-craft the mid-swap crash state: the dying run had staged
+    # batch=0 and batch=1, swapped nothing yet for batch=0, and for
+    # batch=1 crashed BETWEEN fs.delete(dst) and fs.rename(src, dst)
+    staging = os.path.join(dest, ".staging-upsert_deadcafe00")
+    os.makedirs(staging)
+    shutil.copytree(
+        os.path.join(dest, "batch=0"), os.path.join(staging, "batch=0")
+    )
+    shutil.move(
+        os.path.join(dest, "batch=1"), os.path.join(staging, "batch=1")
+    )
+    assert not os.path.exists(os.path.join(dest, "batch=1"))
+
+    # recovery = the next fresh run
+    second = SE.stream_upsert_daily_totals(spark, str(d), dest, glob="*.parquet")
+    assert {
+        (r["day"], r["event_type"]): r["n_events"] for r in second.collect()
+    } == truth
+    leftover = [p for p in os.listdir(dest) if p.startswith(".")]
+    assert not leftover, leftover
+
+
 def test_stateful_totals_round_half_up_like_batch(spark, tmp_path):
     """Cent rounding inside the stateful operator must be HALF_UP on
     the shortest repr (≡ batch F.round(value*100, 0)), not numpy
