@@ -316,3 +316,18 @@ def test_positional_index_on_disk_partition_prunes(spark, sf_dir, tmp_path):
     # filter over a full scan
     seg = [s for s in plan.split("PartitionFilters: [")[1:] if "token" in s.split("]")[0]]
     assert seg, plan
+
+
+def test_pagerank_dangling_no_edge_sized_nested_loops(spark, sf_dir):
+    """x94's redistribute path adds two one-row scalar frames per
+    iteration (dangling mass, node count) that legitimately
+    crossJoin by broadcast; the EDGE-sized joins must still plan as
+    hash equi-joins — a cartesian over edges or nodes would be the
+    accidental-quadratic regression."""
+    df = REGISTRY["x94_pagerank_dangling"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # every nested-loop must be a broadcast of a one-row scalar frame
+    # (the in-plan dangling-mass / n-node scalars), never a shuffled
+    # nested loop
+    assert "ShuffledNestedLoopJoin" not in plan, plan
