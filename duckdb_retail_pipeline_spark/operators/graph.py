@@ -86,10 +86,11 @@ def copurchase_edges(
     input-stable across runs/partitionings. Per-order intermediate is
     then ≤ max_basket², and the rank window shuffles on l_orderkey —
     the same key the self-join needs, so the exchange is reused. The
-    default 64 sits far above real basket sizes (TPC-H orders hold
-    ≤ 7 lineitems; the driver corpora never trip it — semantics there
-    are identical to uncapped, which is what the x92 oracle assumes).
-    ``None`` disables the cap (the pre-r10 behavior)."""
+    default 64 sits far above real basket sizes (measured max across
+    the driver SFs and the 100× decade: 17 distinct parts per order,
+    so the cap never trips there and semantics are identical to
+    uncapped — which is what the x92 oracle assumes). ``None``
+    disables the cap (the pre-r10 behavior)."""
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
     if max_basket is not None:
         w = Window.partitionBy("l_orderkey").orderBy(
