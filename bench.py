@@ -40,6 +40,7 @@ def main() -> None:
     # in the expensive compute shows up in cold even when every warm
     # pass is a cache hit (r6 ADVICE).
     cold: dict[str, float] = {}
+    cold_failed: list[str] = []
     # skip the tiny-SF JIT pass when the TARGET is the tiny SF: the
     # warmup would fill the per-(session, dataset) memos and the
     # "cold" numbers below would record cache hits
@@ -55,6 +56,15 @@ def main() -> None:
                     cold[name] = round(time.perf_counter() - t0, 4)
             except Exception as exc:  # noqa: BLE001
                 print(f"warmup {name} failed: {exc}", file=sys.stderr)
+                if warm_dir == SF_DIR:
+                    # a query whose COLD pass dies (its memo build
+                    # OOMs/times out) but whose warm passes succeed
+                    # off the partially-built state would silently
+                    # SHRINK the cold total — reading as a build-cost
+                    # speedup, the exact failure mode the cold line
+                    # exists to detect; flag it as loudly as a warm
+                    # failure
+                    cold_failed.append(name)
 
     # median of 5 timed passes per query: single-pass numbers showed
     # ±50% run-to-run noise on the join-heavy queries (x66 measured
@@ -98,9 +108,11 @@ def main() -> None:
         # and in the exit status so the regression cannot pass as an
         # improvement
         out["failed"] = failed
+    if cold_failed:
+        out["cold_failed"] = sorted(cold_failed)
     print(json.dumps(out))
     spark.stop()
-    if failed:
+    if failed or cold_failed:
         sys.exit(1)
 
 

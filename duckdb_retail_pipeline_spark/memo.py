@@ -43,16 +43,31 @@ _MEMO: dict[tuple[str, str, str], tuple[frozenset, Any]] = {}
 # loser's persisted frame stayed pinned in the SQL cache forever,
 # served to nobody (reproduced in
 # tests/test_operators.py::test_dataset_memo_concurrent_threads_build_once).
-# dataset_memo takes a PER-KEY lock (same-key callers serialize and
-# share one build; different keys build concurrently); the
-# rotating_persist slot mutations take one global lock — there is no
-# build() inside it (persist is lazy), so the critical section is
-# driver-side metadata only, and per-slot locks would need an
-# id(slot) registry with the CPython id-reuse hazard the slot design
-# explicitly avoids.
+# dataset_memo and memoized_count take PER-KEY locks (same-key
+# callers serialize and share one build/count; different keys
+# proceed concurrently); rotating_persist takes a PER-SLOT lock —
+# its critical section includes sameSemantics (JVM canonicalization)
+# and the _restat O(backing files) stat burst, so one global lock
+# would convoy unrelated operators' slot maintenance in exactly the
+# thread-pool scenario this exists for. The slot-lock registry keys
+# by id(slot) but holds a STRONG reference to the slot itself: a
+# live entry keeps its list alive, so CPython can never reuse that
+# id for a different list (the r7 ADVICE id-reuse hazard); slots are
+# module-level one-element lists by contract, so the registry is
+# bounded by call sites.
 _LOCKS_GUARD = threading.Lock()
 _KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
-_ROTATE_LOCK = threading.Lock()
+_COUNT_LOCKS: dict[tuple[str, int], threading.Lock] = {}
+_SLOT_LOCKS: dict[int, tuple[list, threading.Lock]] = {}
+
+
+def _slot_lock(slot: list) -> threading.Lock:
+    with _LOCKS_GUARD:
+        ent = _SLOT_LOCKS.get(id(slot))
+        if ent is None or ent[0] is not slot:
+            ent = (slot, threading.Lock())
+            _SLOT_LOCKS[id(slot)] = ent
+        return ent[1]
 
 # (appId, semanticHash) -> (input signature, row count) — the
 # signature lives in the VALUE, not the key, so an in-session dataset
@@ -206,7 +221,7 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     in-session regeneration under the same path still rotates: the
     stored uris' mtime_ns/size change (overwrite) or the stat fails
     (part files renamed), either of which mismatches."""
-    with _ROTATE_LOCK:
+    with _slot_lock(slot):
         if slot:
             occupant, occ_sig = slot[0]
             try:
@@ -284,12 +299,20 @@ def memoized_count(df: DataFrame) -> int:
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
     )
-    hit = _COUNT_MEMO.get(key)
-    if hit is not None and hit[0] == sig:
-        return hit[1]
-    n = df.count()
-    _COUNT_MEMO[key] = (sig, n)
-    return n
+    # per-key lock, same rationale as dataset_memo: unlocked
+    # check-then-act let two threads racing one key each run the
+    # corpus-sized count() — the duplicated full scan this memo
+    # exists to eliminate (r10 review); same-key racers now wait for
+    # one count and read it from the memo
+    with _LOCKS_GUARD:
+        klock = _COUNT_LOCKS.setdefault(key, threading.Lock())
+    with klock:
+        hit = _COUNT_MEMO.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        n = df.count()
+        _COUNT_MEMO[key] = (sig, n)
+        return n
 
 
 def dataset_memo(

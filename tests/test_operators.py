@@ -1244,6 +1244,31 @@ def test_copurchase_edges_mega_basket_bounded(spark):
     assert got_default == got_uncapped == small
 
 
+def test_driver_corpus_baskets_stay_under_half_the_x92_cap(spark, sf_dir):
+    """x92's Spark side runs the capped edge build while its DuckDB
+    oracle enumerates ALL pairs — they agree because the driver
+    corpora max out at 17 distinct parts per order (measured at
+    sf0.01/sf0.1/100×), far under the cap of 64. If regenerated
+    testdata ever grows a basket past the cap, the oracle would
+    hash-mismatch and the xxhash64-sampled diff would masquerade as
+    a PageRank arithmetic bug (r10 review) — so this guard trips
+    FIRST, with the real explanation, at half the cap."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    biggest = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()["m"]
+    )
+    assert biggest <= 32, (
+        f"max basket {biggest} is within 2x of copurchase_edges' "
+        "max_basket=64 — raise the cap (and this guard) or x92's "
+        "Spark result will silently diverge from its uncapped oracle"
+    )
+
+
 def _ref_pagerank_redistribute(edges, iters, scale=10**6):
     """Pure-Python textbook-convention reference: node universe
     src ∪ dst, dangling mass redistributed uniformly, same integer
