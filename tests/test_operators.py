@@ -1757,3 +1757,108 @@ def test_mg_decrement_at_capacity_plus_one_boundary():
     batch2 = pd.DataFrame({"token": ["A"] * 5 + ["B"] * 4 + ["C"] * 3})
     out2 = next(_mg_summarize(iter([batch2]), "token", capacity=3))
     assert set(out2["token"]) == {"A", "B", "C"}
+
+
+def test_seasonal_decompose_gap_semantics_and_hand_values(spark):
+    """operators/timeseries.py (pre-built r11 registration candidate,
+    the x87 precedent): RANGE frames make a missing period a missing
+    VALUE — the trend must be NULL wherever any of the 13 window
+    periods is absent, and exact (2·Σ_inner + lo + hi) everywhere
+    else. Hand-computed on a 26-month series with one gap."""
+    from duckdb_retail_pipeline_spark.operators import timeseries as TS
+
+    # months 0..25 with month 17 missing; cents = 100*(t+1)
+    rows = [("a", m, 100 * (m + 1)) for m in range(26) if m != 17]
+    series = spark.createDataFrame(rows, "key string, t long, cents long")
+    out = {
+        r["t"]: (r["trend_x2p"], r["detr_x2p"])
+        for r in TS.decompose_additive(series).collect()
+    }
+    # full window at t=6: inner = sum(cents[1..11]), lo = cents[0],
+    # hi = cents[12] — all linear, so trend_x24 = 24 * cents[6]
+    assert out[6] == (24 * 700, 0)
+    # every t whose ±6 window touches the t=17 gap gets NULL trend
+    for tt in range(11, 24):
+        if tt == 17:
+            continue
+        assert out[tt][0] is None, tt
+    # windows clear of both the edges and the gap are exact again
+    assert out[7] == (24 * 800, 0)
+    # edges (incomplete window) are NULL, statsmodels-style
+    assert out[0][0] is None and out[25][0] is None
+
+
+def test_seasonal_decompose_matches_duckdb_differential(spark, sf_dir, duck):
+    """Cross-engine differential for the pre-built seasonal
+    decomposition (this SQL is the future x96 oracle): monthly
+    per-nation order revenue → centered-MA trend → per-month-of-year
+    seasonal (sum, count) integers + one-division means. Integer
+    columns must match bit-exactly; seasonal_avg is a single IEEE
+    division of matching integers, so it matches exactly too."""
+    from pyspark.sql import functions as F
+
+    from duckdb_retail_pipeline_spark.operators import timeseries as TS
+    from duckdb_retail_pipeline_spark.queries.base import tbl
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    series = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("key"),
+            (
+                F.year(F.to_date("o_orderdate")) * 12
+                + F.month(F.to_date("o_orderdate"))
+                - 1
+            ).cast("bigint").alias("t"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("key", "t")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    got = sorted(
+        (
+            (r["key"], r["pos"], r["seasonal_sum_x2p"], r["n_obs"],
+             round(r["seasonal_avg"], 9))
+            for r in TS.seasonal_means(TS.decompose_additive(series)).collect()
+        )
+    )
+    want = sorted(
+        (int(k), int(p), int(s), int(n), round(a, 9))
+        for k, p, s, n, a in duck.execute("""
+        WITH series AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS key,
+                   CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) * 12
+                        + EXTRACT(MONTH FROM CAST(o.o_orderdate AS DATE)) - 1
+                        AS BIGINT) AS t,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), dec AS (
+            SELECT key, t, cents,
+                   CASE WHEN COUNT(cents) OVER w13 = 13 THEN
+                       CAST(2 * SUM(cents) OVER w11
+                            + SUM(cents) OVER wlo + SUM(cents) OVER whi
+                            AS BIGINT)
+                   END AS trend_x2p
+            FROM series
+            WINDOW w11 AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+                   wlo AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 6 PRECEDING AND 6 PRECEDING),
+                   whi AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 6 FOLLOWING AND 6 FOLLOWING),
+                   w13 AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        )
+        SELECT key, t % 12 AS pos,
+               CAST(SUM(24 * cents - trend_x2p) AS BIGINT) AS seasonal_sum_x2p,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(24 * cents - trend_x2p) AS DOUBLE)
+                   / (COUNT(*) * 24.0) AS seasonal_avg
+        FROM dec WHERE trend_x2p IS NOT NULL
+        GROUP BY 1, 2
+        """).fetchall()
+    )
+    assert got == want
