@@ -1862,3 +1862,27 @@ def test_seasonal_decompose_matches_duckdb_differential(spark, sf_dir, duck):
         """).fetchall()
     )
     assert got == want
+
+
+def test_dataset_memo_failed_build_releases_lock_and_retries(spark, tmp_path):
+    """A build() that raises must leave no memo entry and a usable
+    per-key lock — the next caller retries the build instead of
+    deadlocking or being served a half-registered value."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1,)], "id long").write.mode("overwrite").parquet(p)
+    d = str(tmp_path)
+
+    def bad_build():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        dataset_memo(spark, d, "fail_probe", bad_build)
+    ok = dataset_memo(
+        spark, d, "fail_probe", lambda: spark.read.parquet(p).persist()
+    )
+    assert ok.count() == 1
+    ok.unpersist()
