@@ -59,15 +59,43 @@ _LOCKS_GUARD = threading.Lock()
 _KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 _COUNT_LOCKS: dict[tuple[str, int], threading.Lock] = {}
 _SLOT_LOCKS: dict[int, tuple[list, threading.Lock]] = {}
+# registry size that triggers an eviction sweep of empty-slot
+# entries. Production slots are module-level constants (a few dozen
+# call sites) and never evict; the sweep exists for dynamically
+# created slots (tests, exploratory sessions) whose strong refs
+# would otherwise accumulate for the process lifetime — a list
+# cannot be weak-referenced, so eviction is the only GC path.
+_SLOT_LOCKS_SWEEP_AT = 64
 
 
-def _slot_lock(slot: list) -> threading.Lock:
-    with _LOCKS_GUARD:
-        ent = _SLOT_LOCKS.get(id(slot))
-        if ent is None or ent[0] is not slot:
-            ent = (slot, threading.Lock())
-            _SLOT_LOCKS[id(slot)] = ent
-        return ent[1]
+def _acquire_slot_lock(slot: list) -> threading.Lock:
+    """Return the ACQUIRED per-slot lock, revalidating after the
+    acquire: the eviction sweep may drop an entry between a racer's
+    lookup and its acquire, and two threads holding different lock
+    objects for one slot would reintroduce the interleave this lock
+    exists to prevent — on a stale entry, release and retry. Only
+    entries whose slot is EMPTY and whose lock is unheld are swept,
+    so production occupants are never touched."""
+    while True:
+        with _LOCKS_GUARD:
+            if len(_SLOT_LOCKS) > _SLOT_LOCKS_SWEEP_AT:
+                for k in [
+                    k
+                    for k, (s, lk) in _SLOT_LOCKS.items()
+                    if not s and not lk.locked()
+                ]:
+                    del _SLOT_LOCKS[k]
+            ent = _SLOT_LOCKS.get(id(slot))
+            if ent is None or ent[0] is not slot:
+                ent = (slot, threading.Lock())
+                _SLOT_LOCKS[id(slot)] = ent
+        lock = ent[1]
+        lock.acquire()
+        with _LOCKS_GUARD:
+            cur = _SLOT_LOCKS.get(id(slot))
+            if cur is not None and cur[0] is slot and cur[1] is lock:
+                return lock
+        lock.release()
 
 # (appId, semanticHash) -> (input signature, row count) — the
 # signature lives in the VALUE, not the key, so an in-session dataset
@@ -207,7 +235,13 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     the signature WITH the occupant (instead of a module dict keyed
     by ``id(slot)``) means it lives exactly as long as the occupant
     — no leak for garbage-collected slots, no CPython id-reuse
-    associating a stale signature with a new list (r7 ADVICE).
+    associating a stale signature with a new list (r7 ADVICE). The
+    r10 per-slot LOCK registry is the one deliberate exception to
+    that rule: lists cannot be weak-referenced, so it holds a strong
+    reference per slot — which also makes id-reuse impossible for
+    live entries — and sweeps empty-slot/unheld entries past a size
+    threshold so dynamically created slots cannot accumulate for the
+    process lifetime (``_acquire_slot_lock``).
 
     Staleness is validated by RE-STAT-ing the occupant's own stored
     uris, never by listing the fresh plan's input files: once the
@@ -221,7 +255,8 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
     in-session regeneration under the same path still rotates: the
     stored uris' mtime_ns/size change (overwrite) or the stat fails
     (part files renamed), either of which mismatches."""
-    with _slot_lock(slot):
+    lock = _acquire_slot_lock(slot)
+    try:
         if slot:
             occupant, occ_sig = slot[0]
             try:
@@ -241,6 +276,8 @@ def rotating_persist(df: DataFrame, slot: list) -> DataFrame:
         df = df.persist()
         slot.append((df, sig))
         return df
+    finally:
+        lock.release()
 
 
 def _restat(sig: frozenset | None) -> frozenset | None:

@@ -1852,7 +1852,7 @@ def test_seasonal_decompose_matches_duckdb_differential(spark, sf_dir, duck):
                    w13 AS (PARTITION BY key ORDER BY t
                            RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)
         )
-        SELECT key, t % 12 AS pos,
+        SELECT key, ((t % 12) + 12) % 12 AS pos,
                CAST(SUM(24 * cents - trend_x2p) AS BIGINT) AS seasonal_sum_x2p,
                CAST(COUNT(*) AS BIGINT) AS n_obs,
                CAST(SUM(24 * cents - trend_x2p) AS DOUBLE)
@@ -1862,6 +1862,44 @@ def test_seasonal_decompose_matches_duckdb_differential(spark, sf_dir, duck):
         """).fetchall()
     )
     assert got == want
+
+
+def test_seasonal_decompose_duplicate_rows_and_negative_t(spark):
+    """r10 review: (a) a duplicated (key, t) row must NULL the trend
+    — the row-count guard alone passed 13 rows spanning only 12
+    distinct periods and emitted an exact-looking wrong integer;
+    (b) seasonal positions use pmod, so a negative time index
+    (months relative to a mid-corpus reference) groups with its
+    positive calendar twin — plain % follows the dividend sign in
+    both engines, so only a direct test catches the split; (c) the
+    period travels in column metadata, so seasonal_means cannot be
+    run at a mismatched period."""
+    from duckdb_retail_pipeline_spark.operators import timeseries as TS
+
+    # (a) months 0..12 complete, but t=5 duplicated: 14 rows, 13
+    # distinct periods at the center — the ±6 window at t=6 has 14
+    # rows / 13 periods -> NULL, never a double-counted trend
+    rows = [("a", m, 100) for m in range(13)] + [("a", 5, 100)]
+    series = spark.createDataFrame(rows, "key string, t long, cents long")
+    out = TS.decompose_additive(series).collect()
+    assert all(r["trend_x2p"] is None for r in out)
+
+    # (b) flat series over t in [-12, 13): trend exists away from
+    # edges; every pos must be in [0, 12) with December twins merged
+    rows2 = [("a", m, 100) for m in range(-12, 13)]
+    series2 = spark.createDataFrame(rows2, "key string, t long, cents long")
+    dec2 = TS.decompose_additive(series2)
+    sm = TS.seasonal_means(dec2).collect()
+    assert sm and all(0 <= r["pos"] < 12 for r in sm)
+    # flat series: detrended is 0 everywhere the trend exists
+    assert all(r["seasonal_sum_x2p"] == 0 for r in sm)
+    # t=-6 and t=6 are the same position (pmod), counted together
+    by_pos = {r["pos"]: r["n_obs"] for r in sm}
+    assert by_pos[6] == 2
+
+    # (c) the period rides in the schema metadata
+    field = {f.name: f for f in dec2.schema.fields}["detr_x2p"]
+    assert field.metadata["period"] == 12
 
 
 def test_dataset_memo_failed_build_releases_lock_and_retries(spark, tmp_path):

@@ -338,5 +338,9 @@ def test_pagerank_dangling_no_edge_sized_nested_loops(spark, sf_dir):
     # each node's header. (An earlier draft asserted on
     # 'ShuffledNestedLoopJoin', a node Spark does not have — the
     # assert could never fire.)
+    from duckdb_retail_pipeline_spark.queries.analytics import _X94_ITERS
+
     bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
-    assert len(bnlj) <= 2 * 3, plan  # 2 scalar crossJoins x 3 iters
+    # 2 scalar crossJoins per iteration — bound tied to the query's
+    # own constant so an iteration change can't silently loosen it
+    assert len(bnlj) <= 2 * _X94_ITERS, plan
