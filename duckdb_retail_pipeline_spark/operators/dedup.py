@@ -856,3 +856,114 @@ def dedup_clusters(
         F.col("lbl").alias("cluster_id"),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.97,
+    n_cells: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then prune semantic near-dups
+    WITHIN each cluster — data-adaptive blocking, where the other
+    embedding path here (embedding_dup_pairs) blocks by random
+    hyperplane signs. The paper's regime is web-scale pretraining
+    corpora where semantically-identical-but-textually-different
+    documents (mirrors, templates, paraphrases) survive every
+    lexical dedup pass.
+
+    Keep rule (deterministic and first-order, so the oracle is one
+    anti-join): a row is DROPPED iff some same-cell neighbor has
+    cosine ≥ ``threshold`` to it AND precedes it in the
+    (cent_cos, id) total order — the paper's keep-the-least-
+    centroid-similar convention made exact by the id tie-break over
+    dround(4) centroid cosines (cosines carry no mass at decimal
+    ties; the rounding only makes the ORDER identical cross-engine).
+    This is the dominated-neighbor form, not a transitive-component
+    sweep: a chain A~B~C (A≁C) keeps A and drops B and C, where the
+    component rule would also keep nothing but A — callers wanting
+    transitive groups compose with connected_components instead.
+
+    Returns (id_col, cell, cent_cos, keep). Scale shape: the k-means
+    assignment is the IVF build (one distributed pass per Lloyd
+    iteration; only centroid floats reach the driver — see
+    similarity.build_ivf_index), candidate pairs are blocked by the
+    cell equi-join with per-row hoisted norms (cosine_from_parts),
+    O(cell²) per cell with n_cells ≈ √corpus at scale
+    (resolve_ivf_cells) — the IVF bound, never all-pairs."""
+    from duckdb_retail_pipeline_spark.operators import similarity as S
+    from duckdb_retail_pipeline_spark.queries.base import dround
+
+    idx = S.build_ivf_index(
+        emb,
+        n_cells=n_cells,
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        persist=False,
+    )
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in idx["cents"]]
+    )
+    scored = idx["assigned"].select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cell").cast("bigint").alias("cell"),
+        V.norm(vec_col).alias("__norm"),
+        dround(
+            V.cosine_similarity(
+                F.col(vec_col),
+                F.element_at(cent_lits, (F.col("__cell") + 1).cast("int")),
+            ),
+            4,
+        ).alias("cent_cos"),
+    )
+    left = scored.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+        "cell",
+        F.col("__norm").alias("__na"),
+        F.col("cent_cos").alias("__ca"),
+    )
+    right = scored.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+        "cell",
+        F.col("__norm").alias("__nb"),
+        F.col("cent_cos").alias("__cb"),
+    )
+    dominated = (
+        left.join(right, "cell")
+        .filter(
+            (F.col("__id_a") != F.col("__id_b"))
+            & (
+                (F.col("__cb") < F.col("__ca"))
+                | (
+                    (F.col("__cb") == F.col("__ca"))
+                    & (F.col("__id_b") < F.col("__id_a"))
+                )
+            )
+        )
+        .filter(
+            dround(
+                V.cosine_from_parts(
+                    "__va", "__vb", F.col("__na"), F.col("__nb")
+                ),
+                4,
+            )
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return scored.join(
+        dominated.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        "cent_cos",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    )

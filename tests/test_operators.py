@@ -1924,3 +1924,104 @@ def test_dataset_memo_failed_build_releases_lock_and_retries(spark, tmp_path):
     )
     assert ok.count() == 1
     ok.unpersist()
+
+
+def test_semantic_dedup_keep_rule_hand_crafted(spark):
+    """SemDeDup pre-built candidate (operators/dedup.py): the
+    dominated-neighbor keep rule on an engineered corpus — one
+    near-dup pair at cent_cos 1.0 (id tie-break drops the higher id)
+    and one orthogonal pair at cent_cos 0.0 (same), singleton cell
+    population semantics via n_cells=1."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 1e-7]),   # near-dup of 0 -> dropped (higher id)
+        (2, [0.0, 1.0]),    # orthogonal to 0/1 -> kept
+        (3, [1e-7, 1.0]),   # near-dup of 2 -> dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in D.semantic_dedup(
+            emb, threshold=0.97, n_cells=1, kmeans_iters=0
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_semantic_dedup_matches_duckdb_differential(spark, sf_dir, duck):
+    """Cross-engine differential for SemDeDup (this SQL is the future
+    registration oracle): kmeans_iters=0 pins the centroids to the
+    first n_cells vectors by id, so the oracle reproduces the
+    assignment argmax, the dround(4) centroid-cosine order, and the
+    dominated anti-join exactly. threshold=0.3 because the synthetic
+    embeddings are near-orthogonal (no mass above cosine ~0.5) — the
+    drop path must actually fire (208 of 500 dropped at sf0.001)."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        SQL_COSINE_PARTS,
+        _sql_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cells, th = 4, 0.3
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(n_cells).collect()
+    ]
+
+    got = sorted(
+        (r["vec_id"], r["cell"], round(r["cent_cos"], 9), r["keep"])
+        for r in D.semantic_dedup(
+            emb, threshold=th, n_cells=n_cells, kmeans_iters=0
+        ).collect()
+    )
+    assert any(not k for _, _, _, k in got)  # the drop path fired
+
+    def lit(vec):
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    def cos(col, cvec):
+        return (
+            f"({SQL_COSINE_PARTS.format(a=col, b=lit(cvec))}"
+            f" / NULLIF({_sql_norm(col)} * {_sql_norm(lit(cvec))}, 0.0))"
+        )
+
+    sims = "[" + ", ".join(cos("embedding", c) for c in cents) + "]"
+    sql = f"""
+        WITH base AS (
+            SELECT vec_id, embedding, {sims} AS sims,
+                   {_sql_norm('embedding')} AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT vec_id, embedding, nrm,
+                   CAST(COALESCE(list_position(sims,
+                        list_aggregate(sims, 'max')) - 1, 0) AS BIGINT)
+                       AS cell,
+                   sims
+            FROM base
+        ), sc AS (
+            SELECT vec_id, embedding, nrm, cell,
+                   CAST(CAST(sims[cell + 1] AS DECIMAL(28,4)) AS DOUBLE)
+                       AS cent_cos
+            FROM scored
+        ), dominated AS (
+            SELECT DISTINCT a.vec_id
+            FROM sc a JOIN sc b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             AND (b.cent_cos < a.cent_cos
+                  OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+            WHERE CAST(CAST(
+                    {SQL_COSINE_PARTS.format(a='a.embedding', b='b.embedding')}
+                    / NULLIF(a.nrm * b.nrm, 0.0)
+                  AS DECIMAL(28,4)) AS DOUBLE) >= {th}
+        )
+        SELECT s.vec_id, s.cell, s.cent_cos, d.vec_id IS NULL AS keep
+        FROM sc s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+    """
+    want = sorted(
+        (int(v), int(c), round(cc, 9), bool(k))
+        for v, c, cc, k in duck.execute(sql).fetchall()
+    )
+    assert got == want
