@@ -11,19 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duckdb_retail_pipeline_spark.functions.aggregates import count_distinct_if
-
-
-def _money_sum(col: F.Column, dp: int) -> F.Column:
-    # the ONE exact-cents convention, from queries.base — a local
-    # copy had already been byte-identical; importing lazily keeps
-    # the pipeline layer import-order-independent of the query
-    # registry (queries/__init__ imports every query module)
-    from duckdb_retail_pipeline_spark.queries.base import money_sum
-
-    return money_sum(col, dp)
-
-
 def build_agg_country_day(
     fct_sales_eur: DataFrame,
     dim_customer: DataFrame,
@@ -42,16 +29,39 @@ def build_agg_country_day(
     aggregation: the shuffle carries 2 grouping keys per fact row
     instead of 8, and the broadcast calendar lands on the few-K
     aggregated rows. Equivalent result, ~4× narrower shuffle — the
-    plan that survives a 100 TB fact table."""
+    plan that survives a 100 TB fact table.
+
+    The distinct-order count runs as an invoice-level pre-aggregation
+    (groupBy(date, country, invoice_no) partials, then the final
+    2-key rollup counting non-cancelled invoice ROWS) instead of a
+    direct conditional count_distinct: the count-distinct plan's
+    Expand doubles every fact row through the shuffle, and at the
+    100× decade the two narrow shuffles beat it 5.40 s vs 7.25 s warm
+    (−25%; at sf0.1 they measured equal, 1.01 vs 0.98 — the r8
+    rejection of this shape was re-tested at scale in r10 and
+    reversed). Value-identical by construction — the invoice rows
+    are distinct per group, and the integer-cent partials re-sum
+    associatively — and verified bit-exact against the count_distinct
+    form at sf0.001/sf0.01 before the swap."""
     base = fct_sales_eur.join(F.broadcast(dim_customer), "customer_id", "inner")
-    agg = base.groupBy("date", "country").agg(
-        count_distinct_if(
-            ~F.col("invoice_no").like("C%"), F.col("invoice_no")
-        ).alias("orders"),
-        F.count(F.lit(1)).alias("items"),
-        F.sum("qty").cast("bigint").alias("net_qty"),
-        _money_sum(F.col("gross_amount_gbp"), 2).alias("net_revenue_gbp"),
-        _money_sum(F.col("gross_amount_eur"), 4).alias("net_revenue_eur"),
+    inv = base.groupBy("date", "country", "invoice_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_items"),
+        F.sum("qty").cast("bigint").alias("_qty"),
+        F.sum(
+            F.round(F.col("gross_amount_gbp") * 100, 0).cast("bigint")
+        ).alias("_gbp_cents"),
+        F.sum(
+            F.round(F.col("gross_amount_eur") * 10000, 0).cast("bigint")
+        ).alias("_eur_cents"),
+    )
+    agg = inv.groupBy("date", "country").agg(
+        F.sum(
+            F.when(~F.col("invoice_no").like("C%"), 1).otherwise(0)
+        ).cast("bigint").alias("orders"),
+        F.sum("_items").cast("bigint").alias("items"),
+        F.sum("_qty").cast("bigint").alias("net_qty"),
+        (F.sum("_gbp_cents") / F.lit(100.0)).alias("net_revenue_gbp"),
+        (F.sum("_eur_cents") / F.lit(10000.0)).alias("net_revenue_eur"),
     )
     return agg.join(F.broadcast(dim_calendar), "date", "inner").select(
         "date",
