@@ -2025,3 +2025,99 @@ def test_semantic_dedup_matches_duckdb_differential(spark, sf_dir, duck):
         for v, c, cc, k in duck.execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_pagerank_fixed_point_contract_matches_duckdb_differential(
+    spark, sf_dir, duck
+):
+    """Cross-engine differential for the until-stable PageRank
+    contract frame (this SQL is the future registration oracle;
+    ROADMAP r11 queue #4): the customer→part bipartite purchase graph
+    (x94's edge definition — every part dangling, ids offset out of
+    the customer key space) converges in 9 iterations at
+    epsilon_per_node=200 at both sf0.001 and sf0.01 — a genuinely
+    data-dependent depth no fixed oracle string can unroll. The
+    oracle re-derives the node universe + outdeg exactly and expects
+    both booleans TRUE — converged (the operator's own stop flag) and
+    fixed_point_holds (an independent in-plan one-more-step recheck
+    of the fixed-point PROPERTY, which a fixed SQL string CAN gate
+    even though the depth is data-dependent)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_retail_pipeline_spark.operators import graph as G
+    from duckdb_retail_pipeline_spark.queries.base import tbl
+
+    OFFSET = 1_000_000_000
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(OFFSET) + F.col("l_partkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    got = [
+        (r["node"], r["outdeg"], r["converged"], r["fixed_point_holds"])
+        for r in G.pagerank_fixed_point_contract(
+            edges, max_iters=60, epsilon_per_node=200,
+            redistribute_dangling=True,
+        )
+        .orderBy("node")
+        .collect()
+    ]
+    want = [
+        (int(n), int(d), bool(cv), bool(fp))
+        for n, d, cv, fp in duck.execute("""
+        WITH edges AS (
+            SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                   CAST(1000000000 + l.l_partkey AS BIGINT) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        ), deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src
+        )
+        SELECT n.node, CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg,
+               TRUE AS converged, TRUE AS fixed_point_holds
+        FROM nodes n LEFT JOIN deg d ON n.node = d.src
+        ORDER BY n.node
+        """).fetchall()
+    ]
+    assert got == want
+
+
+def test_graph_and_sketch_operators_on_empty_input(spark):
+    """Degenerate-input pin (r10 continuation probe): every r9/r10
+    graph/sketch operator must return an EMPTY frame with the
+    contracted schema on zero-row input — not raise from an empty
+    aggregate, a .first() returning None, or an MG kernel seeing no
+    Arrow batches. until-stable on an empty graph is vacuously
+    converged after its first (no-op) probe."""
+    from duckdb_retail_pipeline_spark.operators import (
+        graph as G,
+        sketch as SK,
+    )
+
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert G.pagerank(empty_edges, iters=2).count() == 0
+    assert (
+        G.pagerank(empty_edges, iters=2, redistribute_dangling=True).count()
+        == 0
+    )
+    res, iters_run, converged = G.pagerank_until_stable(
+        empty_edges, max_iters=5, epsilon=0
+    )
+    assert res.count() == 0 and converged and iters_run == 1
+
+    empty_li = spark.createDataFrame([], "l_orderkey bigint, l_partkey bigint")
+    assert G.copurchase_edges(empty_li).count() == 0
+
+    empty_toks = spark.createDataFrame([], "token string")
+    out = SK.frequent_tokens_exact(empty_toks, k=5, capacity=4, max_doublings=1)
+    assert out.count() == 0
+    assert out.columns == ["token", "n_occurrences", "heavy_bound_holds"]
+    assert SK.frequent_tokens(empty_toks, k=5, capacity=4).count() == 0
