@@ -106,6 +106,25 @@ def salted_group_sum(
     return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(out_col))
 
 
+def _orphaned_table_location(spark: SparkSession, table_name: str):
+    """The managed-table location ``saveAsTable`` would claim, IF it
+    already exists on disk while the catalog does NOT know the table
+    — i.e. the leftover of a session that crashed between writing
+    files and registering them (or a previous process whose
+    in-memory/derby metastore died with it). Returns a Hadoop Path or
+    None."""
+    if spark.catalog.tableExists(table_name):
+        return None
+    db = spark.catalog.currentDatabase()
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    leaf = table_name.lower()
+    loc = f"{wh}/{leaf}" if db == "default" else f"{wh}/{db}.db/{leaf}"
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return path if fs.exists(path) else None
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -115,7 +134,22 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (optionally sorted) managed table —
     repeated joins/aggs on ``bucket_col`` then read pre-partitioned
-    data and skip the exchange entirely (guide: 'Bucketing')."""
+    data and skip the exchange entirely (guide: 'Bucketing').
+
+    Overwrite semantics include ORPHANED locations: a crashed prior
+    session can leave the table's directory on disk with no catalog
+    entry (measured: a fresh session then fails
+    LOCATION_ALREADY_EXISTS even with mode=overwrite, because
+    overwrite only replaces tables the metastore knows). Since the
+    caller asked to overwrite, the orphan is reclaimed — the deleted
+    path is exactly the one Spark itself would have replaced had the
+    catalog entry survived the crash, never an arbitrary directory."""
+    spark = df.sparkSession
+    orphan = _orphaned_table_location(spark, table_name)
+    if orphan is not None:
+        orphan.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+            orphan, True
+        )
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -142,3 +142,34 @@ def test_grouped_ols_nonstring_group_and_null_pairs(spark):
     assert out[7]["n"] == 3
     assert out[8]["slope"] == 0.0
     assert grouped_ols(df, "uid", "x", "y").schema["uid"].dataType.simpleString() == "bigint"
+
+
+def test_write_bucketed_reclaims_orphaned_location(spark, sf_dir):
+    """A crashed prior session leaves the managed table's directory
+    on disk with NO catalog entry; saveAsTable(mode=overwrite) then
+    fails LOCATION_ALREADY_EXISTS because overwrite only replaces
+    tables the metastore knows (hit for real while benchmarking at
+    the 100× decade). write_bucketed must reclaim the orphan — and
+    must NOT touch the location of a table the catalog DOES know,
+    where plain overwrite semantics apply."""
+    import os
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan_dir = os.path.join(wh, "t_orphan_b")
+    os.makedirs(os.path.join(orphan_dir, "junk"), exist_ok=True)
+    with open(os.path.join(orphan_dir, "junk", "part-stale.parquet"), "w") as f:
+        f.write("not parquet")
+    assert not spark.catalog.tableExists("t_orphan_b")
+
+    scale.write_bucketed(orders, "t_orphan_b", "o_orderkey", 4)
+    got = spark.table("t_orphan_b").count()
+    assert got == orders.count()
+    # the stale junk did not survive into the reclaimed table dir
+    assert not os.path.exists(os.path.join(orphan_dir, "junk"))
+
+    # registered-table path: second overwrite goes through saveAsTable
+    # overwrite (no orphan branch) and still lands the right rows
+    scale.write_bucketed(orders.limit(10), "t_orphan_b", "o_orderkey", 4)
+    assert spark.table("t_orphan_b").count() == 10
+    spark.sql("DROP TABLE t_orphan_b")
