@@ -39,16 +39,30 @@ the batch's distinct-token count plus capacity, shrinking back to
 ~10k rows) keep that peak trivially small; do not set a tiny
 capacity expecting it to bound the per-batch peak.
 
-Honest crossover, measured (r9, 100× decade, 550M tokens): on the
-SYNTHETIC corpus — small vocabulary, no heavy tail — the plain
-``groupBy(token)`` top-k runs 3.4 s warm vs this path's 5.1 s:
-map-side combine collapses a small vocabulary for free, and the MG
-candidate pass is pure overhead there. The two-pass shape wins when
-the vocabulary TAIL dominates — web-scale corpora where near-unique
-tokens (URLs, ids, typos) make the groupBy hash tables spill and the
-shuffle carry billions of singleton rows; that regime is exactly
-what the synthetic testdata cannot exhibit, so the claim is scoped
-to it rather than asserted from the benchmark.
+Honest crossover, measured twice (the scoped-claim discipline):
+
+- r9, 100× decade, 550M tokens, SMALL vocabulary: plain
+  ``groupBy(token)`` 3.4 s warm vs this path's 5.1 s — map-side
+  combine collapses a small vocabulary for free.
+- late r10, a deliberately TAIL-HEAVY deterministic Zipf corpus
+  (100M occurrences, 7.3M distinct tokens — log-uniform token map,
+  freq ∝ 1/rank): plain groupBy 2.75 s vs MG 19.9–24.1 s across
+  capacity ∈ {256, 512, 1024} (certified from 512 up; recounted
+  top-20 identical to the groupBy's). The tail alone does NOT
+  rescue the two-pass shape on one box: the candidate pass is an
+  Arrow→pandas scan (~0.2 µs/row) while the hash aggregate is
+  whole-stage-codegen JVM (~0.03 µs/row), and a single-machine
+  "shuffle" of 7M partial rows moves through the memory bus in
+  well under the 17 µs/row gap.
+
+So the win regime is narrower than "tail-heavy": it needs the
+full-vocab shuffle to be NETWORK-bound and the partial-agg hash
+tables to spill — a 1000-executor cluster shuffling billions of
+singletons — or the scan to already be Python-resident. On any
+single box measured so far the plain groupBy wins at every
+vocabulary shape; ``exact_topk_tokens`` is the default choice there
+and the registered queries (x93/x95) gate the machinery's
+EXACTNESS, not a speed claim.
 """
 
 from __future__ import annotations
