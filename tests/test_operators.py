@@ -2121,3 +2121,31 @@ def test_graph_and_sketch_operators_on_empty_input(spark):
     assert out.count() == 0
     assert out.columns == ["token", "n_occurrences", "heavy_bound_holds"]
     assert SK.frequent_tokens(empty_toks, k=5, capacity=4).count() == 0
+
+
+def test_pagerank_fixed_point_contract_evaporate_symmetric(spark):
+    """The contract frame's other convention: evaporate dangling
+    mass (redistribute_dangling=False) on a SYMMETRIC graph — the
+    x92 contract, where the universe is stable (every node has
+    out-edges) and the fixed point exists without redistribution.
+    Booleans must come back TRUE and the universe must be the
+    distinct sources."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in
+         [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1)]],
+        "src bigint, dst bigint",
+    )
+    rows = (
+        G.pagerank_fixed_point_contract(
+            edges, max_iters=60, epsilon_per_node=200,
+            redistribute_dangling=False,
+        )
+        .orderBy("node")
+        .collect()
+    )
+    assert [r["node"] for r in rows] == [1, 2, 3, 4]
+    assert all(r["converged"] for r in rows)
+    assert all(r["fixed_point_holds"] for r in rows)
+    assert all(r["outdeg"] == 2 for r in rows)
