@@ -35,14 +35,22 @@ def build_agg_country_day(
     (groupBy(date, country, invoice_no) partials, then the final
     2-key rollup counting non-cancelled invoice ROWS) instead of a
     direct conditional count_distinct: the count-distinct plan's
-    Expand doubles every fact row through the shuffle, and at the
-    100× decade the two narrow shuffles beat it 5.40 s vs 7.25 s warm
-    (−25%; at sf0.1 they measured equal, 1.01 vs 0.98 — the r8
-    rejection of this shape was re-tested at scale in r10 and
-    reversed). Value-identical by construction — the invoice rows
-    are distinct per group, and the integer-cent partials re-sum
-    associatively — and verified bit-exact against the count_distinct
-    form at sf0.001/sf0.01 before the swap."""
+    Expand doubles every fact row through the shuffle. Measured over
+    the explicitly persisted fct frame (late-r10 correction — the
+    numbers first recorded for this swap, 5.40 vs 7.25 s "at 100×",
+    actually match the 10× regime; a dir mix-up): sf0.1 equal
+    (1.01 vs 0.98), 10× 7.8 vs 9.6 (−19%), TRUE 100× 97 vs 152 s
+    warm (−36%). The swap direction holds at every decade, but note
+    the 100× honesty findings: the (date, country, invoice) group
+    cardinality is ≈ the fact row count there (invoices span up to
+    16 dates in the grown data), so the pre-agg collapses little
+    and ~40 s of the cost is the bare 57M-row cached-scan +
+    2-key-agg floor under the 16g harness — the at-scale lever is
+    fact-table layout (bucket by invoice), not a third aggregation
+    shape. Value-identical by construction — the invoice rows are
+    distinct per group, and the integer-cent partials re-sum
+    associatively — and verified bit-exact against the
+    count_distinct form at sf0.001/sf0.01 before the swap."""
     base = fct_sales_eur.join(F.broadcast(dim_customer), "customer_id", "inner")
     inv = base.groupBy("date", "country", "invoice_no").agg(
         F.count(F.lit(1)).cast("bigint").alias("_items"),
