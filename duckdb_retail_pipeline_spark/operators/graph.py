@@ -370,6 +370,19 @@ def pagerank_fixed_point_contract(
     damping-driven, not size-driven. The near-regular nation→nation
     trade graph converges in 1–2 iterations (ranks stay near-uniform
     on an almost-complete graph).
+
+    Evaporate-path caveat (self-review, late r10): with
+    ``redistribute_dangling=False`` the recheck restarts from the
+    RETURNED frame, which ``_finish`` filters to nodes with
+    outdeg ≥ 1 — on an ASYMMETRIC graph that is a strict subset of
+    the loop's final rank frame, and the one-more-step full-join
+    counts every dropped node as a full-magnitude change, so
+    ``fixed_point_holds`` can honestly read FALSE even though the
+    loop's own stop test fired. The evaporate instance is therefore
+    only meaningful on a symmetrized edge frame (the x92 contract,
+    where the universe is stable — pinned in
+    tests/test_operators.py); asymmetric graphs belong on the
+    redistribute path, which keeps every node in the output.
     """
     deg, edges_deg, nodes, n_nodes = _prepare(edges, redistribute_dangling)
     universe_n = (nodes if nodes is not None else deg).count()

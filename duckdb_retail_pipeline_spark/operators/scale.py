@@ -115,9 +115,15 @@ def _orphaned_table_location(spark: SparkSession, table_name: str):
     None."""
     if spark.catalog.tableExists(table_name):
         return None
-    db = spark.catalog.currentDatabase()
+    # a qualified "db.tbl" name locates under <wh>/<db>.db/<tbl>,
+    # not <wh>/db.tbl (self-review: the unsplit leaf derived a path
+    # saveAsTable never writes, making the reclaim a silent no-op)
+    if "." in table_name:
+        db, leaf = table_name.rsplit(".", 1)
+    else:
+        db, leaf = spark.catalog.currentDatabase(), table_name
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    leaf = table_name.lower()
+    leaf = leaf.lower()
     loc = f"{wh}/{leaf}" if db == "default" else f"{wh}/{db}.db/{leaf}"
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(loc)

@@ -173,3 +173,26 @@ def test_write_bucketed_reclaims_orphaned_location(spark, sf_dir):
     scale.write_bucketed(orders.limit(10), "t_orphan_b", "o_orderkey", 4)
     assert spark.table("t_orphan_b").count() == 10
     spark.sql("DROP TABLE t_orphan_b")
+
+
+def test_write_bucketed_reclaims_orphan_qualified_name(spark, sf_dir):
+    """Qualified db.table names locate under <wh>/<db>.db/<tbl> —
+    the reclaim must derive THAT path (self-review: the unsplit leaf
+    derived <wh>/db.tbl, a path saveAsTable never writes, silently
+    skipping the reclaim)."""
+    import os
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("CREATE DATABASE IF NOT EXISTS tdb")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan_dir = os.path.join(wh, "tdb.db", "t_orphan_q")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "stale"), "w") as f:
+        f.write("x")
+    assert not spark.catalog.tableExists("tdb.t_orphan_q")
+
+    scale.write_bucketed(orders, "tdb.t_orphan_q", "o_orderkey", 4)
+    assert spark.table("tdb.t_orphan_q").count() == orders.count()
+    assert not os.path.exists(os.path.join(orphan_dir, "stale"))
+    spark.sql("DROP TABLE tdb.t_orphan_q")
+    spark.sql("DROP DATABASE tdb")
