@@ -428,3 +428,71 @@ def pagerank_fixed_point_contract(
         F.lit(bool(converged)).alias("converged"),
         F.col("fixed_point_holds"),
     )
+
+
+_TRI_SLOT: list = []
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over an UNDIRECTED graph —
+    the classic local clustering signal (community tightness; a
+    co-purchase triangle means three parts each pairwise co-bought,
+    a far stronger association than x66's pairwise lift).
+
+    Input: a directed edge frame; undirected semantics are imposed
+    by canonicalizing each edge to (lo, hi) with lo < hi and
+    dropping duplicates/self-loops, so symmetric frames (x92's
+    co-purchase graph) and one-directional listings count
+    identically.
+
+    Algorithm — the standard ordered two-path join (node-iterator
+    with total order; e.g. Suri/Vassilvitskii WWW'11 use the same
+    ordering trick for MapReduce triangle counting): every triangle
+    a<b<c is found EXACTLY once by joining its two lowest-anchored
+    edges (a,b)+(a,c) on a (the wedge), then semi-joining the
+    closing edge (b,c). Per-node counts follow by exploding each
+    found triangle to its three corners.
+
+    Scale shape: one hash self-join on the lo endpoint (wedge
+    generation — Σ deg_lo², bounded by the same per-basket cap that
+    bounds the x92 edge build when fed copurchase_edges), one hash
+    semi-join against the canonical edge frame, one explode +
+    groupBy. No driver-side iteration, no collect; int64 counts.
+    The canonical edge frame is persisted for the two reads (wedge
+    side + closing-edge probe).
+
+    Measured (late r10, dirs + row counts printed per the
+    decade_check discipline): on the co-purchase graph the edge set
+    SATURATES under grow-replication (copies share part sets), so
+    warm is decade-flat — 6.3 s at sf0.1 and 5.0 s at the verified
+    100× (identical 5,653,464 total triangles; the wedge join over
+    the persisted ~1.2M-edge frame is the whole warm cost) — while
+    cold tracks the lineitem scan, 15.7 → 86.7 s. On a graph whose
+    edge set genuinely grows, warm grows with Σ deg² — the
+    per-basket cap is what keeps that bounded for baskets, and a
+    degree cap (same xxhash64-ranked trick) is the generic lever.
+    """
+    canon = rotating_persist(
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct(),
+        _TRI_SLOT,
+    )
+    # wedges anchored at the smallest corner: (a, b) + (a, c), b < c
+    ab = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    ac = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = ab.join(ac, "a").filter(F.col("b") < F.col("c"))
+    tris = wedges.join(
+        canon,
+        (wedges["b"] == canon["lo"]) & (wedges["c"] == canon["hi"]),
+        "left_semi",
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

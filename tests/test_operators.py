@@ -2149,3 +2149,63 @@ def test_pagerank_fixed_point_contract_evaporate_symmetric(spark):
     assert all(r["converged"] for r in rows)
     assert all(r["fixed_point_holds"] for r in rows)
     assert all(r["outdeg"] == 2 for r in rows)
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 minus one edge: nodes 1-4, all pairs except (3,4). The two
+    triangles are (1,2,3) and (1,2,4): nodes 1,2 sit in both, 3,4 in
+    one each. Fed DIRECTED duplicates + a self-loop to pin the
+    canonicalization (lo<hi, distinct)."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 3)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_counts(edges).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_matches_duckdb_differential(spark, sf_dir, duck):
+    """Cross-engine differential for per-node triangle counts over
+    the co-purchase graph (this SQL is the future registration
+    oracle): the same ordered two-path join a<b<c formulated
+    independently in ANSI SQL — every triangle found exactly once,
+    corners exploded via UNION ALL."""
+    from pyspark.sql import functions as F
+
+    from duckdb_retail_pipeline_spark.operators import graph as G
+    from duckdb_retail_pipeline_spark.queries.base import tbl
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    got = sorted(
+        (r["node"], r["n_triangles"])
+        for r in G.triangle_counts(G.copurchase_edges(li)).collect()
+    )
+    want = sorted(
+        (int(n), int(c))
+        for n, c in duck.execute("""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), canon AS (
+            SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+            FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ), tri AS (
+            SELECT ab.lo AS a, ab.hi AS b, ac.hi AS c
+            FROM canon ab
+            JOIN canon ac ON ab.lo = ac.lo AND ab.hi < ac.hi
+            JOIN canon bc ON bc.lo = ab.hi AND bc.hi = ac.hi
+        ), corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+        """).fetchall()
+    )
+    assert got == want
