@@ -90,8 +90,25 @@ def copurchase_edges(
     the driver SFs and the 100× decade: 17 distinct parts per order,
     so the cap never trips there and semantics are identical to
     uncapped — which is what the x92 oracle assumes). ``None``
-    disables the cap (the pre-r10 behavior)."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    disables the cap (the pre-r10 behavior).
+
+    Build shape (late r10): ONE exchange on l_orderkey feeds dedup,
+    cap window, and self-join — hash(l_orderkey) co-locates every
+    (l_orderkey, l_partkey) duplicate, so Catalyst accepts the
+    subset partitioning for the dropDuplicates clustering and for
+    the window/join, where a plain ``.distinct()`` first would
+    exchange the full fact on (l_orderkey, l_partkey) and then
+    AGAIN on l_orderkey for the window (plan-pinned: 5 → 3 Exchange
+    nodes; at a verified 100× the output is identical and the build
+    measured 21.3 vs 25.3 s median warm — within single-box run
+    variance, but the two eliminated exchanges are full-fact-sized,
+    which is the term that matters when exchanges are network-bound
+    on a cluster)."""
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     if max_basket is not None:
         w = Window.partitionBy("l_orderkey").orderBy(
             F.xxhash64("l_partkey"), F.col("l_partkey")

@@ -344,3 +344,56 @@ def test_pagerank_dangling_no_edge_sized_nested_loops(spark, sf_dir):
     # 2 scalar crossJoins per iteration — bound tied to the query's
     # own constant so an iteration change can't silently loosen it
     assert len(bnlj) <= 2 * _X94_ITERS, plan
+
+
+def test_copurchase_edge_build_single_fact_exchange(spark, sf_dir):
+    """The edge build's dedup + cap window + self-join must share ONE
+    exchange on l_orderkey (hash(l_orderkey) co-locates every
+    (l_orderkey, l_partkey) duplicate, so the subset partitioning
+    satisfies the dropDuplicates clustering): with broadcast
+    disabled — the at-scale shape the claim is about; at test SFs the
+    tiny side broadcasts and duplicates the items subtree instead —
+    the plan carries at most 3 Exchange nodes total (fact
+    repartition + pair-distinct + margin for an AQE read), where the
+    pre-r10 shape paid a second full-fact exchange for the
+    (orderkey, partkey) distinct before the window re-exchange."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+    from duckdb_retail_pipeline_spark.queries.base import tbl
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new_n = X.exchange_count(G.copurchase_edges(li))
+
+        # the pre-r10 shape, inline: plain distinct first, so the
+        # window (and each join side) re-exchanges the deduped fact
+        items = li.distinct()
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.xxhash64("l_partkey"), F.col("l_partkey")
+        )
+        items = (
+            items.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 64)
+            .drop("_rn")
+        )
+        a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+        b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+        old = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        old_n = X.exchange_count(old)
+        assert new_n < old_n, (
+            f"new={new_n} old={old_n}\n" + X.formatted_plan(
+                G.copurchase_edges(li)
+            )
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
