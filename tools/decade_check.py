@@ -50,8 +50,20 @@ def main() -> None:
     rows = spec.fn(spark, sf_dir).collect()
     cold = time.time() - t0
     # order-independent checksum over the stringified row set — a
-    # re-run on identical data must reproduce it bit-for-bit
-    checksum = sum(hash(str(sorted(map(str, r)))) & 0xFFFFFFFF for r in rows)
+    # re-run on identical data must reproduce it bit-for-bit. md5,
+    # NOT Python hash(): hash() is salted per process
+    # (PYTHONHASHSEED), which would defeat the cross-run comparison
+    # this tool exists for (caught in self-review before any
+    # recorded checksum relied on it).
+    import hashlib
+
+    checksum = sum(
+        int.from_bytes(
+            hashlib.md5(str(sorted(map(str, r))).encode()).digest()[:4],
+            "big",
+        )
+        for r in rows
+    )
     print(
         f"{name}: cold={cold:.2f}s result_rows={len(rows)} "
         f"checksum={checksum & 0xFFFFFFFF:#010x}"
