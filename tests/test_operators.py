@@ -2209,3 +2209,27 @@ def test_triangle_counts_matches_duckdb_differential(spark, sf_dir, duck):
         """).fetchall()
     )
     assert got == want
+
+
+def test_pagerank_fixed_point_contract_unconverged_is_honest(spark):
+    """max_iters too small: the contract frame must come back
+    well-formed with converged=False — and fixed_point_holds
+    reporting whatever the one-more-step recheck actually measured —
+    rather than raising or overclaiming. (A registered instance
+    would then hash-MISMATCH its all-TRUE oracle: loud, not silent.)"""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    # IRREGULAR degrees (a perfectly regular graph is an exact fixed
+    # point after one step and would honestly converge immediately —
+    # caught when the first draft used a symmetric 3-cycle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)],
+        "src bigint, dst bigint",
+    )
+    rows = G.pagerank_fixed_point_contract(
+        edges, max_iters=1, epsilon_per_node=0,
+        redistribute_dangling=True,
+    ).collect()
+    assert len(rows) == 3
+    assert all(not r["converged"] for r in rows)
+    assert all(r["fixed_point_holds"] in (True, False) for r in rows)
