@@ -2233,3 +2233,22 @@ def test_pagerank_fixed_point_contract_unconverged_is_honest(spark):
     assert len(rows) == 3
     assert all(not r["converged"] for r in rows)
     assert all(r["fixed_point_holds"] in (True, False) for r in rows)
+
+
+def test_frequent_tokens_exact_k_exceeds_vocabulary(spark):
+    """k larger than the distinct-token count: the MG certificate
+    can never read TRUE (the n_rows == k gate, r9 ADVICE), so the
+    operator must escalate through its doublings to the plain-groupBy
+    fallback and return ALL vocab rows — fewer than k, flagged TRUE
+    because the short result IS the exact top-min(k, vocab)."""
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "token string"
+    )
+    rows = SK.frequent_tokens_exact(
+        toks, k=10, capacity=4, max_doublings=1
+    ).collect()
+    got = sorted((r["token"], r["n_occurrences"], r["heavy_bound_holds"])
+                 for r in rows)
+    assert got == [("a", 5, True), ("b", 3, True), ("c", 1, True)]
