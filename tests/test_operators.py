@@ -2252,3 +2252,30 @@ def test_frequent_tokens_exact_k_exceeds_vocabulary(spark):
     got = sorted((r["token"], r["n_occurrences"], r["heavy_bound_holds"])
                  for r in rows)
     assert got == [("a", 5, True), ("b", 3, True), ("c", 1, True)]
+
+
+def test_bigram_lm_alternating_reference_slots_stay_correct(spark):
+    """Alternating self-scoring and external-reference calls rotate
+    the count-table slots between derived-from-staging and
+    derived-from-reference plans — the rotation must never serve the
+    OTHER mode's counts (probe on the late-r10 staging rewrite:
+    values stable across two full alternations, and the two modes
+    genuinely differ)."""
+    from duckdb_retail_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id bigint, text string"
+    )
+    ref = spark.createDataFrame(
+        [(9, "a b a b a b")], "doc_id bigint, text string"
+    )
+    self1 = sorted(tuple(r) for r in lm.bigram_lm_scores(docs).collect())
+    ext1 = sorted(
+        tuple(r) for r in lm.bigram_lm_scores(docs, reference=ref).collect()
+    )
+    self2 = sorted(tuple(r) for r in lm.bigram_lm_scores(docs).collect())
+    ext2 = sorted(
+        tuple(r) for r in lm.bigram_lm_scores(docs, reference=ref).collect()
+    )
+    assert self1 == self2 == [(1, 4, 666666), (2, 3, 777777)]
+    assert ext1 == ext2 == [(1, 4, 750000), (2, 3, 333333)]
