@@ -400,3 +400,71 @@ def test_stateful_totals_round_half_up_like_batch(spark, tmp_path):
     )
     got = {r["user_id"]: r["total_value"] for r in out.collect()}
     assert got[5] == 0.26, got  # 13 + 13 cents, not 12 + 12
+
+
+def test_upsert_recovers_from_crash_before_stale_retire(spark, tmp_path):
+    """The OTHER swap-window crash state (late-r10 probe; the r10
+    test covers a crash mid-rename): the dying fresh run renamed ALL
+    its staged batches into dest but crashed BEFORE the stale-retire
+    loop, leaving a prior-run batch id the new run did not write.
+    Reading dest in that window genuinely double-counts (asserted —
+    the documented hazard is real, not theoretical); the next fresh
+    run must retire the stale batch and land exactly the single-run
+    truth with no leftovers."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "retire_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "retire_out")
+    first = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet", max_files_per_trigger=1
+    )
+    truth = sorted(tuple(r) for r in first.collect())
+
+    # the stale leftover: a batch id the next run will not write,
+    # holding a copy of batch=0's data — the double-count poison
+    shutil.copytree(
+        os.path.join(dest, "batch=0"), os.path.join(dest, "batch=7")
+    )
+    poisoned = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(dest, "batch=*"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            (F.sum("pc") / 100.0).alias("total_value"),
+        )
+        .collect()
+    )
+    assert poisoned != truth  # the hazard is real in this window
+
+    second = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet", max_files_per_trigger=1
+    )
+    assert sorted(tuple(r) for r in second.collect()) == truth
+    leftovers = [
+        p for p in os.listdir(dest)
+        if p.startswith(".staging") or p == "batch=7"
+    ]
+    assert leftovers == []
