@@ -113,17 +113,32 @@ def _orphaned_table_location(spark: SparkSession, table_name: str):
     files and registering them (or a previous process whose
     in-memory/derby metastore died with it). Returns a Hadoop Path or
     None."""
-    if spark.catalog.tableExists(table_name):
-        return None
     # a qualified "db.tbl" name locates under <wh>/<db>.db/<tbl>,
     # not <wh>/db.tbl (self-review: the unsplit leaf derived a path
-    # saveAsTable never writes, making the reclaim a silent no-op)
-    if "." in table_name:
-        db, leaf = table_name.rsplit(".", 1)
+    # saveAsTable never writes, making the reclaim a silent no-op).
+    # 3-part catalog-qualified names are rejected outright — BEFORE
+    # tableExists, which itself throws on them with a JVM-side error
+    # far from the cause: splitting "cat.db.tbl" on the LAST dot
+    # would derive db="cat.db" and a path the session catalog never
+    # writes — the same silent-no-op reclaim failure, surfaced loudly
+    # instead (r10 ADVICE)
+    parts = table_name.split(".")
+    if len(parts) > 2:
+        raise ValueError(
+            "catalog-qualified (3-part) table names are not supported "
+            f"by the orphan reclaim: {table_name!r} — pass db.tbl"
+        )
+    if spark.catalog.tableExists(table_name):
+        return None
+    if len(parts) == 2:
+        db, leaf = parts
     else:
         db, leaf = spark.catalog.currentDatabase(), table_name
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    leaf = leaf.lower()
+    # the metastore lowercases BOTH segments when deriving managed
+    # locations; on a case-sensitive FS a mixed-case db would
+    # otherwise probe a path saveAsTable never writes (r10 ADVICE)
+    leaf, db = leaf.lower(), db.lower()
     loc = f"{wh}/{leaf}" if db == "default" else f"{wh}/{db}.db/{leaf}"
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(loc)

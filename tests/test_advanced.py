@@ -89,15 +89,15 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         li.withColumnRenamed("l_orderkey", "key"), "t_lineitem_b", "key", 8
     )
     joined = scale.bucketed_join_ready(spark, "t_orders_b", "t_lineitem_b", "key")
-    # disable broadcast so the join strategy must rely on bucketing
+    # disable broadcast so the join strategy must rely on bucketing;
+    # restore the SAVED value, not a hardcoded default (r10 ADVICE)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         assert joined.count() > 0
         assert X.exchange_count(joined) == 0, X.formatted_plan(joined)
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
@@ -196,3 +196,30 @@ def test_write_bucketed_reclaims_orphan_qualified_name(spark, sf_dir):
     assert not os.path.exists(os.path.join(orphan_dir, "stale"))
     spark.sql("DROP TABLE tdb.t_orphan_q")
     spark.sql("DROP DATABASE tdb")
+
+
+def test_orphan_location_case_and_catalog_qualified_names(spark, sf_dir):
+    """r10 ADVICE: (a) the metastore lowercases BOTH name segments
+    when deriving managed locations, so a mixed-case db.table name
+    must probe the lowercased path — on a case-sensitive FS the
+    un-lowered db silently skipped the reclaim and saveAsTable then
+    failed LOCATION_ALREADY_EXISTS; (b) a 3-part catalog-qualified
+    name must be rejected loudly, not mis-split into db='cat.db'."""
+    import os
+
+    import pytest
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS casedb")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan_dir = os.path.join(wh, "casedb.db", "t_case_orphan")
+    os.makedirs(orphan_dir, exist_ok=True)
+    try:
+        # mixed-case spelling of BOTH segments must find the orphan
+        got = scale._orphaned_table_location(spark, "CaseDB.T_Case_Orphan")
+        assert got is not None and got.getName() == "t_case_orphan"
+
+        with pytest.raises(ValueError, match="3-part"):
+            scale._orphaned_table_location(spark, "cat.db.tbl")
+    finally:
+        os.rmdir(orphan_dir)
+        spark.sql("DROP DATABASE casedb")

@@ -364,6 +364,10 @@ def test_copurchase_edge_build_single_fact_exchange(spark, sf_dir):
     from pyspark.sql import functions as F
 
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # restore the SAVED value, not a hardcoded default: if session.py's
+    # default ever changes, a hardcoded restore would leave every later
+    # test in the shared session under a stale config (r10 ADVICE)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         new_n = X.exchange_count(G.copurchase_edges(li))
@@ -394,6 +398,4 @@ def test_copurchase_edge_build_single_fact_exchange(spark, sf_dir):
             )
         )
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)

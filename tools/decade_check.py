@@ -49,17 +49,24 @@ def main() -> None:
     t0 = time.time()
     rows = spec.fn(spark, sf_dir).collect()
     cold = time.time() - t0
-    # order-independent checksum over the stringified row set — a
-    # re-run on identical data must reproduce it bit-for-bit. md5,
-    # NOT Python hash(): hash() is salted per process
-    # (PYTHONHASHSEED), which would defeat the cross-run comparison
-    # this tool exists for (caught in self-review before any
-    # recorded checksum relied on it).
+    # order-independent checksum over the row SET — a re-run on
+    # identical data must reproduce it bit-for-bit. md5, NOT Python
+    # hash(): hash() is salted per process (PYTHONHASHSEED), which
+    # would defeat the cross-run comparison this tool exists for
+    # (caught in self-review before any recorded checksum relied on
+    # it). Rows hash WITH their column names attached (sorted
+    # (name, value) pairs): sorting bare values within a row would
+    # discard column association, so drift that moves a value between
+    # columns would checksum identically (r10 ADVICE). Formula
+    # changed in r11 — checksums recorded before then used the bare
+    # sorted-values form and are not comparable to new runs.
     import hashlib
 
     checksum = sum(
         int.from_bytes(
-            hashlib.md5(str(sorted(map(str, r))).encode()).digest()[:4],
+            hashlib.md5(
+                str(sorted((k, str(v)) for k, v in r.asDict().items())).encode()
+            ).digest()[:4],
             "big",
         )
         for r in rows

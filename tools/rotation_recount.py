@@ -11,8 +11,9 @@ driver row (rows+schema+hash all true), then reports:
 - the staleness distribution (how many queries last-green per round);
 - the block that goes 3-rounds-stale NEXT round (rule-3 head — these
   MUST fill the next window's re-entry slots);
-- any query already >2 rounds stale at the CURRENT round (invariant
-  VIOLATION — the r8 failure mode);
+- any query >3 rounds stale at the CURRENT round (invariant
+  VIOLATION — the r8 failure mode; exactly 3 rounds stale is the
+  rule-3 must-re-enter block, not a violation — ROTATION.md);
 - never-checked registrations (rule-1 head);
 - how many genuinely free slots the next window has after rule 3.
 
