@@ -30,86 +30,91 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs the WHOLE registry).
 #
-# Round-10 window (see ROTATION.md): CORRECTNESS_r09 landed 50/50
-# (cumulative 143/143; rotation invariant verified intact by the r9
-# judge). The r9 verdict's #1 binds this window's arithmetic: the
-# 46-query r7-green block goes 3-rounds-stale at r10 and fills
-# rule-3 almost entirely, so registrations are frozen at 2 and diff
-# guards at 2 — exactly the genuinely-free slot count.
-# Rule 1, never-checked (2): this round's two new registrations,
-# entering WITH their driver rows (the x90–x93 precedent):
-# x94_pagerank_dangling (textbook dangling-mass redistribution on
-# the asymmetric customer→part graph — r9 verdict #4) and
-# x95_frequent_tokens_escalation (the heavy_bound_holds=False
-# auto-escalation path under the oracle — r9 verdict #3).
-# Rule 2, r9→r10 diff guards (2): x92 (copurchase_edges gained the
-# deterministic per-basket skew cap, default 64 — changed plan, r9
-# verdict #2) and x93 (the exactness certificate gained the
-# n_rows==k gate + FALSE-not-NULL coalesce — changed bound
-# expression, r9 ADVICE).
-# Rule 3, oldest-green re-entry (46): the full r7-green block,
-# last driver rows r7 (x05/x60 excepted — they took r9 guard rows).
-# 2 + 2 + 46 = 50. Done-condition (r9 verdict #1): after
-# CORRECTNESS_r10 lands green, a recount must show no registered
-# query's last driver row older than r8. The r8-green block is two
-# rounds old at r10 — invariant intact without re-entry — and takes
-# rule-3 head priority in r11 together with whatever r9-green
-# queries age out; headline queries outside the window are
-# re-verified every round by the local full-registry pytest gate.
+# Round-11 window (see ROTATION.md): CORRECTNESS_r10 landed 50/50
+# (cumulative 145/145; rotation invariant verified intact by the r10
+# judge). Derived BY SCRIPT at round start — tools/rotation_recount.py
+# reports 47 rule-3 owed re-entries (the r8-green block, 3 rounds
+# stale at r11) and exactly 3 genuinely-free slots.
+# Rule 1, never-checked (3): this round's three registrations,
+# entering WITH their driver rows (the x90–x95 precedent), spending
+# the free slots on the pre-built queue in the r10 verdict's order:
+# x97_pagerank_fixed_point (pagerank_until_stable's contract frame —
+# the only substantial r10 operator with no driver row; r10 verdict
+# #2), x98_triangle_counts (ordered two-path join over the
+# co-purchase graph), x96_seasonal_decompose (exact-integer
+# centered-MA decomposition). SemDeDup stays pre-built and queues
+# for r12 (ROADMAP).
+# Rule 2, r10→r11 diff guards: pl09 (late-r10 invoice-level pre-agg
+# rewrite) and x87 (late-r10 doc-bigram staging rewrite) — BOTH sit
+# in the rule-3 owed block below, so their guard owe is satisfied by
+# re-entry (ROTATION.md r11 pre-draft: "either path satisfies the
+# owe"); no extra slots consumed.
+# Rule 3, oldest-green re-entry (47): the full r8-green block, last
+# driver rows r8 — the recount's owed list verbatim.
+# 3 + 47 = 50. Done-condition: after CORRECTNESS_r11 lands green,
+# the recount must show no registered query's last driver row older
+# than r9 (exit 0). The r9-green block is two rounds old at r11 —
+# invariant intact without re-entry — and takes rule-3 head priority
+# in r12; headline queries outside the window are re-verified every
+# round by the local full-registry pytest gate.
 _ROTATED_IN = [
-    # never driver-green: this round's two new registrations
-    "x94_pagerank_dangling", "x95_frequent_tokens_escalation",
+    # never driver-green: this round's three new registrations
+    "x97_pagerank_fixed_point",
+    "x98_triangle_counts",
+    "x96_seasonal_decompose",
 ]
 _GUARDS = [
-    # r9→r10 diff guards
-    "x92_copurchase_pagerank", "x93_frequent_tokens",
-    # oldest-green re-entry: the full r7-green block (last row r7)
-    "pl02_staging_fx",
-    "pl04_dim_product",
-    "pl05_dim_customer",
-    "pl07_daily_fx_rates",
-    "pl10_monthly_sales_summary",
-    "q04_filter_like_prefix",
-    "q05_null_sentinel_filters",
-    "q06_semi_join_in_subquery",
-    "q07_anti_join_orphans",
-    "q08_composite_key_join",
-    "q09_conditional_agg",
-    "q10_conditional_count_distinct",
-    "q11_scalar_multi_agg",
-    "q12_ratio_nullif",
-    "q25_asof_join",
-    "x02_text_stats",
-    "x03_lang_id",
-    "x04_fingerprint",
-    "x06_minhash_signatures",
-    "x08_simhash_values",
-    "x10_embedding_cosine_topk",
-    "x11_embedding_dup_pairs",
-    "x12_similarity_lsh_topk",
-    "x13_similarity_ivf_topk",
-    "x15_events_sessionize",
-    "x16_events_json_extract",
-    "x17_streaming_hourly",
-    "x18_events_pivot",
-    "x21_session_window_batch",
-    "x22_term_frequency",
-    "x24_grouped_ols_trend",
-    "x25_streaming_sliding",
-    "x27_text_chunking",
-    "x28_corpus_curation",
-    "x29_stratified_split",
-    "x30_variant_extract",
-    "x31_streaming_stateful_totals",
-    "x34_streaming_dedup",
-    "x35_salted_agg",
-    "x37_embedding_quantization",
-    "x38_stream_static_join",
-    "x39_similarity_batch_topk",
-    "x41_fixed_count_sample",
-    "x65_rag_pipeline",
-    "x86_canonical_docs",
-    "a17_pivot_surface",
+    # oldest-green re-entry: the full r8-green block (last row r8),
+    # the rotation_recount owed list verbatim; pl09 + x87 double as
+    # the r10→r11 rule-2 guard heads (their late-r10 rewrites get
+    # driver rows on the new code here)
+    "pl09_agg_country_day",
+    "x87_bigram_lm_quality",
+    "a01_rollup",
+    "a07_merge_upsert",
+    "a08_scd2_history",
+    "pl01_staging_retail",
+    "pl03_dim_calendar",
+    "pl06_fct_sales",
+    "pl08_fct_sales_eur",
+    "q02_monthly_revenue_by_nation",
+    "q13_weekend_cohort",
+    "q14_date_parts",
+    "q15_forward_fill",
+    "q16_lag_gap_detection",
+    "q17_union_all_checks",
+    "q18_cte_scalar_subquery",
+    "q19_view_over_join",
+    "q20_deterministic_mode",
+    "q22_distinct_dedup",
+    "q23_top_per_group",
+    "q24_between_range_scan",
+    "x09_simhash_pairs",
+    "x23_winnowing_fingerprints",
+    "x26_dedup_clusters",
+    "x32_repetition_filter",
+    "x33_sequence_packing",
+    "x36_decontamination",
+    "x40_robust_stats",
+    "x42_ann_batch_retrieval",
+    "x43_range_join_binned",
+    "x44_bm25_search",
+    "x45_event_funnel",
+    "x46_cohort_retention",
+    "x47_pii_redaction",
+    "x48_salted_join",
+    "x49_data_profiling",
+    "x50_importance_sampling",
+    "x52_token_rarity",
+    "x54_pmi_pairs",
+    "x55_last_touch_attribution",
+    "x57_incremental_agg",
+    "x58_stream_stream_join",
+    "x59_media_resize_grid",
+    "x81_dedup_savings",
+    "x85_stream_stream_left_outer",
+    "x88_rrf_hybrid",
+    "x89_ivf_pq_topk",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O
