@@ -1400,6 +1400,11 @@ def x65_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- x66
 _X66_MIN_SUPPORT = 2
 _X66_TOPK = 25
+# opt-in deterministic basket cap (r10 verdict #4 adjudication, see
+# the docstring's cap paragraph): None = exact Apriori counts (the
+# registered, oracle-gated semantics); an int caps each basket to
+# that many parts by xxhash64 rank before pairing
+_X66_MAX_BASKET: int | None = None
 # NOTE (r6): persisting the distinct (order, part) frame was tried
 # and REVERTED — its four consumers all sit behind the distinct's
 # exchange, which Spark already dedupes via ReusedExchange, so the
@@ -1454,7 +1459,30 @@ _X66_TOPK = 25
     "sf0.1 (1.93 vs 1.96 s) and sf1_grow (5.45 vs 4.79 s); re-visit "
     "on skewed real data where the filter actually prunes. "
     "int64 headroom: support*N*10^4 stays in range to ~10^9 "
-    "baskets; shard the scale factor beyond that.",
+    "baskets; shard the scale factor beyond that. "
+    "Basket cap (r10 verdict #4 adjudication): unlike x92, where "
+    "the quadratic frame is an INTERMEDIATE, here the pair supports "
+    "ARE the output — so a cap is an output-semantics change and "
+    "ships OPT-IN (_X66_MAX_BASKET, default None = exact). When "
+    "set, each basket larger than the cap is down-sampled "
+    "deterministically to cap parts by xxhash64(partkey) rank "
+    "(partkey tie-break) before pairing — the copurchase_edges "
+    "idiom. Bias argument: a pair inside an uncapped basket keeps "
+    "its full support; a pair whose occurrences all sit in capped "
+    "baskets has each occurrence kept with probability "
+    "~(cap/m)((cap-1)/(m-1)) for basket size m — support is biased "
+    "DOWNWARD for mega-basket pairs, never upward, and hash-rank "
+    "selection is item-uniform, so no systematic part bias. That "
+    "is the standard market-basket treatment: a 10^5-item "
+    "transaction contributes ~10^10 near-zero-signal pairs "
+    "(lift ≈ support·N/(c_a·c_b) with both c's huge), and capping "
+    "it changes the top-k by lift only if a true top pair occurs "
+    "ONLY inside mega-baskets — degenerate on any real corpus. "
+    "min-support HAVING cannot be pushed below the pair groupBy "
+    "(supports aren't known until counted), so the cap is the one "
+    "lever that bounds the per-key quadratic; measured max basket "
+    "on this corpus is 17, so the registered uncapped semantics "
+    "and any cap ≥ 17 coincide here.",
     headline=True,
     tags=("retail", "association", "join"),
 )
@@ -1462,6 +1490,17 @@ def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     )
+    if _X66_MAX_BASKET is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.xxhash64("l_partkey"), F.col("l_partkey")
+        )
+        items = (
+            items.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _X66_MAX_BASKET)
+            .drop("_rn")
+        )
     n = items.agg(
         F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
     )
@@ -3350,3 +3389,199 @@ def x95_frequent_tokens_escalation(spark: SparkSession, sf_dir: str) -> DataFram
     return SK.frequent_tokens_exact(
         toks, k=_X95_TOPK, capacity=_X95_CAPACITY, max_doublings=1
     )
+
+
+# ---------------------------------------------------------------- x96
+@register(
+    "x96_seasonal_decompose",
+    oracle="""
+        WITH series AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS key,
+                   CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) * 12
+                        + EXTRACT(MONTH FROM CAST(o.o_orderdate AS DATE)) - 1
+                        AS BIGINT) AS t,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), dec AS (
+            SELECT key, t, cents,
+                   CASE WHEN COUNT(cents) OVER w13 = 13 THEN
+                       CAST(2 * SUM(cents) OVER w11
+                            + SUM(cents) OVER wlo + SUM(cents) OVER whi
+                            AS BIGINT)
+                   END AS trend_x2p
+            FROM series
+            WINDOW w11 AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+                   wlo AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 6 PRECEDING AND 6 PRECEDING),
+                   whi AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 6 FOLLOWING AND 6 FOLLOWING),
+                   w13 AS (PARTITION BY key ORDER BY t
+                           RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        )
+        SELECT key, ((t % 12) + 12) % 12 AS pos,
+               CAST(SUM(24 * cents - trend_x2p) AS BIGINT)
+                   AS seasonal_sum_x2p,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(24 * cents - trend_x2p) AS DOUBLE)
+                   / (COUNT(*) * 24.0) AS seasonal_avg
+        FROM dec WHERE trend_x2p IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    doc="Classical additive seasonal decomposition, exact-integer "
+    "(operators/timeseries.py; Kendall/Stuart centered-MA trend + "
+    "per-period seasonal means) over per-nation monthly order "
+    "revenue. The trend is the exact ×24 NUMERATOR of the centered "
+    "12-month MA (RANGE frames over the integer month index — a "
+    "missing month is a missing VALUE, and a duplicated (key, t) "
+    "row NULLs the trend instead of double-counting); seasonal "
+    "components ship as exact (sum, count) integer pairs plus ONE "
+    "IEEE division for presentation — bit-identical cross-engine at "
+    "any partitioning. The oracle formulates the same frames "
+    "independently in ANSI SQL window syntax. Scale shape: the "
+    "series frame is the output of an upstream aggregation (orders "
+    "of magnitude smaller than facts); one shuffle on the series "
+    "key for the windows, one groupBy for the means. Since the "
+    "oracle's input is one row per (key, t) by construction, the "
+    "COUNT(*) gate equals the operator's distinct-period gate.",
+    tags=("timeseries", "retail", "window"),
+)
+def x96_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import timeseries as TS
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    series = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("key"),
+            (
+                F.year(F.to_date("o_orderdate")) * 12
+                + F.month(F.to_date("o_orderdate"))
+                - 1
+            ).cast("bigint").alias("t"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("key", "t")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    return TS.seasonal_means(TS.decompose_additive(series))
+
+
+# ---------------------------------------------------------------- x97
+# parts share the bigint node namespace with customers (the x94
+# convention) — offset them clear of every o_custkey
+_X97_OFFSET = 1_000_000_000
+_X97_EPS_PER_NODE = 200
+
+
+@register(
+    "x97_pagerank_fixed_point",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                   CAST({_X97_OFFSET} + l.l_partkey AS BIGINT) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        ), deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src
+        )
+        SELECT n.node, CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg,
+               TRUE AS converged, TRUE AS fixed_point_holds
+        FROM nodes n LEFT JOIN deg d ON n.node = d.src
+    """,
+    doc="Until-stable PageRank under the driver oracle "
+    "(operators/graph.py pagerank_fixed_point_contract; the only "
+    "substantial r10 operator without a driver row — r10 verdict "
+    "#2): iterate the exact-integer damped map until total absolute "
+    "rank change ≤ epsilon_per_node × n_nodes, a genuinely "
+    "DATA-DEPENDENT depth no fixed oracle string can unroll "
+    "(measured: 9 iterations on this graph at both sf0.001 and "
+    "sf0.01 — damping-driven, not size-driven). The contract frame "
+    "therefore emits only depth-INDEPENDENT facts (the a05/x12 "
+    "idiom): the node universe + outdeg, which the oracle re-derives "
+    "exactly, plus two booleans it expects TRUE — the operator's own "
+    "convergence flag and an independent in-plan recheck that one "
+    "MORE _step moves total mass by ≤ the same threshold (the "
+    "fixed-point PROPERTY). Graph: x94's asymmetric customer→part "
+    "bipartite purchase graph on the redistribute path (every part "
+    "dangling). Per iteration: one src-partitioned hash join + one "
+    "node-sized groupBy, localCheckpoint to keep lineage flat; the "
+    "driver-side loop collects ONE int64 delta per iteration, never "
+    "data-sized rows.",
+    tags=("graph", "retail", "iterative", "contract"),
+)
+def x97_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(_X97_OFFSET) + F.col("l_partkey"))
+            .cast("bigint")
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    return G.pagerank_fixed_point_contract(
+        edges,
+        max_iters=60,
+        epsilon_per_node=_X97_EPS_PER_NODE,
+        redistribute_dangling=True,
+    )
+
+
+# ---------------------------------------------------------------- x98
+@register(
+    "x98_triangle_counts",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), canon AS (
+            SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+            FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ), tri AS (
+            SELECT ab.lo AS a, ab.hi AS b, ac.hi AS c
+            FROM canon ab
+            JOIN canon ac ON ab.lo = ac.lo AND ab.hi < ac.hi
+            JOIN canon bc ON bc.lo = ab.hi AND bc.hi = ac.hi
+        ), corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    """,
+    doc="Exact per-node triangle counts over the undirected part "
+    "co-purchase graph (operators/graph.py triangle_counts; the "
+    "Suri/Vassilvitskii WWW'11 ordered two-path join) — the local "
+    "clustering signal: a co-purchase triangle means three parts "
+    "each pairwise co-bought, a far stronger association than "
+    "x66's pairwise lift. Every triangle a<b<c is found exactly "
+    "once by joining its two lowest-anchored edges on a (the "
+    "wedge), then semi-joining the closing edge; per-node counts "
+    "by exploding corners. The oracle formulates the same ordered "
+    "join independently in ANSI SQL, corners via UNION ALL. Scale "
+    "shape: one hash self-join on the lo endpoint (Σ deg_lo², "
+    "bounded by the x92 per-basket cap upstream), one semi-join, "
+    "one explode+groupBy — no iteration, no collect. The driver "
+    "gate feeds it the UNCAPPED-equivalent graph (max basket 17 "
+    "≪ cap 64 on this corpus, so the capped build and the oracle's "
+    "plain build coincide — the same adjudication as x92).",
+    tags=("graph", "retail"),
+)
+def x98_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return G.triangle_counts(G.copurchase_edges(li))

@@ -470,3 +470,42 @@ def test_phrase_search_memo_rebuilds_on_dataset_regeneration(spark, sf_dir, tmp_
     rows = REGISTRY["x90_phrase_search"].fn(spark, str(d)).collect()
     got = {r["doc_id"]: r["n_occurrences"] for r in rows}
     assert got == {1: 2}  # the regenerated corpus, not the stale index
+
+
+def test_x66_basket_cap_optin_semantics(spark, sf_dir):
+    """r10 verdict #4 adjudication: the opt-in deterministic basket
+    cap. (a) a cap above the corpus max basket (17) leaves the
+    oracle-gated exact output IDENTICAL; (b) cap=1 leaves no pairs
+    at all (one part per basket); (c) a binding cap is deterministic
+    across runs (xxhash64 rank, not rand()); default stays None —
+    exact Apriori counts are the registered semantics."""
+    from duckdb_retail_pipeline_spark.queries import analytics as A
+
+    assert A._X66_MAX_BASKET is None  # registered semantics: exact
+
+    def run():
+        return sorted(
+            tuple(r) for r in A.x66_basket_pairs(spark, sf_dir).collect()
+        )
+
+    baseline = run()
+    assert baseline
+    try:
+        A._X66_MAX_BASKET = 64
+        assert run() == baseline  # cap above max basket: no-op
+
+        A._X66_MAX_BASKET = 1
+        assert run() == []  # one part per basket -> no pairs
+
+        A._X66_MAX_BASKET = 2
+        capped1, capped2 = run(), run()
+        assert capped1 == capped2  # deterministic under a binding cap
+        # capped supports can only shrink: every surviving pair's
+        # support is <= its uncapped support (downward-only bias)
+        base_support = {(r[0], r[1]): r[2] for r in baseline}
+        assert all(
+            (pa, pb) not in base_support or s <= base_support[(pa, pb)]
+            for pa, pb, s, *_ in capped1
+        )
+    finally:
+        A._X66_MAX_BASKET = None
