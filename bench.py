@@ -73,6 +73,13 @@ def main() -> None:
     # 11.4/12.2 on one HEAD) — enough to swamp real round-over-round
     # regressions. Five passes cost ~30 extra seconds at ~20 queries.
     timings: dict[str, float] = {}
+    # per-query [min, median, max] over the same 5 runs: two rounds
+    # of warm-total drift on untouched code were attributed to box
+    # variance with only the median in the artifact — the dispersion
+    # makes that claim falsifiable from the JSON alone (r10 verdict
+    # #3: a query whose min matches last round but whose median rose
+    # is variance; a query whose MIN rose is a real regression)
+    spread: dict[str, list[float]] = {}
     for name, spec in sorted(headline.items()):
         runs: list[float] = []
         try:
@@ -80,7 +87,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 spec.fn(spark, SF_DIR).count()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(sorted(runs)[2], 4)
+            runs.sort()
+            timings[name] = round(runs[2], 4)
+            spread[name] = [round(runs[0], 4), round(runs[2], 4),
+                            round(runs[-1], 4)]
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -93,6 +103,10 @@ def main() -> None:
         "value": round(sum(ok), 4),
         "unit": "sec",
         "queries": timings,
+        # [min, median, max] of the 5 warm runs per query (r10
+        # verdict #3: round-over-round comparisons should cite the
+        # spread, not explain median drift by narrative)
+        "queries_spread": spread,
         "queries_cold": cold,
         # warm totals increasingly measure memo serving (x07/x42/x90
         # serve persisted indexes in ~0.1-0.8 s) — the cold total
@@ -100,6 +114,12 @@ def main() -> None:
         # regression in the expensive compute can't hide behind warm
         # cache hits (r9 verdict #7)
         "headline_queries_cold_total_sec": round(sum(cold.values()), 4),
+        # sum-of-mins: the most variance-robust total (box noise only
+        # ever ADDS time to a warm run, so the min is the cleanest
+        # per-query estimate and its sum the cleanest total trend)
+        "headline_queries_total_min_sec": round(
+            sum(v[0] for v in spread.values()), 4
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failed:
