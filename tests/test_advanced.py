@@ -223,3 +223,48 @@ def test_orphan_location_case_and_catalog_qualified_names(spark, sf_dir):
     finally:
         os.rmdir(orphan_dir)
         spark.sql("DROP DATABASE casedb")
+
+
+def test_orphan_reclaim_is_blind_across_processes(spark, sf_dir, tmp_path):
+    """r10 verdict #5c: the harness's in-memory session catalog has
+    NO cross-process coordination — a second process sharing the
+    same warehouse dir cannot see this process's live tables, so its
+    orphan probe reports a LIVE table's location as reclaimable.
+    This pins the documented single-writer contract (scale.py
+    write_bucketed): concurrent processes must own distinct
+    warehouse dirs; shared-metastore deployments get the
+    coordination from the metastore instead."""
+    import os
+    import subprocess
+    import sys
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey").limit(5)
+    scale.write_bucketed(orders, "t_xproc_live", "o_orderkey", 2)
+    try:
+        assert spark.catalog.tableExists("t_xproc_live")
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        probe = tmp_path / "probe.py"
+        probe.write_text(
+            "import sys\n"
+            f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+            "from pyspark.sql import SparkSession\n"
+            "spark = (SparkSession.builder.master('local[2]')\n"
+            f"    .config('spark.sql.warehouse.dir', {wh!r})\n"
+            "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "from duckdb_retail_pipeline_spark.operators.scale import (\n"
+            "    _orphaned_table_location,\n"
+            ")\n"
+            "loc = _orphaned_table_location(spark, 't_xproc_live')\n"
+            "print('ORPHAN' if loc is not None else 'VISIBLE')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, str(probe)],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(tmp_path),
+        )
+        assert "ORPHAN" in r.stdout, (r.stdout, r.stderr[-500:])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_xproc_live")

@@ -2279,3 +2279,101 @@ def test_bigram_lm_alternating_reference_slots_stay_correct(spark):
     )
     assert self1 == self2 == [(1, 4, 666666), (2, 3, 777777)]
     assert ext1 == ext2 == [(1, 4, 750000), (2, 3, 333333)]
+
+
+def test_frequent_tokens_certificate_final_doubling_boundary(spark):
+    """r10 verdict #5(a): the escalation's FINAL doubling certifies
+    where every smaller capacity could not — both failure modes of
+    the n_rows==k gate exercised on one corpus (a=40, b=30, c=20 +
+    ten 3-count tail tokens; N=120, single partition so the MG pass
+    is batch-deterministic):
+    - capacity 2: the MG summary retains only {a, b} → recount is
+      SHORT (n_rows 2 < k 3) → FALSE via the n_rows==k gate;
+    - capacity 4: full k rows but kth·(cap+1) = 20·5 = 100 < 120 →
+      FALSE via the undercount bound;
+    - capacity 8: 20·9 = 180 > 120 → TRUE — the final doubling of
+      frequent_tokens_exact(capacity=2, max_doublings=2) certifies,
+      so the MG path (not the groupBy fallback) must serve the
+      result, with values identical to the unconditional exact."""
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    rows = (
+        [("a",)] * 40 + [("b",)] * 30 + [("c",)] * 20
+        + [(f"t{i:02d}",) for i in range(10) for _ in range(3)]
+    )
+    toks = spark.createDataFrame(rows, "token string").repartition(1)
+
+    by_cap = {
+        cap: sorted(
+            (r["token"], r["n_occurrences"], r["heavy_bound_holds"])
+            for r in SK.frequent_tokens(toks, k=3, capacity=cap).collect()
+        )
+        for cap in (2, 4, 8)
+    }
+    assert by_cap[2] == [("a", 40, False), ("b", 30, False)]  # short
+    assert by_cap[4] == [("a", 40, False), ("b", 30, False), ("c", 20, False)]
+    assert by_cap[8] == [("a", 40, True), ("b", 30, True), ("c", 20, True)]
+
+    res = SK.frequent_tokens_exact(toks, k=3, capacity=2, max_doublings=2)
+    got = sorted(tuple(r) for r in res.collect())
+    want = sorted(
+        tuple(r) for r in SK.exact_topk_tokens(toks, 3).collect()
+    )
+    assert got == want
+    # the FINAL doubling certified: the served plan is the MG path
+    # (mapInPandas candidates), not the plain-groupBy fallback
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_frequent_tokens_certificate_false_at_exact_equality(spark):
+    """The undercount bound must be STRICT: at kth·(capacity+1) == N
+    exactly, a token MG dropped could have true count == kth and win
+    the alphabetical tie-break into the true top-k — so equality can
+    never certify. Corpus engineered to land exactly on the boundary
+    (a=10, b=6, four 2-count tail tokens; N=24, capacity 3, k=2:
+    6·4 == 24)."""
+    from duckdb_retail_pipeline_spark.operators import sketch as SK
+
+    rows = (
+        [("a",)] * 10 + [("b",)] * 6
+        + [(f"t{i}",) for i in range(4) for _ in range(2)]
+    )
+    toks = spark.createDataFrame(rows, "token string").repartition(1)
+    got = sorted(
+        tuple(r)
+        for r in SK.frequent_tokens(toks, k=2, capacity=3).collect()
+    )
+    assert got == [("a", 10, False), ("b", 6, False)]
+
+
+def test_pagerank_until_stable_limit_cycle_is_honest(spark):
+    """r10 verdict #5(b): a graph whose floor-rounding limit cycle
+    never reaches an exact fixed point (epsilon=0) must exhaust
+    max_iters with converged=False — and the contract frame must
+    propagate BOTH booleans FALSE (its one-more-step recheck at the
+    same epsilon also measures the residual cycle), never overclaim.
+    Graph found by probe: 6-node asymmetric ring + three chords
+    settles into a persistent integer cycle on both dangling
+    conventions (40 iterations, delta never 0)."""
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1),
+         (1, 3), (2, 4), (3, 5)],
+        "src bigint, dst bigint",
+    )
+    for redis in (True, False):
+        res, iters_run, converged = G.pagerank_until_stable(
+            edges, max_iters=40, epsilon=0, redistribute_dangling=redis
+        )
+        assert iters_run == 40 and not converged, redis
+        assert res.count() == 6
+
+    rows = G.pagerank_fixed_point_contract(
+        edges, max_iters=40, epsilon_per_node=0,
+        redistribute_dangling=True,
+    ).collect()
+    assert len(rows) == 6
+    assert all(not r["converged"] for r in rows)
+    assert all(not r["fixed_point_holds"] for r in rows)
