@@ -50,7 +50,21 @@ def build_agg_country_day(
     shape. Value-identical by construction — the invoice rows are
     distinct per group, and the integer-cent partials re-sum
     associatively — and verified bit-exact against the
-    count_distinct form at sf0.001/sf0.01 before the swap."""
+    count_distinct form at sf0.001/sf0.01 before the swap.
+
+    Fact-layout lever, MEASURED r11 (tools/pl09_bucket_ab.py at the
+    true 100× decade, dir + row count + checksum printed): feeding
+    this aggregate a fct table BUCKETED BY invoice_no (32 buckets,
+    operators/scale.py write_bucketed — HashPartitioning(invoice_no)
+    satisfies the 3-key group's ClusteredDistribution, so the
+    full-fact exchange disappears) beats the session-cached frame at
+    every point — warm median 59.0 vs 89.4 s, warm min 54.1 vs
+    62.8, COLD 50.1 vs 116.3, identical result checksum on 57.68M
+    fct rows, and the one-off bucket write costs 12.1 s. The 100 TB
+    deployment should therefore persist fct_sales_eur bucketed by
+    invoice_no; the driver-gated small-SF path keeps the cached
+    frame (bucketing is pure overhead when the whole fact fits one
+    exchange)."""
     base = fct_sales_eur.join(F.broadcast(dim_customer), "customer_id", "inner")
     inv = base.groupBy("date", "country", "invoice_no").agg(
         F.count(F.lit(1)).cast("bigint").alias("_items"),
