@@ -2377,3 +2377,127 @@ def test_pagerank_until_stable_limit_cycle_is_honest(spark):
     assert len(rows) == 6
     assert all(not r["converged"] for r in rows)
     assert all(not r["fixed_point_holds"] for r in rows)
+
+
+def test_seasonal_decompose_matches_python_reference_property(spark):
+    """Property pin for the r11 x96 registration: on ARBITRARY
+    integer series — gaps, duplicate (key, t) rows, negative time
+    indices, negative cents — decompose_additive + seasonal_means
+    must equal a pure-Python re-derivation of the RANGE-frame
+    semantics (sum over rows in range; trend only where the ±6
+    window holds exactly 13 rows AND 13 distinct periods; pmod
+    positions)."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators import timeseries as TS
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-15, max_value=30),  # t (dups ok)
+                st.integers(min_value=-(10**6), max_value=10**6),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def prop(rows):
+        series = spark.createDataFrame(
+            [("k", t, c) for t, c in rows], "key string, t long, cents long"
+        )
+        # python reference over the same rows
+        by_t = defaultdict(list)
+        for t, c in rows:
+            by_t[t].append(c)
+
+        def win(t, lo, hi):
+            return [
+                c for tt, cs in by_t.items() if lo <= tt - t <= hi for c in cs
+            ]
+
+        def trend(t):
+            w = win(t, -6, 6)
+            periods = {tt for tt in by_t if -6 <= tt - t <= 6}
+            if len(w) == 13 and len(periods) == 13:
+                return (
+                    2 * sum(win(t, -5, 5))
+                    + sum(win(t, -6, -6))
+                    + sum(win(t, 6, 6))
+                )
+            return None
+
+        got_dec = sorted(
+            (r["t"], r["cents"], r["trend_x2p"], r["detr_x2p"])
+            for r in TS.decompose_additive(series).collect()
+        )
+        want_dec = sorted(
+            (t, c, trend(t), (24 * c - trend(t)) if trend(t) is not None else None)
+            for t, c in rows
+        )
+        assert got_dec == want_dec
+
+        agg = defaultdict(lambda: [0, 0])
+        for t, c in rows:
+            tr = trend(t)
+            if tr is not None:
+                a = agg[t % 12 if t % 12 >= 0 else (t % 12 + 12) % 12]
+                a[0] += 24 * c - tr
+                a[1] += 1
+        got_sm = sorted(
+            (r["pos"], r["seasonal_sum_x2p"], r["n_obs"], r["seasonal_avg"])
+            for r in TS.seasonal_means(TS.decompose_additive(series)).collect()
+        )
+        want_sm = sorted(
+            (p, s, n, s / (n * 24.0)) for p, (s, n) in agg.items()
+        )
+        assert got_sm == want_sm
+
+    prop()
+
+
+def test_triangle_counts_matches_bruteforce_property(spark):
+    """Property pin for the r11 x98 registration: on ARBITRARY small
+    directed multigraphs (self-loops, duplicate and reversed edges),
+    per-node triangle counts must equal brute-force enumeration over
+    the canonicalized undirected simple graph."""
+    from itertools import combinations
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),
+                st.integers(min_value=0, max_value=7),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def prop(edges):
+        canon = {
+            (min(a, b), max(a, b)) for a, b in edges if a != b
+        }
+        nodes = {n for e in canon for n in e}
+        want = {}
+        for tri in combinations(sorted(nodes), 3):
+            a, b, c = tri
+            if {(a, b), (a, c), (b, c)} <= canon:
+                for n in tri:
+                    want[n] = want.get(n, 0) + 1
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
+        )
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in G.triangle_counts(df).collect()
+        }
+        assert got == want
+
+    prop()
