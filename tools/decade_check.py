@@ -49,6 +49,21 @@ def main() -> None:
     t0 = time.time()
     rows = spec.fn(spark, sf_dir).collect()
     cold = time.time() - t0
+    # honesty guard (r11: an isolated x07 "re-measurement" read
+    # 394 s cold where bench's count()-based number was 174 s — the
+    # collect of its 34.7M result rows plus the per-row Python
+    # checksum WAS most of the measurement): this tool times
+    # collect-to-driver, which is the right witness only when the
+    # result is small. Flag big results loudly instead of letting
+    # the number masquerade as operator cost.
+    if len(rows) > 1_000_000:
+        print(
+            f"WARNING: {name} returned {len(rows)} rows — this timing "
+            "is dominated by the driver-side collect + checksum, NOT "
+            "the operator; use bench.py's count()-based timing for "
+            "large-output queries",
+            flush=True,
+        )
     # order-independent checksum over the row SET — a re-run on
     # identical data must reproduce it bit-for-bit. md5, NOT Python
     # hash(): hash() is salted per process (PYTHONHASHSEED), which
