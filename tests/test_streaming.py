@@ -468,3 +468,80 @@ def test_upsert_recovers_from_crash_before_stale_retire(spark, tmp_path):
         if p.startswith(".staging") or p == "batch=7"
     ]
     assert leftovers == []
+
+
+def test_stateful_totals_state_survives_query_restart(spark, tmp_path):
+    """Checkpoint-recovery pin (the one streaming property the r10/r11
+    probes had not covered): applyInPandasWithState's GroupState must
+    be RESTORED from the checkpoint's state store when a NEW query
+    restarts over the same checkpoint — the production upgrade path
+    (stop the job, deploy, restart). Phase 1 processes file A and
+    terminates; file B arrives; phase 2 is a fresh query on the SAME
+    checkpoint, so the file-source log skips A and the emitted totals
+    must be CUMULATIVE (restored A-state + B), equal to a batch
+    aggregate over A∪B — not B alone (state lost) and not 2×A+B
+    (A replayed)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "restart_in"
+    d.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def write(name, users_values):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1, 10, 0)] * len(users_values),
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "user_id": pa.array(
+                        [u for u, _ in users_values], type=pa.int64()
+                    ),
+                    "event_type": pa.array(["click"] * len(users_values)),
+                    "value": pa.array([v for _, v in users_values]),
+                }
+            ),
+            str(d / name),
+        )
+
+    def run_phase():
+        # foreachBatch, not the memory sink: memory is not
+        # fault-tolerant and Spark refuses to START a query over an
+        # existing checkpoint with it ("does not support recovering
+        # from checkpoint location") — which is itself the loud,
+        # correct behavior; the recoverable sink class is what a
+        # production restart uses
+        schema = spark.read.parquet(str(d)).schema
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        rows: dict = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                rows[r["user_id"]] = (r["n_events"], r["total_value"])
+
+        q = (
+            SE.stateful_user_running_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return rows
+
+    # phase 1: user 1 twice, user 2 once
+    write("a.parquet", [(1, 1.00), (1, 2.00), (2, 5.00)])
+    p1 = run_phase()
+    assert p1 == {1: (2, 3.00), 2: (1, 5.00)}
+
+    # phase 2: new file, NEW query, same checkpoint — user 1 gains
+    # one event (cumulative 3 events / 7.50), user 3 is fresh;
+    # user 2 has no new data and must not re-emit in update mode
+    write("b.parquet", [(1, 4.50), (3, 9.25)])
+    p2 = run_phase()
+    assert p2 == {1: (3, 7.50), 3: (1, 9.25)}, p2
