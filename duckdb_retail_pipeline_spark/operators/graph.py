@@ -67,6 +67,36 @@ _EDGE_SLOT: list = []
 _DEG_SLOT: list = []
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, item_col: str, cap: int
+) -> DataFrame:
+    """Deterministically keep at most ``cap`` rows per group, ranked
+    by xxhash64(item_col) with item_col as the tie-break — the ONE
+    shared implementation of the skew-cap idiom (r11 review: x66's
+    opt-in basket cap had duplicated copurchase_edges' inline block
+    verbatim, and a tie-break fix applied to one copy but not the
+    other would silently diverge semantics the x92/x98 adjudications
+    assume coincide). Hash order makes the kept subset an unbiased
+    pseudo-random sample (an item-ordered cap would bias toward low
+    keys) and input-stable across runs/partitionings; the rank
+    window shuffles on ``group_col``, reusable by a downstream
+    group/join on the same key.
+
+    copurchase_edges keeps an expression-identical INLINE twin until
+    r13 (pinned equal by tests/test_operators.py) — switching it now
+    would put the r10 driver rows of x92/x94 on dead code with only
+    one free guard slot in the r12 window (ROADMAP r13 note); the
+    x92/x94 rule-3 re-entry at r13 absorbs the switch for free."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(item_col), F.col(item_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def copurchase_edges(
     lineitem: DataFrame, max_basket: int | None = 64
 ) -> DataFrame:
@@ -110,6 +140,9 @@ def copurchase_edges(
         .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     if max_basket is not None:
+        # expression-identical inline twin of cap_per_group (pinned
+        # equal by test; switch to the helper at r13 — see its
+        # docstring for the window-slot reasoning)
         w = Window.partitionBy("l_orderkey").orderBy(
             F.xxhash64("l_partkey"), F.col("l_partkey")
         )

@@ -113,23 +113,29 @@ def _orphaned_table_location(spark: SparkSession, table_name: str):
     files and registering them (or a previous process whose
     in-memory/derby metastore died with it). Returns a Hadoop Path or
     None."""
+    # tableExists FIRST: it resolves valid catalog-qualified 3-part
+    # names cleanly (verified on PySpark 4.1.2: spark_catalog.db.tbl
+    # returns True/False; only an UNKNOWN catalog throws, which is
+    # already loud), so an existing table — however it is spelled —
+    # takes the no-reclaim path and saveAsTable overwrite keeps
+    # working (r11 review: an unconditional up-front rejection
+    # regressed previously-working 3-part overwrites).
+    if spark.catalog.tableExists(table_name):
+        return None
     # a qualified "db.tbl" name locates under <wh>/<db>.db/<tbl>,
     # not <wh>/db.tbl (self-review: the unsplit leaf derived a path
     # saveAsTable never writes, making the reclaim a silent no-op).
-    # 3-part catalog-qualified names are rejected outright — BEFORE
-    # tableExists, which itself throws on them with a JVM-side error
-    # far from the cause: splitting "cat.db.tbl" on the LAST dot
-    # would derive db="cat.db" and a path the session catalog never
-    # writes — the same silent-no-op reclaim failure, surfaced loudly
-    # instead (r10 ADVICE)
+    # For an ABSENT table named with 3 parts the reclaim cannot
+    # derive the location (splitting "cat.db.tbl" on the last dot
+    # would probe a path the catalog never writes — the same
+    # silent-no-op failure): reject loudly instead (r10 ADVICE).
     parts = table_name.split(".")
     if len(parts) > 2:
         raise ValueError(
-            "catalog-qualified (3-part) table names are not supported "
-            f"by the orphan reclaim: {table_name!r} — pass db.tbl"
+            "cannot derive an orphan location for the absent "
+            f"catalog-qualified (3-part) table {table_name!r} — "
+            "pass db.tbl, or create the table first"
         )
-    if spark.catalog.tableExists(table_name):
-        return None
     if len(parts) == 2:
         db, leaf = parts
     else:

@@ -1491,15 +1491,10 @@ def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     )
     if _X66_MAX_BASKET is not None:
-        from pyspark.sql import Window
+        from duckdb_retail_pipeline_spark.operators.graph import cap_per_group
 
-        w = Window.partitionBy("l_orderkey").orderBy(
-            F.xxhash64("l_partkey"), F.col("l_partkey")
-        )
-        items = (
-            items.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= _X66_MAX_BASKET)
-            .drop("_rn")
+        items = cap_per_group(
+            items, "l_orderkey", "l_partkey", _X66_MAX_BASKET
         )
     n = items.agg(
         F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")

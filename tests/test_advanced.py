@@ -199,28 +199,58 @@ def test_write_bucketed_reclaims_orphan_qualified_name(spark, sf_dir):
 
 
 def test_orphan_location_case_and_catalog_qualified_names(spark, sf_dir):
-    """r10 ADVICE: (a) the metastore lowercases BOTH name segments
-    when deriving managed locations, so a mixed-case db.table name
-    must probe the lowercased path — on a case-sensitive FS the
-    un-lowered db silently skipped the reclaim and saveAsTable then
-    failed LOCATION_ALREADY_EXISTS; (b) a 3-part catalog-qualified
-    name must be rejected loudly, not mis-split into db='cat.db'."""
+    """r10 ADVICE + r11 review: (a) the metastore lowercases BOTH
+    name segments when deriving managed locations, so a mixed-case
+    db.table name must probe the lowercased path — on a
+    case-sensitive FS the un-lowered db silently skipped the reclaim
+    and saveAsTable then failed LOCATION_ALREADY_EXISTS; (b) an
+    EXISTING table spelled with a valid 3-part catalog-qualified
+    name must keep its working no-reclaim overwrite path (the r11
+    review caught an up-front rejection regressing it); (c) an
+    ABSENT 3-part name must be rejected loudly, not mis-split into
+    db='cat.db'; (d) an unknown catalog stays loud via tableExists'
+    own error."""
     import os
 
     import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
 
     spark.sql("CREATE DATABASE IF NOT EXISTS casedb")
     wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
     orphan_dir = os.path.join(wh, "casedb.db", "t_case_orphan")
     os.makedirs(orphan_dir, exist_ok=True)
     try:
-        # mixed-case spelling of BOTH segments must find the orphan
+        # (a) mixed-case spelling of BOTH segments must find the orphan
         got = scale._orphaned_table_location(spark, "CaseDB.T_Case_Orphan")
         assert got is not None and got.getName() == "t_case_orphan"
 
+        # (b) existing table via its valid 3-part spelling: no
+        # reclaim, and the overwrite write path still works
+        orders = tbl(spark, sf_dir, "orders").select("o_orderkey").limit(3)
+        scale.write_bucketed(orders, "t_threepart_ok", "o_orderkey", 2)
+        assert (
+            scale._orphaned_table_location(
+                spark, "spark_catalog.default.t_threepart_ok"
+            )
+            is None
+        )
+        scale.write_bucketed(
+            orders.limit(1), "spark_catalog.default.t_threepart_ok",
+            "o_orderkey", 2,
+        )
+        assert spark.table("t_threepart_ok").count() == 1
+
+        # (c) absent 3-part name: loud ValueError, never a mis-split
         with pytest.raises(ValueError, match="3-part"):
+            scale._orphaned_table_location(
+                spark, "spark_catalog.default.t_absent_3p"
+            )
+
+        # (d) unknown catalog: tableExists' own error propagates
+        with pytest.raises(AnalysisException):
             scale._orphaned_table_location(spark, "cat.db.tbl")
     finally:
+        spark.sql("DROP TABLE IF EXISTS t_threepart_ok")
         os.rmdir(orphan_dir)
         spark.sql("DROP DATABASE casedb")
 

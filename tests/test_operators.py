@@ -2501,3 +2501,39 @@ def test_triangle_counts_matches_bruteforce_property(spark):
         assert got == want
 
     prop()
+
+
+def test_cap_per_group_equals_copurchase_inline_twin(spark):
+    """Drift pin for the r11 review: copurchase_edges keeps an
+    expression-identical INLINE twin of cap_per_group until its r13
+    switch (window-slot math in the helper's docstring) — the two
+    must stay sameSemantics so a tie-break fix to one cannot
+    silently diverge the other. Checked on the plan (canonical
+    equality), not just values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_retail_pipeline_spark.operators import graph as G
+
+    rows = [(o, p) for o in range(6) for p in range(o + 3)]
+    df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+
+    helper = G.cap_per_group(df, "l_orderkey", "l_partkey", 3)
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.xxhash64("l_partkey"), F.col("l_partkey")
+    )
+    inline = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+    assert helper.sameSemantics(inline)
+    assert sorted(map(tuple, helper.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # every group capped at 3, deterministic across invocations
+    sizes = {r[0]: 0 for r in rows}
+    for o, _ in map(tuple, helper.collect()):
+        sizes[o] += 1
+    assert all(n <= 3 for n in sizes.values())

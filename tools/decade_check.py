@@ -65,30 +65,15 @@ def main() -> None:
             flush=True,
         )
     # order-independent checksum over the row SET — a re-run on
-    # identical data must reproduce it bit-for-bit. md5, NOT Python
-    # hash(): hash() is salted per process (PYTHONHASHSEED), which
-    # would defeat the cross-run comparison this tool exists for
-    # (caught in self-review before any recorded checksum relied on
-    # it). Rows hash WITH their column names attached (sorted
-    # (name, value) pairs): sorting bare values within a row would
-    # discard column association, so drift that moves a value between
-    # columns would checksum identically (r10 ADVICE). Formula
-    # changed in r11 — checksums recorded before then used the bare
-    # sorted-values form and are not comparable to new runs.
-    import hashlib
+    # identical data must reproduce it bit-for-bit; ONE shared
+    # implementation (tools/_util.py) so this tool and
+    # pl09_bucket_ab can never drift apart (r11 review)
+    from tools._util import row_set_checksum
 
-    checksum = sum(
-        int.from_bytes(
-            hashlib.md5(
-                str(sorted((k, str(v)) for k, v in r.asDict().items())).encode()
-            ).digest()[:4],
-            "big",
-        )
-        for r in rows
-    )
+    checksum = row_set_checksum(rows)
     print(
         f"{name}: cold={cold:.2f}s result_rows={len(rows)} "
-        f"checksum={checksum & 0xFFFFFFFF:#010x}"
+        f"checksum={checksum}"
     )
 
     ts = []

@@ -22,7 +22,6 @@ defaults: /tmp/sf10_grow (the true-100× grow dir), 3, 32.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import statistics
 import sys
@@ -36,19 +35,7 @@ from duckdb_retail_pipeline_spark.pipeline.aggregates import (
 )
 from duckdb_retail_pipeline_spark.pipeline.run import build_layers
 from duckdb_retail_pipeline_spark.session import get_spark
-
-
-def checksum(rows) -> str:
-    s = sum(
-        int.from_bytes(
-            hashlib.md5(
-                str(sorted((k, str(v)) for k, v in r.asDict().items())).encode()
-            ).digest()[:4],
-            "big",
-        )
-        for r in rows
-    )
-    return f"{s & 0xFFFFFFFF:#010x}"
+from tools._util import row_set_checksum as checksum
 
 
 def timed(label: str, sf_dir: str, n_fct: int, fn, warm_runs: int) -> None:
