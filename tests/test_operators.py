@@ -2537,3 +2537,40 @@ def test_cap_per_group_equals_copurchase_inline_twin(spark):
     for o, _ in map(tuple, helper.collect()):
         sizes[o] += 1
     assert all(n <= 3 for n in sizes.values())
+
+
+def test_timeseries_semdedup_cap_on_empty_input(spark):
+    """Degenerate-input pin for the r11 operators (the r10 graph/
+    sketch precedent): empty frames must yield empty frames with the
+    contracted schema — not raise from an empty window, a metadata
+    lookup, or an empty k-means assignment."""
+    from duckdb_retail_pipeline_spark.operators import (
+        dedup as D,
+        graph as G,
+        timeseries as TS,
+    )
+
+    empty_series = spark.createDataFrame([], "key string, t long, cents long")
+    dec = TS.decompose_additive(empty_series)
+    assert dec.count() == 0
+    assert dec.columns == ["key", "t", "cents", "trend_x2p", "detr_x2p"]
+    sm = TS.seasonal_means(dec)
+    assert sm.count() == 0
+    assert sm.columns == [
+        "key", "pos", "seasonal_sum_x2p", "n_obs", "seasonal_avg"
+    ]
+
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert G.triangle_counts(empty_edges).count() == 0
+    assert G.cap_per_group(
+        spark.createDataFrame([], "g bigint, i bigint"), "g", "i", 3
+    ).count() == 0
+
+    # semantic_dedup on one row: a singleton corpus has no neighbor
+    # to dominate it — kept, never dropped, never a crash from the
+    # single-cell k-means
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = D.semantic_dedup(one, n_cells=1, kmeans_iters=0).collect()
+    assert len(rows) == 1 and rows[0]["keep"] is True
