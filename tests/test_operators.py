@@ -2574,3 +2574,34 @@ def test_timeseries_semdedup_cap_on_empty_input(spark):
     )
     rows = D.semantic_dedup(one, n_cells=1, kmeans_iters=0).collect()
     assert len(rows) == 1 and rows[0]["keep"] is True
+
+
+def test_phrase_search_repeated_token_phrases(spark):
+    """r11 probe of the positional index (clean — pinned): phrases
+    with REPEATED tokens are the classic positional-intersection bug
+    class (both join sides filter to the same posting list and a
+    naive self-join can pair a position with itself). 'slow slow'
+    must count overlapping occurrences per doc, a 3-repeat works,
+    an over-long phrase matches nothing, and a 1-token phrase
+    degenerates to term counts."""
+    from duckdb_retail_pipeline_spark.operators import search as SR
+
+    docs = spark.createDataFrame(
+        [(1, "a slow slow join here"),
+         (2, "slow slow slow"),
+         (3, "slow join"),
+         (4, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    idx = SR.positional_index(docs)
+
+    def counts(phrase):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in SR.phrase_search(idx, phrase).collect()
+        }
+
+    assert counts(["slow", "slow"]) == {1: 1, 2: 2}
+    assert counts(["slow", "slow", "slow"]) == {2: 1}
+    assert counts(["a", "slow", "slow", "join", "here", "extra"]) == {}
+    assert counts(["slow"]) == {1: 2, 2: 3, 3: 1}
