@@ -2605,3 +2605,29 @@ def test_phrase_search_repeated_token_phrases(spark):
     assert counts(["slow", "slow", "slow"]) == {2: 1}
     assert counts(["a", "slow", "slow", "join", "here", "extra"]) == {}
     assert counts(["slow"]) == {1: 2, 2: 3, 3: 1}
+
+
+def test_asof_join_duplicate_right_timestamps_no_fanout(spark):
+    """r11 probe (clean — pinned): two right rows at the SAME instant
+    must not fan the left row out to two matches — as-of attaches
+    exactly one payload per left row, deterministically (the
+    struct-max fill: greatest (time, payload) struct wins, so the
+    winner is value-ordered, not arrival-ordered)."""
+    import datetime
+
+    from duckdb_retail_pipeline_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 5))], "k bigint, t date"
+    )
+    right = spark.createDataFrame(
+        [(datetime.date(2024, 1, 3), 1.0),
+         (datetime.date(2024, 1, 3), 2.0),
+         (datetime.date(2024, 1, 1), 9.9)],
+        "t date, rate double",
+    )
+    a = sorted(map(tuple, J.asof_join(left, right, on_time="t").collect()))
+    b = sorted(map(tuple, J.asof_join(left, right, on_time="t").collect()))
+    assert len(a) == 1            # no fan-out
+    assert a == b                 # deterministic across runs
+    assert a[0][-1] == 2.0        # struct-max: larger payload wins the tie
