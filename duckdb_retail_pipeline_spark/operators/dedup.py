@@ -34,6 +34,7 @@ from duckdb_retail_pipeline_spark.memo import memoized_count, rotating_persist
 _PREFIX_D_SLOT: list = []
 _MINHASH_BASE_SLOT: list = []
 _NEARDUP_BASE_SLOT: list = []
+_SEMDEDUP_SCORED_SLOT: list = []
 
 
 def _pair_dedup(pairs: DataFrame, score_col: str) -> DataFrame:
@@ -181,6 +182,15 @@ def minhash_lsh_pairs(
     jaccard — differential-tested); ``verify="auto"`` (default) picks
     by measured corpus size — the signature table is persisted before
     the choice, so the count is a cache scan the query needs anyway.
+    Scope of the value-identity contract (r11 review): it holds for
+    UNIQUE ids — each mode is individually deterministic always (the
+    _pair_dedup groupBy-max terminal), but under a duplicated id
+    carrying DIFFERENT texts, pairs mode's per-id shingle re-join
+    scores every payload combination of a candidate (id_a, id_b)
+    while bucket/group score only band-colliding combinations, so
+    the per-pair max can differ ACROSS modes. Canonicalize ids
+    upstream (exact_dedup's keep_id, or x86's canonical selection)
+    before relying on cross-mode interchangeability on dirty ids.
     Warm medians, aug corpus (~10% near-dup + replication families):
     5.5k docs → pairs 1.4 s / bucket 4.5 / group 5.1 (both
     array-shuffling modes pay the 8-band × 2-side shingle payload
@@ -428,10 +438,34 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit simhash, blocked on 4 15-bit
-    chunks (two fingerprints within hamming distance 3 of each other
-    must agree on ≥1 of 4 chunks), verified by exact hamming count."""
+    """SimHash near-dup pairs: 60-bit simhash, blocked on
+    ``n_chunks`` equal-width bit chunks, verified by exact hamming
+    count over candidates.
+
+    Recall contract (r11 review made this explicit): the pigeonhole
+    guarantee — two fingerprints must agree on ≥1 chunk — holds for
+    hamming ≤ n_chunks − 1 (3 at the default 4×15). Running a LARGER
+    ``max_hamming`` (x09 runs 6) is legal but the semantics are then
+    CHUNK-BLOCKED pairs: a pair whose differing bits hit every chunk
+    is never a candidate. That is exactly what x09's oracle pins on
+    both engines (the oracle mirrors the blocking), so it is a
+    documented semantics, not silent partial recall — callers
+    wanting full recall at hamming h pass ``n_chunks = h + 1``
+    (wider blocking join, same verify).
+
+    Determinism (r11 review): the per-pair terminal is a
+    groupBy-MIN over the candidate fan-out, the _pair_dedup
+    convention — under a duplicated id with differing texts the
+    chunk join can surface the same (id_a, id_b) with DIFFERENT
+    fingerprints, and a dropDuplicates would keep one
+    nondeterministically, flipping the emitted hamming (or the pair
+    itself through the threshold) across runs. MIN = the nearest
+    duplicate interpretation; one row per pair either way."""
+    if 60 % n_chunks:
+        raise ValueError(f"n_chunks must divide 60, got {n_chunks}")
+    width = 60 // n_chunks
     sh = _spread(docs, id_col).select(
         F.col(id_col), T.simhash64(T.tokens(text_col)).alias("simhash")
     )
@@ -444,10 +478,11 @@ def simhash_pairs(
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
                         (
-                            F.shiftright(F.col("simhash"), 15 * i) % F.lit(2**15)
+                            F.shiftright(F.col("simhash"), width * i)
+                            % F.lit(2**width)
                         ).alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("ck"),
@@ -455,19 +490,49 @@ def simhash_pairs(
 
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
-    cand = (
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    return (
         a.join(b, ["chunk_idx", "chunk"], "inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
-    hamming = F.bit_count(xor).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", F.bit_count(xor).cast("int"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _band_key_cols(vec_col: str, planes: list[list[float]], bands: int) -> list:
+    """The ONE shared derivation of the per-band LSH sign-key
+    expressions (r11 review: hyperplane_bands and the grouped verify
+    carried line-for-line copies — a sign-convention or cast fix
+    applied to one would silently diverge the differentially-tested
+    modes). Keys are BIGINT: the at-scale growth path raises
+    bits-per-band with log2(corpus), and at ≥32 bits an int key
+    wraps (non-ANSI) or nulls (ANSI), colliding or dropping distinct
+    sign patterns with no error (also r11 review); bigint is exact
+    to 62 bits per band, far past any real banding."""
+    n = len(planes)
+    if n % bands:
+        raise ValueError("len(planes) must divide evenly into bands")
+    k = n // bands
+    if k > 62:
+        raise ValueError(f"{k} bits per band overflows the bigint key")
+    # ONE plane_dots kernel call feeds every sign bit (the vector
+    # crosses the Arrow channel once, not once per plane; identical
+    # UDF expressions are deduplicated in the plan)
+    dots = V.plane_dots(vec_col, planes)
+    bits = [
+        F.when(F.element_at(dots, p + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(n)
+    ]
+    keys = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(k):
+            key = key + bits[b * k + j] * F.lit(2**j)
+        keys.append(key.cast("bigint"))
+    return keys
 
 
 def hyperplane_bands(
@@ -480,25 +545,11 @@ def hyperplane_bands(
     """LSH band assignment: ``len(planes)`` sign bits split into
     ``bands`` integer band keys, exploded to (id, band, key) — the
     content-derived block table behind ``embedding_dup_pairs``."""
-    if len(planes) % bands:
-        raise ValueError("len(planes) must divide evenly into bands")
-    k = len(planes) // bands
-    # ONE plane_dots kernel call feeds every sign bit (the vector
-    # crosses the Arrow channel once, not once per plane; identical
-    # UDF expressions are deduplicated in the plan)
-    dots = V.plane_dots(vec_col, planes)
-    bits = [
-        F.when(F.element_at(dots, p + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in range(len(planes))
+    keys = _band_key_cols(vec_col, planes, bands)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), key.alias("key"))
+        for b, key in enumerate(keys)
     ]
-    band_structs = []
-    for b in range(bands):
-        key = F.lit(0)
-        for j in range(k):
-            key = key + bits[b * k + j] * F.lit(2**j)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
-        )
     return emb.select(
         id_col, F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -570,9 +621,12 @@ def embedding_dup_pairs(
     if verify == "auto":
         # measured crossover (docstring): group's per-bucket Arrow
         # overhead loses on small corpora; pairs-mode dies on
-        # candidate blowup at the 100× decade. The count scans the
-        # just-persisted base the query needs anyway.
-        verify = "group" if base.count() >= 10_000 else "pairs"
+        # candidate blowup at the 100× decade. memoized_count, not
+        # .count(): the bare count re-scanned the persisted corpus on
+        # EVERY invocation just to pick the mode — the exact r7
+        # regression minhash_lsh_pairs was fixed for; this call site
+        # was missed (r11 review)
+        verify = "group" if memoized_count(base) >= 10_000 else "pairs"
 
     if verify == "group":
         return _embedding_dup_pairs_grouped(
@@ -644,21 +698,7 @@ def _embedding_dup_pairs_grouped(
     default Arrow dot surfaces a NaN dot as NULL (filtered by >=),
     so keeping NaN here would emit rows pairs-mode never produces.
     Probed by the unit differential test."""
-    n_planes = len(planes)
-    if n_planes % bands:
-        raise ValueError("len(planes) must divide evenly into bands")
-    k = n_planes // bands
-    dots = V.plane_dots(vec_col, planes)
-    bits = [
-        F.when(F.element_at(dots, p + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in range(n_planes)
-    ]
-    keys = []
-    for b in range(bands):
-        key = F.lit(0)
-        for j in range(k):
-            key = key + bits[b * k + j] * F.lit(2**j)
-        keys.append(key.cast("int"))
+    keys = _band_key_cols(vec_col, planes, bands)
     id_type = base.schema[id_col].dataType.simpleString()
     keyed = base.select(
         F.col(id_col).alias("__id"),
@@ -893,7 +933,12 @@ def semantic_dedup(
     similarity.build_ivf_index), candidate pairs are blocked by the
     cell equi-join with per-row hoisted norms (cosine_from_parts),
     O(cell²) per cell with n_cells ≈ √corpus at scale
-    (resolve_ivf_cells) — the IVF bound, never all-pairs."""
+    (resolve_ivf_cells) — the IVF bound, never all-pairs. The scored
+    frame (assignment + norm + centroid cosine, one corpus-sized
+    kernel pass) is slot-persisted: it feeds the plan THREE times
+    (both join sides + the final keep join), and Spark does not
+    dedupe common subplans — unpersisted, the assignment kernel ran
+    3× per invocation (r11 review)."""
     from duckdb_retail_pipeline_spark.operators import similarity as S
     from duckdb_retail_pipeline_spark.queries.base import dround
 
@@ -908,18 +953,21 @@ def semantic_dedup(
     cent_lits = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in idx["cents"]]
     )
-    scored = idx["assigned"].select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("__cell").cast("bigint").alias("cell"),
-        V.norm(vec_col).alias("__norm"),
-        dround(
-            V.cosine_similarity(
-                F.col(vec_col),
-                F.element_at(cent_lits, (F.col("__cell") + 1).cast("int")),
-            ),
-            4,
-        ).alias("cent_cos"),
+    scored = rotating_persist(
+        idx["assigned"].select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cell").cast("bigint").alias("cell"),
+            V.norm(vec_col).alias("__norm"),
+            dround(
+                V.cosine_similarity(
+                    F.col(vec_col),
+                    F.element_at(cent_lits, (F.col("__cell") + 1).cast("int")),
+                ),
+                4,
+            ).alias("cent_cos"),
+        ),
+        _SEMDEDUP_SCORED_SLOT,
     )
     left = scored.select(
         F.col(id_col).alias("__id_a"),

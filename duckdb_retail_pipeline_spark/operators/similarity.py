@@ -193,6 +193,16 @@ def lsh_index_query(
     query's bucket + flips (driver-side O(nprobe) probe list), exact
     cosine within the probed buckets — ``lsh_topk``'s query stage
     decoupled from its index build."""
+    bits = len(index["planes"])
+    if nprobe > bits + 1:
+        # same guard as lsh_topk/batch_ann_topk (r11 review: this
+        # entry point was missed): _query_probes' flip slice stops at
+        # len(planes), so excess nprobe would SILENTLY deliver fewer
+        # probes than the recall the caller configured for
+        raise ValueError(
+            f"nprobe={nprobe} unrealizable with bits={bits}: at most "
+            f"bits+1={bits + 1} distinct single-bit-flip probes exist"
+        )
     probes = _query_probes(index["planes"], query_vec, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = index["bucketed"].filter(F.col("__bucket").isin(probes))
@@ -731,9 +741,21 @@ def rrf_fuse(
     convention for partial overlap; both-absent documents don't
     appear at all). Ties total-order by (query, id).
 
-    int64 headroom: (da + db)·10^12 needs da·db < ~9·10^6 after the
-    DIV and da + db < ~9·10^6 before the scale — fine to list
-    depths of ~10^5 per query at dp=12; drop dp for deeper lists.
+    Precision bounds (r11 review — the earlier "fine to ~10^5 at
+    dp=12; drop dp for deeper lists" overclaimed, and the advice ran
+    the wrong direction): the floor distinguishes two fused scores
+    only when they differ by more than 10^-dp, and distinct sums of
+    unit fractions with denominators ~R (list depth) can differ by
+    as little as ~1/R³ — so ORDER fidelity to true RRF needs
+    dp ≥ 3·log10(R), while int64 needs (da+db)·10^dp in range, i.e.
+    dp ≤ ~18.9 − log10(2R). Jointly satisfiable only to R ≈ 3·10^4
+    (dp 14–15 there); at dp=12 ranks are provably collision-free to
+    R ≈ 10^4. Past the bound, adjacent near-tied documents can land
+    in one floor quantum and total-order by id — a tie-granularity
+    artifact, not a wrong score; LOWERING dp (the old advice) widens
+    it, and truly deep lists need a decimal(38) scaling instead.
+    Registered consumers (x88) fuse top-20 lists, far inside the
+    exact regime.
 
     Shape: one full-outer equi-join on (query, id) — both inputs are
     top-k lists, so rows per query are bounded by 2k, never corpus-

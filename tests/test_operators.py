@@ -2631,3 +2631,120 @@ def test_asof_join_duplicate_right_timestamps_no_fanout(spark):
     assert len(a) == 1            # no fan-out
     assert a == b                 # deterministic across runs
     assert a[0][-1] == 2.0        # struct-max: larger payload wins the tie
+
+
+def test_lsh_index_query_rejects_unrealizable_nprobe(spark):
+    """r11 review: lsh_topk and batch_ann_topk raise on
+    nprobe > bits+1 but the index-serving entry point was missed —
+    excess nprobe silently truncated the probe list to fewer probes
+    than the caller configured recall for."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = S.lsh_index(emb, bits=3)
+    # at the cap: fine
+    assert S.lsh_index_query(idx, [1.0, 0.0, 0.0], k=3, nprobe=4).count() >= 0
+    with pytest.raises(ValueError, match="unrealizable"):
+        S.lsh_index_query(idx, [1.0, 0.0, 0.0], k=3, nprobe=6)
+
+
+def test_simhash_pairs_deterministic_under_duplicate_ids(spark):
+    """r11 review: simhash_pairs was the ONE pair strategy ending in
+    dropDuplicates instead of the deterministic _pair_dedup-style
+    terminal — under a duplicated id with DIFFERENT texts the chunk
+    join surfaces the same (id_a, id_b) with different fingerprints
+    and the kept hamming was arrival-nondeterministic. Now a
+    groupBy-MIN: stable across runs, nearest-duplicate semantics."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base),
+         (1, base.replace("lazy", "sleepy")),   # same id, different text
+         (2, base),
+         (3, base.replace("again", "forever"))],
+        "doc_id long, text string",
+    )
+    runs = [
+        sorted(
+            tuple(r)
+            for r in D.simhash_pairs(docs, max_hamming=60).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    # the duplicated id's pair (1,2) carries ONE row with the MIN
+    # hamming over its payload combinations (base vs base == 0)
+    by_pair = {(a, b): h for a, b, h in runs[0]}
+    assert by_pair[(1, 2)] == 0
+
+
+def test_simhash_pairs_chunk_parameter_full_recall(spark):
+    """The n_chunks lever (r11 review made the recall contract
+    explicit): with n_chunks = max_hamming + 1 the pigeonhole
+    guarantee covers the requested distance, so the output must be
+    EVERY pair at hamming <= max_hamming (verified against the
+    all-pairs hamming computed from the collected fingerprints);
+    the default 4-chunk blocking yields a subset of that."""
+    from itertools import combinations
+
+    from duckdb_retail_pipeline_spark.functions import text as T
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j % len(words)] for j in range(i, i + 6)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", T.simhash64(T.tokens("text")).alias("h")
+        ).collect()
+    }
+    h = 9  # h+1 = 10 chunks (n_chunks must divide the 60 hash bits)
+    want = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= h
+    )
+    assert want  # the corpus actually has pairs at this distance
+    got_full = sorted(
+        tuple(r)
+        for r in D.simhash_pairs(docs, max_hamming=h, n_chunks=h + 1).collect()
+    )
+    assert got_full == want  # full recall at n_chunks = h+1
+    got_default = sorted(
+        tuple(r) for r in D.simhash_pairs(docs, max_hamming=h).collect()
+    )
+    assert set(got_default) <= set(want)  # blocked semantics: subset
+
+
+def test_hyperplane_band_keys_are_bigint_and_collision_free(spark):
+    """r11 review: at >=33 bits per band the old int-cast band key
+    wrapped to its low 32 bits, silently colliding distinct sign
+    patterns (e.g. keys 2^33-1 and 2^32-1). Crafted axis-aligned
+    planes make the sign pattern controllable: two vectors differing
+    ONLY in plane 32's sign must land in different band-0 buckets."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    dim = 33
+    planes = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(dim)]
+    v_all = [1.0] * dim
+    v_flip = [1.0] * 32 + [-1.0]
+    emb = spark.createDataFrame(
+        [(0, v_all), (1, v_flip)], "vec_id long, embedding array<double>"
+    )
+    banded = D.hyperplane_bands(emb, planes, bands=1)
+    assert banded.schema["key"].dataType.simpleString() == "bigint"
+    keys = {r["vec_id"]: r["key"] for r in banded.collect()}
+    assert keys[0] == 2**33 - 1
+    assert keys[1] == 2**32 - 1
+    assert keys[0] != keys[1]  # the old int cast collided these
