@@ -334,10 +334,12 @@ def simhash64_hof(toks: Column | str) -> Column:
 
 
 def simhash64(toks: Column | str) -> Column:
-    """64-bit-style SimHash over a token array, built from two 30-bit
-    md5-derived halves (kept ≤60 bits so the same arithmetic is exact
-    in any SQL engine). Returns a bigint whose bits are the sign of
-    per-bit weighted sums.
+    """60-bit SimHash over a token array: ONE 60-bit token hash from
+    the first 15 md5 hex digits (kept ≤60 bits so the same integer
+    arithmetic is exact in any SQL engine — r11 review corrected
+    this docstring, which described a two-30-bit-halves construction
+    neither kernel ever used). Returns a bigint whose bits are the
+    sign of per-bit weighted sums.
 
     Default kernel is the Arrow one: the HOF form builds 60 separate
     ``aggregate`` expressions that EACH inline the md5 token-hash
@@ -406,8 +408,12 @@ def lang_marker_hits(col: Column | str, lang: str) -> Column:
 
 
 def predict_lang(col: Column | str) -> Column:
-    """Pick the language with the most marker hits; ties and
-    zero-hit documents fall back to 'und' (undetermined)."""
+    """Pick the language with the most marker hits; zero-hit
+    documents fall back to 'und' (undetermined), and a TIE between
+    languages resolves to the alphabetically-smallest winner — NOT
+    'und' (r11 review corrected this docstring: the x03 oracle pins
+    the alphabetical tie-break on both engines; the code always
+    behaved this way)."""
     c = _c(col)
     hit_cols = {lang: lang_marker_hits(c, lang) for lang in LANG_MARKERS}
     best = F.greatest(*hit_cols.values())
@@ -452,22 +458,42 @@ def winnow_from_hashes(hs: Column | str, window: int = 4) -> Column:
 def fingerprint(col: Column | str) -> Column:
     """Canonical document fingerprint: md5 of the lower-cased,
     whitespace-normalized text. Exact-dedup key that survives
-    formatting noise."""
+    formatting noise.
+
+    NULL semantics (r11 review, documented rather than changed):
+    NULL text fingerprints as the EMPTY document — tokens(NULL) is a
+    NULL array but concat_ws skips null arguments, so md5 sees "" —
+    which collapses NULL-text rows with empty/whitespace-only docs
+    under exact dedup. Every registered corpus has non-null text, so
+    the behavior is unobserved in the gates; isolating NULLs would
+    change fingerprints under x01/x04/x28/x34/x63/x86 at once, so
+    the swap is queued for r13 when their window re-entry absorbs
+    the guard rows (ROADMAP). Callers needing NULL isolation today
+    filter nulls upstream."""
     c = _c(col)
     return F.md5(F.concat_ws(" ", tokens(F.lower(c))))
 
 
 def chunk_starts(toks: Column | str, chunk_size: int, overlap: int) -> Column:
     """0-based token offsets of overlapping chunks: 0, stride, 2·stride
-    … up to the last token (stride = chunk_size − overlap). Empty
-    docs still yield one (empty) chunk at offset 0, which keeps the
-    per-doc chunk count ≥ 1 for downstream bookkeeping."""
+    … while the PREVIOUS chunk has not yet covered the document
+    (stride = chunk_size − overlap; bound = size − overlap − 1, i.e.
+    a start s is emitted iff s == 0 or s + overlap < size). The old
+    up-to-the-last-token bound emitted one extra trailing start
+    whenever size − last_start ≤ overlap — a chunk wholly contained
+    in its predecessor, i.e. a duplicate pure-suffix content row on
+    ~overlap/stride of documents (r11 review; conventional chunkers
+    stop once the prior chunk reaches the end). Empty docs still
+    yield one (empty) chunk at offset 0, which keeps the per-doc
+    chunk count ≥ 1 for downstream bookkeeping."""
     t = _c(toks)
     stride = chunk_size - overlap
     if stride <= 0:
         raise ValueError("chunk_size must exceed overlap")
     return F.sequence(
-        F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size(t) - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(stride),
     )
 
 

@@ -142,7 +142,20 @@ def adc_topk(
     scan touches only the integer codes — no float vectors move.
     Returns (id, adc_dot) ordered desc, ties to lower id."""
     m = len(books)
-    d = len(query_vec) // m
+    # _subspaces, not floor division (r11 review): a query whose dim
+    # is not divisible by m — or that mismatches the books' training
+    # dim — would silently zip-truncate every LUT entry and corrupt
+    # all scores with no error; _subspaces raises on non-divisible
+    # dims and the sub-dim check below catches a dim/books mismatch
+    subs = _subspaces(len(query_vec), m)
+    d = subs[0][1]
+    for s in range(m):
+        if books[s] and len(books[s][0]) != d:
+            raise ValueError(
+                f"query dim {len(query_vec)} splits into {d}-dim "
+                f"subspaces but books[{s}] was trained at "
+                f"{len(books[s][0])} dims"
+            )
     lut = [
         [
             sum(float(a) * float(b) for a, b in zip(query_vec[s * d : (s + 1) * d], c))
@@ -194,9 +207,23 @@ def ivf_pq_topk(
     filter prunes to ~nprobe/n_cells of the corpus, ADC scans only
     integer codes for the survivors, and exact scoring reads float
     vectors for refine_factor × k rows — the only stage that touches
-    them."""
+    them.
+
+    Metric note (r11 review): the ADC shortlist ranks by approximate
+    INNER PRODUCT while cell probing and the final stage rank by
+    COSINE — on a corpus with widely varying norms a low-norm
+    high-cosine vector can be out-scored on ADC dot and fall outside
+    the refine_factor·k shortlist the exact stage re-scores. On the
+    synthetic corpus norms are tightly clustered and the measured
+    recall floor (x89's contract, refine_factor swept) absorbs the
+    gap; a deployment on unnormalized embeddings should L2-normalize
+    at ingest — dot then ≡ cosine and the three stages share one
+    metric (the r12+ candidate is normalizing inside
+    train_pq/encode_pq, which changes codes and therefore needs its
+    own recall re-sweep before touching the registered x89)."""
     from duckdb_retail_pipeline_spark.operators.similarity import (
         build_ivf_index,
+        probe_cos,
     )
 
     dim = len(query_vec)
@@ -211,15 +238,9 @@ def ivf_pq_topk(
     else:
         ivf, books, codes = index["ivf"], index["books"], index["codes"]
 
-    def cos(a, b):
-        num = sum(float(x) * float(y) for x, y in zip(a, b))
-        na = sum(float(x) * float(x) for x in a) ** 0.5
-        nb = sum(float(y) * float(y) for y in b) ** 0.5
-        return num / (na * nb) if na and nb else -2.0
-
     cents = ivf["cents"]
     probe_cells = sorted(
-        range(len(cents)), key=lambda i: -cos(query_vec, cents[i])
+        range(len(cents)), key=lambda i: -probe_cos(query_vec, cents[i])
     )[:nprobe]
     cand_ids = ivf["assigned"].filter(
         F.col("__cell").isin(*probe_cells)

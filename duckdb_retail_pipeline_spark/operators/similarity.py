@@ -675,6 +675,19 @@ def build_ivf_index(
     return {"cents": cents, "assigned": assigned}
 
 
+def probe_cos(a, b) -> float:
+    """Driver-side cosine for centroid probing — the ONE shared
+    implementation (r11 review: ivf_topk and pq.ivf_pq_topk carried
+    near-identical closures that had already started to drift on
+    float() casts; the two pipelines must probe the SAME cells for
+    the same query). Zero-norm sides score -2.0 — below every real
+    cosine, so degenerate centroids are never probed first."""
+    num = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = sum(float(x) * float(x) for x in a) ** 0.5
+    nb = sum(float(y) * float(y) for y in b) ** 0.5
+    return num / (na * nb) if na and nb else -2.0
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -699,14 +712,9 @@ def ivf_topk(
             persist=False,
         )
     cents, assigned = index["cents"], index["assigned"]
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else -2.0
-
-    probe_cells = sorted(range(len(cents)), key=lambda i: -cos(query_vec, cents[i]))[:nprobe]
+    probe_cells = sorted(
+        range(len(cents)), key=lambda i: -probe_cos(query_vec, cents[i])
+    )[:nprobe]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = assigned.filter(F.col("__cell").isin(*probe_cells))

@@ -1332,7 +1332,7 @@ def _x65_oracle() -> str:
         ), s AS (
             SELECT doc_id, toks,
                    UNNEST([s for s in generate_series(
-                       0, GREATEST(len(toks) - 1, 0), 96)]) AS chunk_start
+                       0, GREATEST(len(toks) - 33, 0), 96)]) AS chunk_start
             FROM t
         ), chunks AS (
             SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,

@@ -2748,3 +2748,65 @@ def test_hyperplane_band_keys_are_bigint_and_collision_free(spark):
     assert keys[0] == 2**33 - 1
     assert keys[1] == 2**32 - 1
     assert keys[0] != keys[1]  # the old int cast collided these
+
+
+def test_chunk_starts_no_pure_suffix_chunks(spark):
+    """r11 review: the old up-to-the-last-token bound emitted a
+    trailing chunk wholly contained in its predecessor whenever
+    size − last_start <= overlap (97 tokens at 128/32 → starts
+    [0, 96], the 96-chunk being one already-covered token). Starts
+    now stop once the previous chunk covers the doc; empty docs keep
+    their one offset-0 chunk."""
+    from duckdb_retail_pipeline_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    sizes = [0, 1, 96, 97, 128, 129, 224, 225, 320]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in sizes],
+        "n long, text string",
+    )
+    got = {
+        r["n"]: r["starts"]
+        for r in docs.select(
+            "n", T.chunk_starts(T.tokens("text"), 128, 32).alias("starts")
+        ).collect()
+    }
+    assert got[0] == [0] and got[1] == [0]
+    assert got[96] == [0] and got[97] == [0] and got[128] == [0]
+    assert got[129] == [0, 96]
+    assert got[224] == [0, 96]       # chunk at 96 covers 97..224
+    assert got[225] == [0, 96, 192]
+    assert got[320] == [0, 96, 192]  # 192-chunk covers through 319+1
+    # coverage invariant: every token is inside some chunk, and no
+    # chunk is wholly contained in its predecessor
+    for n, starts in got.items():
+        if n == 0:
+            continue
+        assert starts[0] == 0
+        for prev, cur in zip(starts, starts[1:]):
+            assert prev + 128 < n or cur + 128 >= n  # cur adds new tokens
+            assert cur <= prev + 128  # no gap
+        assert starts[-1] + 128 >= n  # last chunk reaches the end
+
+
+def test_adc_topk_rejects_dim_mismatch(spark):
+    """r11 review: adc_topk derived sub-dims by floor division, so a
+    query whose length mismatched the books silently zip-truncated
+    every LUT entry and corrupted all scores. Now it raises on a
+    non-divisible dim and on a query/books sub-dim mismatch."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators import pq as PQ
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(12)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    books = PQ.train_pq(emb, dim=12, m=4, k_codes=4)
+    codes = PQ.encode_pq(emb, books, dim=12)
+    # matching query: fine
+    assert PQ.adc_topk(codes, books, [1.0] * 12, k=3).count() == 3
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.adc_topk(codes, books, [1.0] * 10, k=3)
+    with pytest.raises(ValueError, match="trained at"):
+        PQ.adc_topk(codes, books, [1.0] * 8, k=3)  # divisible, wrong dim
