@@ -46,6 +46,13 @@ def grouped_ols(
     column reaches pandas as float64-with-NaN where int(NaN) would
     otherwise kill the task. The group column's output type follows
     the input schema (a bigint user_id group stays bigint).
+
+    Exactness guard (r11 review): that same float64 delivery path is
+    lossy above 2^53 — int(v) would silently round-trip a large
+    bigint to a DIFFERENT integer and the "exact integer sums"
+    contract vs the oracle would break with no error. Values past
+    2^53 raise instead (no registered corpus is within 10^5× of the
+    bound; a caller that ever is should pre-scale down).
     """
     import pandas as pd
 
@@ -56,6 +63,14 @@ def grouped_ols(
 
     def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ok = pdf[[x_col, y_col]].notna().all(axis=1)
+        for col in (x_col, y_col):
+            vals = pdf[col][ok]
+            if len(vals) and vals.abs().max() > 2**53:
+                raise ValueError(
+                    f"grouped_ols: |{col}| exceeds 2^53 — the Arrow "
+                    "float64 path for nullable ints is lossy there; "
+                    "pre-scale the column down"
+                )
         xs = [int(v) for v in pdf[x_col][ok]]
         ys = [int(v) for v in pdf[y_col][ok]]
         n = len(xs)

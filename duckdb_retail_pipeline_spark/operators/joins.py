@@ -106,17 +106,32 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
 
+    # __r as the FINAL sort key makes the order TOTAL over right rows
+    # tied on (by, time) (r11 review): without it, last()/first()
+    # returned whichever tied peer the shuffle happened to order
+    # last — a nondeterministic payload across runs. With it, ties
+    # resolve by the payload struct's own ordering: backward attaches
+    # the GREATEST tied struct (last over ascending), forward the
+    # LEAST (first over ascending) — value-ordered, run-stable
+    # (pinned: tests/test_operators.py duplicate-right-timestamp
+    # test). Left rows carry NULL __r and are already separated from
+    # right rows by __is_left, so the extra key never reorders
+    # left-vs-right.
     if direction == "backward":
         # right rows sort before left rows at equal time → "at or before"
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .orderBy(
+                F.col("__t").asc(), F.col("__is_left").asc(), F.col("__r").asc()
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     elif direction == "forward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+            .orderBy(
+                F.col("__t").asc(), F.col("__is_left").desc(), F.col("__r").asc()
+            )
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
     else:
@@ -152,8 +167,21 @@ def range_join_bucketed(
     """Range join (left.val BETWEEN right.lo AND right.hi) via bucket
     equi-join + residual filter, avoiding the O(n·m) theta join: each
     right interval is exploded to its overlapping buckets, then an
-    equi-join on bucket id prunes to near-candidates."""
+    equi-join on bucket id prunes to near-candidates. Shared
+    non-``by`` column names raise up front (r11 review, the
+    asof_join guard reused): the inner join would otherwise emit
+    duplicate-named columns — or make the residual ``left_val``
+    reference ambiguous — with an AnalysisException pointing nowhere
+    near the cause."""
     by = list(by or [])
+    collisions = sorted(
+        (set(left.columns) & set(right.columns)) - set(by)
+    )
+    if collisions:
+        raise ValueError(
+            f"range_join_bucketed: column(s) {collisions} exist on both "
+            "sides; rename one side before joining"
+        )
     lb = left.withColumn("__bucket", F.floor(F.col(left_val) / bucket_width))
     rb = right.withColumn(
         "__bucket",

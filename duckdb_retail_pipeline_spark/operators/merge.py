@@ -46,12 +46,22 @@ def scd2_apply(
     Equal ``effective_from`` ties break deterministically in the
     CHANGE's favor (a same-day correction): the superseded dim row
     gets a zero-length [x, x) interval that ``as_of`` can never
-    select, and the change becomes the live version. Without the
-    tiebreak the lead window's order over the tie was arbitrary —
-    which version was visible as-of any date flipped between runs."""
-    w = Window.partitionBy(*key_cols).orderBy(effective_col, "__src")
+    select, and the change becomes the live version. Ties WITHIN one
+    side (two same-day CDC changes for one key) total-order by the
+    row's full payload struct (r11 review: the __src tiebreak alone
+    left same-side ties arbitrary — which correction ended up
+    is_current flipped between runs, one level below the bug the
+    dim-vs-change tiebreak fixed). Value-ordered: the greatest
+    payload becomes the live version; exact duplicate rows are
+    interchangeable, so the order is total where it matters."""
     combined = dim.withColumn("__src", F.lit(0)).unionByName(
         changes.withColumn("__src", F.lit(1))
+    )
+    payload_struct = F.struct(
+        *[c for c in combined.columns if c != "__src"]
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        effective_col, "__src", payload_struct
     )
     return (
         combined.withColumn(end_col, F.lead(effective_col).over(w))

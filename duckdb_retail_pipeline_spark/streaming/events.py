@@ -45,9 +45,12 @@ def _read_stream(
     touch."""
     from ..catalog import ensure_session_conventions, normalize_event_ts
 
-    if normalize:
-        ensure_session_conventions(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # unconditionally, for EVERY stream read (r11 review): the
+    # nanosAsLong conf was re-set inline here — the exact ad-hoc
+    # duplication catalog.py centralizes — and the normalize=False
+    # path mutated the shared session conf without the tz pin or the
+    # read-only-session guard the catalog applies
+    ensure_session_conventions(spark)
     schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
@@ -126,6 +129,12 @@ def run_stream_to_memory(
 
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    # try/finally around EVERYTHING after start (r11 review): the
+    # timeout and query-failure paths previously skipped the cleanup
+    # this function exists to provide — a test/bench loop hitting
+    # repeated failures grew one checkpoint dir plus one
+    # driver-pinned memory view per call, the exact unbounded growth
+    # the success-path cleanup was written to prevent.
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
@@ -134,24 +143,30 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_s)
-    if not finished:
-        # a silently-partial memory table would surface later as a
-        # confusing oracle mismatch; fail loudly at the source
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name!r} did not finish within {timeout_s}s"
-        )
-    # materialize and release the per-call state: the memory sink's
-    # table pins the full result in driver memory for the session's
-    # lifetime and each call mints a fresh name + checkpoint dir, so
-    # a bench/test loop would grow both without bound. Results here
-    # are aggregate-sized by construction (complete-mode windows).
-    table = spark.table(name)
-    rows, schema = table.collect(), table.schema
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            # a silently-partial memory table would surface later as
+            # a confusing oracle mismatch; fail loudly at the source
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within {timeout_s}s"
+            )
+        # materialize and release the per-call state: the memory
+        # sink's table pins the full result in driver memory for the
+        # session's lifetime and each call mints a fresh name +
+        # checkpoint dir, so a bench/test loop would grow both
+        # without bound. Results here are aggregate-sized by
+        # construction (complete-mode windows).
+        table = spark.table(name)
+        rows, schema = table.collect(), table.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — view may not exist on failure
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +240,17 @@ def stateful_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _checkpoint_has_offsets(spark: SparkSession, ckpt: str) -> bool:
+    """True iff ``ckpt`` holds at least one committed streaming
+    offset — the witness that a previous run's batch-id space owns
+    the sink's partitions (Hadoop FS, not os.path: checkpoints may
+    live on hdfs:// at scale)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(ckpt, "offsets"))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
+
+
 def stream_upsert_daily_totals(
     spark: SparkSession,
     sf_dir: str,
@@ -251,7 +277,12 @@ def stream_upsert_daily_totals(
     identical plumbing, transactional rename instead of overwrite.
 
     Pass ``checkpoint`` to resume a previous run's offsets (the
-    restart-recovery path); by default each call gets a fresh
+    restart-recovery path). Resume-in-place requires the checkpoint
+    to actually HOLD committed offsets — a new/empty checkpoint dir
+    is a FRESH run regardless of the argument (r11 review: argument
+    presence alone granted in-place writes to a run whose batch ids
+    restart at 0 over a prior run's partials — the double-count this
+    function exists to prevent). By default each call gets a fresh
     checkpoint dir — and a fresh run retires any ``batch=*``
     partitions a PREVIOUS run left under ``dest_path``: batch ids
     are only meaningful relative to one checkpoint's offsets, so
@@ -285,7 +316,20 @@ def stream_upsert_daily_totals(
             "Hadoop path resolution cannot address it unambiguously"
         )
     name = f"upsert_{uuid.uuid4().hex[:10]}"
-    fresh = checkpoint is None
+    # '' is not a checkpoint (r11 review: the falsy path previously
+    # split — fresh=False here but a throwaway temp dir below)
+    checkpoint = checkpoint or None
+    # FRESH means "this checkpoint does not yet own dest's batch-id
+    # space", NOT "no checkpoint argument" (r11 review): a caller
+    # opting into durability with a NEW checkpoint dir over a dest
+    # holding a PRIOR run's partials got resume-in-place semantics —
+    # its batch ids restart at 0, overwrite only the partitions they
+    # reach, and the surviving stale ids double-count in the final
+    # re-aggregation. Only a checkpoint with committed offsets is a
+    # genuine resume (its replayed ids own dest's partitions).
+    fresh = checkpoint is None or not _checkpoint_has_offsets(
+        spark, checkpoint
+    )
     stale_paths = []
     fs = None
     if fresh:
@@ -364,11 +408,21 @@ def stream_upsert_daily_totals(
         # (delete-then-rename per batch id), THEN retire prior-run
         # partials this run did not overwrite (stale batch ids would
         # re-aggregate into the final result as silent double
-        # counting). Failure atomicity now holds up to this
+        # counting). Failure atomicity holds up to this
         # O(#batches)-rename window — milliseconds — instead of the
-        # whole stream runtime; renames before deletes, so a crash
-        # mid-swap never loses prior data without its replacement
-        # already in place.
+        # whole stream runtime. Honest crash story for an OVERLAPPING
+        # batch id (r11 review corrected an earlier comment that
+        # claimed renames-before-deletes): the swap is
+        # delete-dst-then-rename-src, so a crash BETWEEN the two
+        # leaves dest missing that batch while its replacement sits
+        # in the dot-staging dir invisible to the batch=* reader —
+        # the documented worst state, pinned by
+        # tests/test_streaming.py's swap-window crash tests, and
+        # repaired by the next fresh run's sweep. A rename-aside
+        # (dst -> trash, src -> dst, delete trash) would close the
+        # window at the cost of a third crash state; queued in
+        # ROADMAP rather than changed under the pinned tests at
+        # round end.
         jvm = spark.sparkContext._jvm
         for bid in sorted(written_ids):
             src = jvm.org.apache.hadoop.fs.Path(

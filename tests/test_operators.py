@@ -2810,3 +2810,66 @@ def test_adc_topk_rejects_dim_mismatch(spark):
         PQ.adc_topk(codes, books, [1.0] * 10, k=3)
     with pytest.raises(ValueError, match="trained at"):
         PQ.adc_topk(codes, books, [1.0] * 8, k=3)  # divisible, wrong dim
+
+
+def test_scd2_same_side_tie_is_deterministic(spark):
+    """r11 review: two same-day CDC changes for one key (same __src,
+    equal effective_from) ordered arbitrarily one level below the
+    dim-vs-change tiebreak — which correction ended up current
+    flipped between runs. The payload-struct total order pins it:
+    the greatest payload becomes the live version, stable across
+    runs."""
+    import datetime
+
+    from duckdb_retail_pipeline_spark.operators import merge as MG
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "v0", datetime.date(2020, 1, 1))],
+        "k long, attr string, effective_from date",
+    )
+    changes = spark.createDataFrame(
+        [(1, "corrA", datetime.date(2020, 2, 1)),
+         (1, "corrB", datetime.date(2020, 2, 1))],
+        "k long, attr string, effective_from date",
+    )
+    runs = [
+        sorted(
+            (r["attr"], str(r["effective_to"]), r["is_current"])
+            for r in MG.scd2_apply(dim, changes, ["k"]).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    current = [a for a, _, cur in runs[0] if cur]
+    assert current == ["corrB"]  # greatest payload struct wins
+
+
+def test_range_join_bucketed_rejects_column_collisions(spark):
+    """r11 review: shared non-by column names made the residual
+    filter ambiguous with an error pointing nowhere near the cause —
+    the asof_join guard now applies here too."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators import joins as J
+
+    left = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    right = spark.createDataFrame(
+        [(9, 0.0, 10.0)], "id long, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="both"):
+        J.range_join_bucketed(left, right, "v", "lo", "hi", 4.0)
+
+
+def test_grouped_ols_raises_past_float64_exactness(spark):
+    """r11 review: a nullable bigint reaches the Arrow kernel as
+    float64, lossy above 2^53 — int(v) would silently fit on
+    corrupted integers; the kernel now raises."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators.grouped import grouped_ols
+
+    rows = [(1, 1, 2**53 + 100), (1, 2, None)]  # the None forces float64
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    with pytest.raises(Exception, match="2\\^53"):
+        grouped_ols(df, "g", "x", "y").collect()

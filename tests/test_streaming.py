@@ -545,3 +545,73 @@ def test_stateful_totals_state_survives_query_restart(spark, tmp_path):
     write("b.parquet", [(1, 4.50), (3, 9.25)])
     p2 = run_phase()
     assert p2 == {1: (3, 7.50), 3: (1, 9.25)}, p2
+
+
+def test_upsert_new_checkpoint_over_stale_dest_retires_prior_partials(
+    spark, tmp_path
+):
+    """r11 review (most severe find of the streaming pass): a caller
+    opting into durability with a NEW checkpoint dir over a dest
+    holding a PRIOR run's partials previously got resume-in-place
+    semantics from the mere presence of the argument — its batch ids
+    restart at 0, overwrite only what they reach, and surviving
+    stale ids double-count. Fresh-ness now keys on the checkpoint
+    HOLDING offsets: run B with an empty checkpoint must retire
+    run A's partials and produce the exact batch totals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, day, n):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, day, 10, 0)] * n,
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "user_id": pa.array(list(range(n)), type=pa.int64()),
+                    "event_type": pa.array(["click"] * n),
+                    "value": pa.array([1.0] * n),
+                }
+            ),
+            str(src / name),
+        )
+
+    dest = str(tmp_path / "dest")
+    # run A (anonymous checkpoint): 3 files, one batch each
+    write("a.parquet", 1, 2)
+    write("b.parquet", 2, 3)
+    write("c.parquet", 3, 4)
+    out_a = SE.stream_upsert_daily_totals(
+        spark, str(src), dest, max_files_per_trigger=1, glob="*.parquet"
+    )
+    assert out_a.agg(F.sum("n_events")).first()[0] == 9
+
+    # run B: NEW durable checkpoint, no maxFilesPerTrigger → a single
+    # batch=0. Under the old argument-presence detection run A's
+    # batch=1,2 survived and double-counted days 2-3.
+    ckpt = str(tmp_path / "durable_ckpt")
+    out_b = SE.stream_upsert_daily_totals(
+        spark, str(src), dest, glob="*.parquet", checkpoint=ckpt
+    )
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in out_b.collect()
+    }
+    assert got == {
+        ("2024-01-01", "click"): 2,
+        ("2024-01-02", "click"): 3,
+        ("2024-01-03", "click"): 4,
+    }, got
+
+    # run C: SAME checkpoint now holds offsets → genuine resume, new
+    # file processed in place, totals stay exact
+    write("d.parquet", 4, 5)
+    out_c = SE.stream_upsert_daily_totals(
+        spark, str(src), dest, glob="*.parquet", checkpoint=ckpt
+    )
+    assert out_c.agg(F.sum("n_events")).first()[0] == 14
