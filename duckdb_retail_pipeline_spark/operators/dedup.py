@@ -452,8 +452,11 @@ def simhash_pairs(
     is never a candidate. That is exactly what x09's oracle pins on
     both engines (the oracle mirrors the blocking), so it is a
     documented semantics, not silent partial recall — callers
-    wanting full recall at hamming h pass ``n_chunks = h + 1``
-    (wider blocking join, same verify).
+    wanting full recall at hamming h pass the smallest DIVISOR of 60
+    greater than h (e.g. 10 for h=6, 12 for h=11): pigeonhole only
+    needs n_chunks > h, and n_chunks must divide the 60-bit
+    fingerprint (r12 ADVICE: the earlier "h + 1" advice named
+    non-divisors for most h, including its own h=6 example).
 
     Determinism (r11 review): the per-pair terminal is a
     groupBy-MIN over the candidate fan-out, the _pair_dedup

@@ -47,6 +47,21 @@ def semi_in(
     return df.join(F.broadcast(filter_df), on, "left_semi")
 
 
+def _orderable(dt) -> bool:
+    """True iff a column of this type can appear in an ORDER BY —
+    MapType (at any nesting depth) is the one unorderable family
+    Catalyst rejects."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -72,7 +87,10 @@ def asof_join(
     time is excluded, and a left row with NULL time gets NULL
     payload. Right payload names that collide with left columns
     raise (the output would carry ambiguous duplicates; rename
-    before joining, as merge_asof's suffixes would)."""
+    before joining, as merge_asof's suffixes would). Right rows TIED
+    on (by, time) resolve deterministically by the payload's
+    orderable fields (map-typed fields join fine but are unorderable
+    and sit out of the tie-break — see the window comment)."""
     from pyspark.sql import types as T
 
     rt = right_time or on_time
@@ -106,23 +124,37 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs)
 
-    # __r as the FINAL sort key makes the order TOTAL over right rows
-    # tied on (by, time) (r11 review): without it, last()/first()
-    # returned whichever tied peer the shuffle happened to order
-    # last — a nondeterministic payload across runs. With it, ties
-    # resolve by the payload struct's own ordering: backward attaches
-    # the GREATEST tied struct (last over ascending), forward the
-    # LEAST (first over ascending) — value-ordered, run-stable
-    # (pinned: tests/test_operators.py duplicate-right-timestamp
-    # test). Left rows carry NULL __r and are already separated from
-    # right rows by __is_left, so the extra key never reorders
-    # left-vs-right.
+    # A payload-valued FINAL sort key makes the order TOTAL over
+    # right rows tied on (by, time) (r11 review): without it,
+    # last()/first() returned whichever tied peer the shuffle
+    # happened to order last — a nondeterministic payload across
+    # runs. The key is a struct of the ORDERABLE payload fields only
+    # (r12 ADVICE: sorting on the full __r struct threw
+    # AnalysisException for payloads containing non-orderable types
+    # like MapType, which previously joined fine): for all-orderable
+    # payloads — every driver query — this is exactly the full
+    # payload struct, so backward attaches the GREATEST tied struct
+    # (last over ascending), forward the LEAST (first over
+    # ascending) — value-ordered, run-stable (pinned:
+    # tests/test_operators.py duplicate-right-timestamp test). Rows
+    # tied on (by, time) AND on every orderable payload field but
+    # differing in a map-typed field remain a nondeterministic pick
+    # among value-tied peers (documented, not silent: with zero
+    # orderable fields there is no value order to impose). Left rows
+    # carry NULL __k and are already separated from right rows by
+    # __is_left, so the extra key never reorders left-vs-right.
+    orderable = [c for c in payload if _orderable(right.schema[c].dataType)]
+    tie_keys = (
+        [F.struct(*[F.col("__r")[c] for c in orderable]).asc()]
+        if orderable
+        else []
+    )
     if direction == "backward":
         # right rows sort before left rows at equal time → "at or before"
         w = (
             Window.partitionBy(*by)
             .orderBy(
-                F.col("__t").asc(), F.col("__is_left").asc(), F.col("__r").asc()
+                F.col("__t").asc(), F.col("__is_left").asc(), *tie_keys
             )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -130,7 +162,7 @@ def asof_join(
         w = (
             Window.partitionBy(*by)
             .orderBy(
-                F.col("__t").asc(), F.col("__is_left").desc(), F.col("__r").asc()
+                F.col("__t").asc(), F.col("__is_left").desc(), *tie_keys
             )
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )

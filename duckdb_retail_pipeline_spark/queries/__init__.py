@@ -30,91 +30,103 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs the WHOLE registry).
 #
-# Round-11 window (see ROTATION.md): CORRECTNESS_r10 landed 50/50
-# (cumulative 145/145; rotation invariant verified intact by the r10
+# Round-12 window (see ROTATION.md): CORRECTNESS_r11 landed 50/50
+# (cumulative 148/148; rotation invariant verified intact by the r11
 # judge). Derived BY SCRIPT at round start — tools/rotation_recount.py
-# reports 47 rule-3 owed re-entries (the r8-green block, 3 rounds
-# stale at r11) and exactly 3 genuinely-free slots.
-# Rule 1, never-checked (3): this round's three registrations,
-# entering WITH their driver rows (the x90–x95 precedent), spending
-# the free slots on the pre-built queue in the r10 verdict's order:
-# x97_pagerank_fixed_point (pagerank_until_stable's contract frame —
-# the only substantial r10 operator with no driver row; r10 verdict
-# #2), x98_triangle_counts (ordered two-path join over the
-# co-purchase graph), x96_seasonal_decompose (exact-integer
-# centered-MA decomposition). SemDeDup stays pre-built and queues
-# for r12 (ROADMAP).
-# Rule 2, r10→r11 diff guards: pl09 (late-r10 invoice-level pre-agg
-# rewrite) and x87 (late-r10 doc-bigram staging rewrite) — BOTH sit
-# in the rule-3 owed block below, so their guard owe is satisfied by
-# re-entry (ROTATION.md r11 pre-draft: "either path satisfies the
-# owe"); no extra slots consumed.
-# Rule 3, oldest-green re-entry (47): the full r8-green block, last
-# driver rows r8 — the recount's owed list verbatim.
-# 3 + 47 = 50. Done-condition: after CORRECTNESS_r11 lands green,
-# the recount must show no registered query's last driver row older
-# than r9 (exit 0). The r9-green block is two rounds old at r11 —
-# invariant intact without re-entry — and takes rule-3 head priority
-# in r12; headline queries outside the window are re-verified every
-# round by the local full-registry pytest gate.
+# reports 48 rule-3 owed re-entries (the r9-green block, 3 rounds
+# stale at r12) and exactly 2 genuinely-free slots, confirming the
+# r11 pre-draft's simulation.
+# Rule 1, never-checked (1): x99_semantic_dedup — SemDeDup enters
+# WITH its driver row (the x90–x98 precedent; r11 verdict #1),
+# oracle promoted from the pre-existing differential test
+# (kmeans_iters=0 pinned centroids, threshold 0.3 so the drop path
+# fires), verified hash-exact at sf0.001/sf0.01/sf0.1 AND under a
+# hostile session (3 shuffle partitions, AQE off, Pacific/Apia)
+# before registration. Registry 148 → 149: ONE below the 150-slot
+# staleness ceiling (ROTATION.md RETIREMENT).
+# Rule 2, r11→r12 diff guards (1): x98_triangle_counts — the r12
+# ADVICE fix passes max_basket=None so the registered plan is
+# structurally identical to its oracle (the cap-equivalence rested
+# on the data-dependent max-basket-17 fact); the executed plan
+# changed this round, so it takes the free slot OVER the r11
+# pre-draft's x13 assignment: x13's r11 probe_cos hoist is
+# value-identical by construction AND x13 re-enters at r13 via
+# rule 3 (the r10-green block) — the pl09/x87 "re-entry satisfies
+# the owe" pattern — while x98 would otherwise wait until r14.
+# Further r11→r12 diff owes satisfied inside the window: x60 (the
+# streaming-upsert interrupted-commit recovery, r12 ADVICE medium)
+# and x66 (the r11 basket-cap branch, flagged by the r11 verdict)
+# BOTH sit in the rule-3 owed block below. q25's asof_join tie-key
+# narrowed to orderable payload fields (r12 ADVICE) — identical
+# expression for its all-orderable payload, value-pinned by the
+# full local gate; re-enters r13 via rule 3.
+# Rule 3, oldest-green re-entry (48): the full r9-green block, last
+# driver rows r9 — the recount's owed list verbatim.
+# 1 + 1 + 48 = 50. Done-condition: after CORRECTNESS_r12 lands
+# green, the recount must show no registered query's last driver
+# row older than r10 (exit 0). The r10-green block is two rounds
+# old at r12 — invariant intact without re-entry — and takes rule-3
+# head priority in r13; headline queries outside the window are
+# re-verified every round by the local full-registry pytest gate.
 _ROTATED_IN = [
-    # never driver-green: this round's three new registrations
-    "x97_pagerank_fixed_point",
-    "x98_triangle_counts",
-    "x96_seasonal_decompose",
+    # never driver-green: this round's one new registration
+    "x99_semantic_dedup",
 ]
 _GUARDS = [
-    # oldest-green re-entry: the full r8-green block (last row r8),
-    # the rotation_recount owed list verbatim; pl09 + x87 double as
-    # the r10→r11 rule-2 guard heads (their late-r10 rewrites get
-    # driver rows on the new code here)
-    "pl09_agg_country_day",
-    "x87_bigram_lm_quality",
-    "a01_rollup",
-    "a07_merge_upsert",
-    "a08_scd2_history",
-    "pl01_staging_retail",
-    "pl03_dim_calendar",
-    "pl06_fct_sales",
-    "pl08_fct_sales_eur",
-    "q02_monthly_revenue_by_nation",
-    "q13_weekend_cohort",
-    "q14_date_parts",
-    "q15_forward_fill",
-    "q16_lag_gap_detection",
-    "q17_union_all_checks",
-    "q18_cte_scalar_subquery",
-    "q19_view_over_join",
-    "q20_deterministic_mode",
-    "q22_distinct_dedup",
-    "q23_top_per_group",
-    "q24_between_range_scan",
-    "x09_simhash_pairs",
-    "x23_winnowing_fingerprints",
-    "x26_dedup_clusters",
-    "x32_repetition_filter",
-    "x33_sequence_packing",
-    "x36_decontamination",
-    "x40_robust_stats",
-    "x42_ann_batch_retrieval",
-    "x43_range_join_binned",
-    "x44_bm25_search",
-    "x45_event_funnel",
-    "x46_cohort_retention",
-    "x47_pii_redaction",
-    "x48_salted_join",
-    "x49_data_profiling",
-    "x50_importance_sampling",
-    "x52_token_rarity",
-    "x54_pmi_pairs",
-    "x55_last_touch_attribution",
-    "x57_incremental_agg",
-    "x58_stream_stream_join",
-    "x59_media_resize_grid",
-    "x81_dedup_savings",
-    "x85_stream_stream_left_outer",
-    "x88_rrf_hybrid",
-    "x89_ivf_pq_topk",
+    # r11→r12 diff guard: the ADVICE max_basket=None plan change
+    "x98_triangle_counts",
+    # oldest-green re-entry: the full r9-green block (last row r9),
+    # the rotation_recount owed list verbatim; x60 + x66 double as
+    # rule-2 guard heads (their r11/r12 code changes get driver
+    # rows on the new code here)
+    "x60_streaming_upsert_sink",
+    "x66_basket_pairs",
+    "a02_cube",
+    "a03_intersect_except",
+    "a04_unpivot",
+    "a05_approx_aggregates",
+    "a06_grouping_sets_sql",
+    "a09_moving_average",
+    "a10_string_functions",
+    "a11_window_rank_surface",
+    "a12_array_agg_surface",
+    "a13_correlated_subqueries",
+    "a14_regex_surface",
+    "a15_exact_percentiles",
+    "a16_correlated_avg_filter",
+    "pl11_validation",
+    "q01_pricing_summary",
+    "q03_top_customers",
+    "q21_multikey_star_agg",
+    "x01_dedup_exact",
+    "x05_ngram_jaccard_pairs",
+    "x07_minhash_lsh_pairs",
+    "x14_events_hourly",
+    "x19_media_schema",
+    "x20_media_features",
+    "x61_bpe_token_stats",
+    "x62_seasonal_anomaly",
+    "x63_cross_source_dups",
+    "x64_vocab_oov",
+    "x67_rfm_segments",
+    "x68_supplier_latency",
+    "x69_deletion_audit",
+    "x70_late_data_audit",
+    "x71_fuzzy_entity_match",
+    "x72_ab_test",
+    "x73_histogram",
+    "x74_token_budget",
+    "x75_hypertable_rollup",
+    "x76_rolling_distinct_users",
+    "x77_skew_report",
+    "x78_correlation_report",
+    "x79_pareto_analysis",
+    "x80_event_transitions",
+    "x82_part_velocity",
+    "x83_seasonal_index",
+    "x84_cohort_ltv_curves",
+    "x90_phrase_search",
+    "x91_ann_index_upsert",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

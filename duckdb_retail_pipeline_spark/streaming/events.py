@@ -251,6 +251,41 @@ def _checkpoint_has_offsets(spark: SparkSession, ckpt: str) -> bool:
     return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
 
 
+def _checkpoint_committed_ids(spark: SparkSession, ckpt: str) -> set[int]:
+    """Batch ids this checkpoint has fully COMMITTED (one integer-
+    named file per id under <ckpt>/commits — structured streaming's
+    HDFSMetadataLog layout). This is the durable record of which
+    ``batch=<id>`` partitions the checkpoint's run owns: written_ids
+    is in-memory and dies with a crashed driver, the commit log does
+    not — it is what lets a RESUMED run finish a crashed fresh run's
+    interrupted swap (r12 ADVICE)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(ckpt, "commits"))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return set()
+    return {
+        int(s.getPath().getName())
+        for s in fs.listStatus(p)
+        if s.getPath().getName().isdigit()
+    }
+
+
+def _staging_root_for(dest_path: str, checkpoint: str | None, name: str) -> str:
+    """Staging dir for a run's pre-commit partials. NAMED checkpoints
+    get a DETERMINISTIC name derived from the checkpoint path, so a
+    retry with the same checkpoint can find (and finish committing)
+    a crashed predecessor's staged batches; anonymous runs get the
+    per-call uuid name (no retry can ever resume them). Both carry
+    the ``.staging-upsert_`` prefix the fresh-run sweep globs."""
+    if checkpoint is None:
+        return os.path.join(dest_path, f".staging-{name}")
+    import hashlib
+
+    tag = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:16]
+    return os.path.join(dest_path, f".staging-upsert_ck{tag}")
+
+
 def stream_upsert_daily_totals(
     spark: SparkSession,
     sf_dir: str,
@@ -296,13 +331,23 @@ def stream_upsert_daily_totals(
     (r8 ADVICE: the earlier in-place overwrite protected only
     batch ids the failed run never reached; failure atomicity now
     holds up to the post-commit rename window, milliseconds rather
-    than the stream runtime). Leftover staging dirs from failed
-    fresh runs are swept at the next fresh run's start.
-    ``dest_path`` must be exclusively owned by this operator, since
-    a concurrent writer's partitions would be swept as stale. A
-    resumed run keeps writing in place: prior partials are its own,
-    and its replayed ids overwrite the same paths with the same
-    bytes.
+    than the stream runtime). Named checkpoints get a DETERMINISTIC
+    staging dir (keyed on the checkpoint path), so a retry on the
+    same checkpoint after a crashed fresh run FINISHES the
+    interrupted commit instead of resuming in place over it (r12
+    ADVICE: the in-place resume stranded the crashed run's staged
+    batches — the checkpoint skips their replay as committed — and
+    kept stale prior-run partials, under- and double-counting in one
+    result): the retry writes its remaining batches into the same
+    staging dir, swaps everything staged, and retires every dest
+    batch id outside the checkpoint's durable commit log. Leftover
+    staging dirs from failed runs that never committed offsets are
+    swept at the next fresh run's start. ``dest_path`` must be
+    exclusively owned by this operator, since a concurrent writer's
+    partitions would be swept as stale. A resumed run with no
+    pending commit keeps writing in place: prior partials are its
+    own, and its replayed ids overwrite the same paths with the
+    same bytes.
     """
     # Hadoop path resolution glob-interprets load paths, so a
     # dest_path containing glob metacharacters cannot be re-read
@@ -330,8 +375,16 @@ def stream_upsert_daily_totals(
     fresh = checkpoint is None or not _checkpoint_has_offsets(
         spark, checkpoint
     )
-    stale_paths = []
-    fs = None
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    # Hadoop FS API, not local-filesystem ops: dest may be hdfs:// or
+    # s3a:// at scale (the r6 ADVICE lesson for the empty-sink probe
+    # applies to the swap too)
+    fs = jpath(dest_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    staging_root = _staging_root_for(dest_path, checkpoint, name)
+    pending = False
     if fresh:
         # A fresh run must leave dest_path UNTOUCHED until it commits
         # (r8 ADVICE: the previous in-place overwrite meant a fresh
@@ -340,31 +393,32 @@ def stream_upsert_daily_totals(
         # the rest — double-counting across two incompatible runs).
         # So fresh runs write every partial under a dot-prefixed
         # staging dir (invisible to the batch=* reader) and swap into
-        # dest only AFTER the stream commits. Hadoop FS API, not
-        # local-filesystem ops: dest may be hdfs:// or s3a:// at
-        # scale (the r6 ADVICE lesson for the empty-sink probe
-        # applies to the swap too). dest_path must be exclusively
-        # owned by this operator — a concurrent writer's partitions
-        # would be swept as stale.
-        jvm = spark.sparkContext._jvm
-        jdest = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(dest_path, "batch=*")
-        )
-        fs = jdest.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        stale_paths = [s.getPath() for s in fs.globStatus(jdest) or []]
-        # leftover staging dirs are failed prior fresh runs' garbage —
-        # never merged, safe to sweep before any work
-        jstag = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(dest_path, ".staging-upsert_*")
-        )
-        for s in fs.globStatus(jstag) or []:
+        # dest only AFTER the stream commits. dest_path must be
+        # exclusively owned by this operator — a concurrent writer's
+        # partitions would be swept as stale. Leftover staging dirs
+        # are failed prior fresh runs' UNCOMMITTED garbage (fresh
+        # means this checkpoint owns no offsets, so every staged
+        # partial will be replayed from scratch) — safe to sweep
+        # before any work.
+        for s in fs.globStatus(
+            jpath(os.path.join(dest_path, ".staging-upsert_*"))
+        ) or []:
             fs.delete(s.getPath(), True)
-        write_root = os.path.join(dest_path, f".staging-{name}")
+        write_root = staging_root
     else:
-        # a RESUMED run keeps writing in place: its checkpoint replays
-        # exactly the batch ids it already owns, and a replay
-        # overwrites the same path with the same bytes (idempotent)
-        write_root = dest_path
+        # A RESUMED run normally writes in place: its checkpoint
+        # replays exactly the batch ids it already owns, and a replay
+        # overwrites the same path with the same bytes (idempotent).
+        # But if THIS checkpoint's deterministic staging dir survives,
+        # the predecessor was a fresh run that crashed before
+        # finishing its commit (mid-stream, mid-swap, or mid-retire —
+        # r12 ADVICE: writing in place here undercounted the stranded
+        # staged batches and double-counted stale prior-run partials).
+        # Keep writing into the SAME staging dir — replayed ids land
+        # beside the crashed run's already-staged partials — and let
+        # the post-stream commit below finish the interrupted swap.
+        pending = bool(fs.exists(jpath(staging_root)))
+        write_root = staging_root if pending else dest_path
 
     stream = _read_stream(
         spark,
@@ -403,7 +457,7 @@ def stream_upsert_daily_totals(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming upsert {name!r} did not finish in {timeout_s}s")
-    if fresh:
+    if fresh or pending:
         # the run is committed — swap staged partials into dest
         # (delete-then-rename per batch id), THEN retire prior-run
         # partials this run did not overwrite (stale batch ids would
@@ -418,19 +472,32 @@ def stream_upsert_daily_totals(
         # in the dot-staging dir invisible to the batch=* reader —
         # the documented worst state, pinned by
         # tests/test_streaming.py's swap-window crash tests, and
-        # repaired by the next fresh run's sweep. A rename-aside
-        # (dst -> trash, src -> dst, delete trash) would close the
-        # window at the cost of a third crash state; queued in
-        # ROADMAP rather than changed under the pinned tests at
-        # round end.
-        jvm = spark.sparkContext._jvm
-        for bid in sorted(written_ids):
-            src = jvm.org.apache.hadoop.fs.Path(
-                os.path.join(write_root, f"batch={bid}")
+        # repaired by the next fresh run's sweep OR (r12) a retry on
+        # the same named checkpoint, which re-enters this block via
+        # ``pending``.
+        #
+        # The swap set is what is ON DISK under staging — not
+        # written_ids, which is in-memory and empty of any batch a
+        # crashed predecessor committed (the r12 ADVICE scenario).
+        # The OWNED id set for stale retirement is the checkpoint's
+        # durable commit log ∪ this process's written_ids ∪ the
+        # staged ids being swapped — ids from any of the three are
+        # this run's truth; every other batch=* dir under dest is a
+        # prior run's stale partial and must go.
+        staged = [
+            s.getPath()
+            for s in fs.globStatus(
+                jpath(os.path.join(write_root, "batch=*"))
             )
-            dst = jvm.org.apache.hadoop.fs.Path(
-                os.path.join(dest_path, f"batch={bid}")
-            )
+            or []
+        ]
+        owned = (
+            _checkpoint_committed_ids(spark, ckpt)
+            | written_ids
+            | {int(p.getName().split("=", 1)[1]) for p in staged}
+        )
+        for src in staged:
+            dst = jpath(os.path.join(dest_path, src.getName()))
             if fs.exists(dst):
                 fs.delete(dst, True)
             # Hadoop rename reports failure by RETURNING false, not
@@ -445,23 +512,24 @@ def stream_upsert_daily_totals(
                     "failed; staged partials left in place for "
                     "inspection (dest may hold a partial swap)"
                 )
-        for path in stale_paths:
-            if int(path.getName().split("=", 1)[1]) not in written_ids:
+        for s in fs.globStatus(
+            jpath(os.path.join(dest_path, "batch=*"))
+        ) or []:
+            path = s.getPath()
+            if int(path.getName().split("=", 1)[1]) not in owned:
                 # delete() also reports failure by returning false; a
                 # surviving stale batch re-aggregates into the final
                 # result as silent double counting — the one cleanup
                 # here that is correctness-relevant, so it must raise
-                # (the staging sweeps below/above are benign: dot-dirs
-                # are invisible to the batch=* reader)
+                # (the staging sweeps are benign: dot-dirs are
+                # invisible to the batch=* reader)
                 if not fs.delete(path, True) and fs.exists(path):
                     raise IOError(
                         f"streaming upsert commit: could not retire "
                         f"stale partial {path}; reading dest now "
                         "would double-count"
                     )
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(write_root), True
-        )
+        fs.delete(jpath(write_root), True)
     if checkpoint is None:
         # a fresh (unnamed) checkpoint has no resume value once the
         # run completed; leaving it would leak one dir per call

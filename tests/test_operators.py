@@ -2873,3 +2873,185 @@ def test_grouped_ols_raises_past_float64_exactness(spark):
     df = spark.createDataFrame(rows, "g long, x long, y long")
     with pytest.raises(Exception, match="2\\^53"):
         grouped_ols(df, "g", "x", "y").collect()
+
+
+def test_asof_join_map_payload_joins_and_orderable_ties_still_pin(spark):
+    """r12 ADVICE: the r11 tie-break sorted on the FULL right-payload
+    struct, so a MapType payload column — which joined fine before
+    r11, just tie-nondeterministically — started throwing
+    AnalysisException (maps are unorderable). The tie key is now the
+    struct of ORDERABLE payload fields only: map payloads join
+    again, and ties still resolve deterministically by the orderable
+    fields."""
+    import datetime
+
+    from duckdb_retail_pipeline_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 5))], "k bigint, t date"
+    )
+    right = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 3), 1.0, {"src": "a"}),
+            (datetime.date(2024, 1, 3), 2.0, {"src": "b"}),
+            (datetime.date(2024, 1, 1), 9.9, {"src": "c"}),
+        ],
+        "t date, rate double, attrs map<string,string>",
+    )
+    out = J.asof_join(left, right, on_time="t").collect()
+    assert len(out) == 1
+    # the orderable field (rate) still breaks the 2024-01-03 tie
+    # deterministically: greatest orderable tuple wins backward
+    assert out[0]["rate"] == 2.0
+    assert out[0]["attrs"] == {"src": "b"}  # the whole winning row rides
+
+
+def test_rotating_persist_exception_during_persist_leaves_no_leak(
+    spark, tmp_path, monkeypatch
+):
+    """r12 probe (r11 verdict #4c): an exception raised INSIDE
+    rotating_persist's critical section — after the occupant is
+    evicted, at the persist() call — must leave the slot EMPTY (no
+    half-rotated state), the prior occupant unpersisted (no pinned
+    leak), and the next call must rebuild cleanly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+    p = str(tmp_path / "rp_exc.parquet")
+    pq.write_table(pa.table({"v": [1, 2, 3]}), p)
+    slot: list = []
+    occ = rotating_persist(spark.read.parquet(p), slot)
+    assert occ.count() == 3
+    assert occ.storageLevel.useMemory
+
+    # regenerate so the NEXT call takes the rotation path (signature
+    # mismatch), then make persist() blow up mid-rotation. Patch the
+    # RUNTIME class (Spark 4's classic.DataFrame overrides persist;
+    # patching the pyspark.sql.DataFrame facade misses it).
+    pq.write_table(pa.table({"v": [9]}), p)
+    cls = type(occ)
+    real_persist = cls.persist
+    monkeypatch.setattr(
+        cls,
+        "persist",
+        lambda self, *a: (_ for _ in ()).throw(RuntimeError("persist boom")),
+    )
+    with pytest.raises(RuntimeError, match="persist boom"):
+        rotating_persist(spark.read.parquet(p), slot)
+    assert slot == []  # no half-rotated occupant
+    assert not occ.storageLevel.useMemory  # evicted occupant unpinned
+    monkeypatch.setattr(cls, "persist", real_persist)
+
+    fresh = rotating_persist(spark.read.parquet(p), slot)
+    assert [r["v"] for r in fresh.collect()] == [9]
+    assert len(slot) == 1
+    slot.pop()[0].unpersist()
+
+
+def test_rotating_persist_failed_materialization_never_serves_stale(
+    spark, tmp_path
+):
+    """r12 probe (r11 verdict #4c, the lazy-build arm): persist() is
+    LAZY — if the occupant's FIRST action fails (source vanished
+    mid-build), the slot still holds the never-materialized frame.
+    After the dataset is regenerated under the same path, the next
+    call must ROTATE (the stored signature's mtimes mismatch), not
+    serve the broken occupant whose plan is semantically equal."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from duckdb_retail_pipeline_spark.memo import rotating_persist
+
+    p = str(tmp_path / "rp_mat.parquet")
+    pq.write_table(pa.table({"v": [1, 2, 3]}), p)
+    slot: list = []
+    occ = rotating_persist(spark.read.parquet(p), slot)
+    os.remove(p)  # source vanishes before the first action
+    with pytest.raises(Exception):
+        occ.count()
+    assert len(slot) == 1  # the broken occupant is still pinned
+
+    pq.write_table(pa.table({"v": [7, 8]}), p)  # regeneration
+    fresh = rotating_persist(spark.read.parquet(p), slot)
+    assert sorted(r["v"] for r in fresh.collect()) == [7, 8]
+    assert fresh is not occ  # rotated, not served stale
+    slot.pop()[0].unpersist()
+
+
+def test_chunk_starts_coverage_invariants_near_suffix_fix(spark):
+    """r12 probe (r11 verdict #4b, the suffix fix's neighboring
+    regime): dropping covered suffix chunks must not cost coverage.
+    Exhaustively over doc sizes 0..40 and (chunk_size, overlap)
+    combos: (1) every token position is inside >=1 emitted chunk,
+    (2) every contiguous run of length <= overlap+1 — the window the
+    overlap exists to keep intact (a phrase crossing a chunk
+    boundary) — is WHOLLY inside some emitted chunk, and (3) no
+    emitted chunk is a pure suffix contained in its predecessor (the
+    r11 fix itself)."""
+    from duckdb_retail_pipeline_spark.functions import text as T
+
+    combos = [(4, 1), (4, 2), (5, 2), (8, 3), (3, 0), (6, 5)]
+    rows = spark.createDataFrame(
+        [(n, ["t"] * n) for n in range(41)], "n int, toks array<string>"
+    )
+    for cs, ov in combos:
+        starts_by_n = {
+            r["n"]: sorted(r["starts"])
+            for r in rows.select(
+                "n", T.chunk_starts("toks", cs, ov).alias("starts")
+            ).collect()
+        }
+        for n, starts in starts_by_n.items():
+            assert starts[0] == 0  # empty docs still chunk at 0
+            covered = set()
+            for s in starts:
+                covered |= set(range(s, min(s + cs, n)))
+            assert covered == set(range(n)), (cs, ov, n, starts)
+            # every run of length <= overlap+1 fits in one chunk
+            max_run = ov + 1
+            for p in range(0, n - max_run + 1):
+                assert any(
+                    s <= p and p + max_run <= s + cs for s in starts
+                ), (cs, ov, n, p, starts)
+            # no chunk wholly contained in its predecessor
+            for prev, cur in zip(starts, starts[1:]):
+                assert min(cur + cs, n) > min(prev + cs, n), (
+                    cs, ov, n, starts,
+                )
+
+
+def test_phrase_search_overlapping_repeated_token_phrases(spark):
+    """r12 probe (r11 verdict #4b): a phrase made of REPEATED tokens
+    self-overlaps — "a a a a" contains "a a a" at starts 1 and 2,
+    sharing tokens. The positional intersection must count BOTH
+    (standard positional-index semantics, and what x90's adjacent-
+    pair oracle counts), not dedupe shared-token occurrences; a
+    period-2 phrase and a no-match boundary case ride along."""
+    from duckdb_retail_pipeline_spark.operators import search as SR
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # "a a a": starts 1,2 -> 2
+            (2, "a b a b a"),        # "a b a": starts 1,3 -> 2
+            (3, "x a a"),            # "a a a": no match
+            (4, "a a a"),            # exactly one occurrence
+        ],
+        "doc_id long, text string",
+    )
+    idx = SR.positional_index(docs)
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in SR.phrase_search(idx, ["a", "a", "a"]).collect()
+    }
+    assert got3 == {1: 2, 4: 1}, got3
+    gotp2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in SR.phrase_search(idx, ["a", "b", "a"]).collect()
+    }
+    assert gotp2 == {2: 2}, gotp2

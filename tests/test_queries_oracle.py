@@ -13,12 +13,29 @@ from tests.compare import assert_matches
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 NO_ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 
+# Retired-query table (ROTATION.md RETIREMENT, written r12): a
+# retired query exits the driver registry (and the 3-round staleness
+# invariant) but KEEPS its local oracle row here forever — each entry
+# is (name, fn, oracle_sql) moved verbatim from its register() call
+# at retirement time. Empty until the first retirement; the scaffold
+# exists so the policy's coverage guarantee is mechanical, not prose.
+RETIRED: list[tuple] = []
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
     assert_matches(df, duck, spec.oracle, name)
+
+
+@pytest.mark.parametrize(
+    "entry", RETIRED, ids=[e[0] for e in RETIRED]
+)
+def test_retired_query_matches_oracle(spark, duck, sf_dir, entry):
+    name, fn, oracle = entry
+    assert name not in REGISTRY  # retired = out of the driver window
+    assert_matches(fn(spark, sf_dir), duck, oracle, name)
 
 
 @pytest.mark.parametrize("name", NO_ORACLE_QUERIES)

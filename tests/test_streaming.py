@@ -615,3 +615,156 @@ def test_upsert_new_checkpoint_over_stale_dest_retires_prior_partials(
         spark, str(src), dest, glob="*.parquet", checkpoint=ckpt
     )
     assert out_c.agg(F.sum("n_events")).first()[0] == 14
+
+
+def test_upsert_named_checkpoint_retry_completes_interrupted_commit(
+    spark, tmp_path
+):
+    """r12 ADVICE (medium): a fresh run on a NAMED checkpoint that
+    crashes after committing offsets but before finishing its swap
+    leaves committed batches stranded in staging and stale prior-run
+    partials live in dest; the old resume path saw offsets, took
+    fresh=False, wrote in place, and returned an aggregate that both
+    undercounted (stranded batches) and double-counted (stale ids).
+    A retry on the same checkpoint must now FINISH the interrupted
+    commit: swap every staged batch in, retire every dest batch id
+    outside the checkpoint's commit log, and land the exact truth
+    with no leftover dot-dirs."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    d = tmp_path / "ckretry_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "ckretry_out")
+    # prior-run partials the crashed fresh run was replacing
+    SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet", max_files_per_trigger=1
+    )
+
+    # run the named-checkpoint fresh run to completion, then
+    # hand-craft the worst interrupted-commit state from its output
+    ckpt = str(tmp_path / "ckretry_ckpt")
+    truth = sorted(
+        tuple(r)
+        for r in SE.stream_upsert_daily_totals(
+            spark, str(d), dest, glob="*.parquet",
+            max_files_per_trigger=1, checkpoint=ckpt,
+        ).collect()
+    )
+    staging = SE._staging_root_for(dest, ckpt, name="unused")
+    os.makedirs(staging)
+    # batches 1 and 2: committed (in the checkpoint's commit log)
+    # but never swapped — stranded in staging
+    shutil.move(os.path.join(dest, "batch=1"), os.path.join(staging, "batch=1"))
+    shutil.move(os.path.join(dest, "batch=2"), os.path.join(staging, "batch=2"))
+    # batch=7: a stale prior-run partial the crashed run never
+    # retired, holding a copy of batch=0 — the double-count poison
+    shutil.copytree(os.path.join(dest, "batch=0"), os.path.join(dest, "batch=7"))
+
+    # the retry on the SAME checkpoint (replays nothing new) must
+    # finish the commit, not resume in place over the wreckage
+    out = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet",
+        max_files_per_trigger=1, checkpoint=ckpt,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == truth
+    assert sorted(
+        p for p in os.listdir(dest) if p.startswith("batch=")
+    ) == ["batch=0", "batch=1", "batch=2"]
+    assert not [p for p in os.listdir(dest) if p.startswith(".")]
+
+
+def test_upsert_named_checkpoint_crash_mid_stream_then_retry(spark, tmp_path):
+    """The other r12 ADVICE window: the named-checkpoint fresh run
+    crashes MID-STREAM (some batches committed + staged, dest and
+    its stale prior partials untouched, nothing swapped). The retry
+    must process the remaining batches into the same staging dir,
+    then swap the union and retire the stale ids — equal to the
+    single uninterrupted run."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    d = tmp_path / "midstream_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "midstream_out")
+    SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet", max_files_per_trigger=1
+    )
+    stale_dirs = sorted(
+        p for p in os.listdir(dest) if p.startswith("batch=")
+    )
+    assert stale_dirs == ["batch=0", "batch=1", "batch=2"]
+
+    ckpt = str(tmp_path / "midstream_ckpt")
+    truth = sorted(
+        tuple(r)
+        for r in SE.stream_upsert_daily_totals(
+            spark, str(d), dest, glob="*.parquet",
+            max_files_per_trigger=1, checkpoint=ckpt,
+        ).collect()
+    )
+    # reconstruct the mid-stream crash state: ALL the committed
+    # batches back in staging (nothing swapped), prior-run stale ids
+    # live in dest under colliding AND non-colliding batch ids
+    staging = SE._staging_root_for(dest, ckpt, name="unused")
+    os.makedirs(staging)
+    for b in ["batch=0", "batch=1", "batch=2"]:
+        shutil.move(os.path.join(dest, b), os.path.join(staging, b))
+    # stale prior-run partials: batch=0 collides with an owned id,
+    # batch=9 does not — both must be gone afterwards
+    shutil.copytree(os.path.join(staging, "batch=1"), os.path.join(dest, "batch=0"))
+    shutil.copytree(os.path.join(staging, "batch=1"), os.path.join(dest, "batch=9"))
+
+    out = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet",
+        max_files_per_trigger=1, checkpoint=ckpt,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == truth
+    assert sorted(
+        p for p in os.listdir(dest) if p.startswith("batch=")
+    ) == ["batch=0", "batch=1", "batch=2"]
+    assert not [p for p in os.listdir(dest) if p.startswith(".")]

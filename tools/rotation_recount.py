@@ -15,7 +15,13 @@ driver row (rows+schema+hash all true), then reports:
   VIOLATION — the r8 failure mode; exactly 3 rounds stale is the
   rule-3 must-re-enter block, not a violation — ROTATION.md);
 - never-checked registrations (rule-1 head);
-- how many genuinely free slots the next window has after rule 3.
+- how many genuinely free slots the next window has after rule 3;
+- a CEILING check (r11 verdict #2): the ≤3-round staleness invariant
+  gives every registered query one slot per 3 consecutive rounds, so
+  3 × 50 = 150 registered queries is the hard cap — past it the
+  invariant is arithmetically unsatisfiable and the script FAILS
+  before the violation can materialize. New registrations beyond the
+  cap require RETIRING queries first (ROTATION.md RETIREMENT).
 
 Usage:
     python tools/rotation_recount.py [CURRENT_ROUND]
@@ -35,6 +41,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
+# 3-round staleness x 50 slots: the arithmetic registration ceiling
+# (r11 verdict #2). rotation_recount FAILS past it — at CEILING+1 the
+# invariant cannot be satisfied by any window schedule, so the error
+# must fire at registration time, not two rounds later as a
+# staleness violation.
+CEILING = 3 * WINDOW
 
 
 def main() -> None:
@@ -90,6 +102,17 @@ def main() -> None:
           f"genuinely free slots (guards + new registrations): {free}")
     if owed:
         print("owed list:", ", ".join(sorted(owed)))
+    if len(registered) > CEILING:
+        print(f"CEILING EXCEEDED: {len(registered)} registered > "
+              f"{CEILING} (= 3-round staleness x {WINDOW} slots); the "
+              "invariant is arithmetically unsatisfiable — RETIRE "
+              "queries per ROTATION.md RETIREMENT before registering "
+              "more")
+        sys.exit(1)
+    if len(registered) == CEILING:
+        print(f"AT CEILING ({CEILING}): every future window is exactly "
+              "the owed block; registering anything requires a "
+              "retirement first (ROTATION.md RETIREMENT)")
     violations = [
         q for rnd, qs in dist.items() if current - rnd > 3 for q in qs
     ]
