@@ -65,7 +65,12 @@ def build_agg_country_day(
     invoice_no; the driver-gated small-SF path keeps the cached
     frame (bucketing is pure overhead when the whole fact fits one
     exchange)."""
-    base = fct_sales_eur.join(F.broadcast(dim_customer), "customer_id", "inner")
+    # dim_customer grows with the corpus (distinct ids) — no forced
+    # broadcast; threshold/AQE broadcasts it while small and shuffles
+    # at cluster scale (the r7 q02/q17 adjudication, applied to the
+    # pl layer in r12; dim_calendar below stays hinted — bounded at
+    # one row per spine day at any corpus size)
+    base = fct_sales_eur.join(dim_customer, "customer_id", "inner")
     inv = base.groupBy("date", "country", "invoice_no").agg(
         F.count(F.lit(1)).cast("bigint").alias("_items"),
         F.sum("qty").cast("bigint").alias("_qty"),

@@ -35,8 +35,18 @@ def build_fct_sales(
     unit_price_gbp, gross_amount_gbp) — reference facts.py:37-57.
 
     Joins are on *expressions* (DATE(ts), COALESCE(id,-1)) exactly as
-    the reference's J1; all three dims get broadcast hints (dims stay
-    dim-sized at any SF)."""
+    the reference's J1. Broadcast hints are applied ONLY to the dim
+    that is bounded at any corpus size — dim_calendar (one row per
+    spine day). dim_product and dim_customer grow with the corpus
+    (distinct SKUs / customer ids — linear in the driver's grow
+    decades), so they carry NO hint: the threshold/AQE broadcasts
+    them while they are actually small and falls back to a shuffle
+    join at cluster scale, exactly the r7 adjudication that dropped
+    the forced customer broadcast from q02/q17 (r12 review: the
+    previous forced hints here contradicted staging.py's own
+    comment making that argument for the SAME tables one layer
+    up — a forced broadcast of a corpus-growing dim is the 100 TB
+    OOM)."""
     from duckdb_retail_pipeline_spark.pipeline.dimensions import _valid_stock
 
     r = raw_retail.filter(
@@ -56,10 +66,8 @@ def build_fct_sales(
     )
     return (
         r.join(F.broadcast(dim_calendar.select("date")), "date", "inner")
-        .join(F.broadcast(dim_product.select("stock_code")), "stock_code", "inner")
-        .join(
-            F.broadcast(dim_customer.select("customer_id")), "customer_id", "inner"
-        )
+        .join(dim_product.select("stock_code"), "stock_code", "inner")
+        .join(dim_customer.select("customer_id"), "customer_id", "inner")
         .select(
             "invoice_no",
             "stock_code",

@@ -58,6 +58,19 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+def final_plan(df: DataFrame) -> str:
+    """The FINALIZED physical plan, after AQE's runtime re-plan.
+
+    Statistics for DERIVED inputs (aggregates, not raw scans) are
+    unknown statically, so the pre-execution plan defaults their
+    joins to SortMergeJoin and only AQE's runtime sizes convert them
+    to broadcast — a static explain over such a plan reports the
+    join strategy the query will NOT actually run (r12: the pl-layer
+    dim joins). Executes the frame once."""
+    df.collect()  # materialize THIS plan (count() would build a new one)
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
 def codegen_span_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen spans in the EXECUTED plan.
 

@@ -282,7 +282,15 @@ def _staging_root_for(dest_path: str, checkpoint: str | None, name: str) -> str:
         return os.path.join(dest_path, f".staging-{name}")
     import hashlib
 
-    tag = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:16]
+    # normalize the one spelling variant a retry plausibly differs
+    # by (trailing slash) — a different NAME would miss the pending
+    # dir and silently resume in place over the wreckage, which is
+    # the exact bug the deterministic name exists to fix (deeper
+    # variants are caught by the foreign-staging guard on the
+    # resume path)
+    tag = hashlib.md5(
+        checkpoint.rstrip("/").encode("utf-8")
+    ).hexdigest()[:16]
     return os.path.join(dest_path, f".staging-upsert_ck{tag}")
 
 
@@ -419,6 +427,31 @@ def stream_upsert_daily_totals(
         # the post-stream commit below finish the interrupted swap.
         pending = bool(fs.exists(jpath(staging_root)))
         write_root = staging_root if pending else dest_path
+        # FOREIGN staging under dest on a resume is wreckage this
+        # checkpoint cannot reason about: a DIFFERENT run (another
+        # named checkpoint, or an anonymous fresh run) crashed here,
+        # and if it died mid-SWAP, dest is already a MIX of that
+        # run's batches and ours — resuming in place would return
+        # silent garbage. Fail loudly with the remediation (a fresh
+        # run rebuilds the single-run truth and sweeps the dot-dirs)
+        # instead of guessing; only OUR deterministic staging dir is
+        # provably ours to finish.
+        ours = os.path.basename(staging_root)
+        foreign = [
+            s.getPath().getName()
+            for s in fs.globStatus(
+                jpath(os.path.join(dest_path, ".staging-upsert_*"))
+            )
+            or []
+            if s.getPath().getName() != ours
+        ]
+        if foreign:
+            raise IOError(
+                f"streaming upsert resume: foreign staging dir(s) "
+                f"{foreign} under {dest_path} — another run crashed "
+                "here and dest may hold a partial swap; run FRESH "
+                "(new/no checkpoint) to rebuild the single-run truth"
+            )
 
     stream = _read_stream(
         spark,

@@ -3055,3 +3055,154 @@ def test_phrase_search_overlapping_repeated_token_phrases(spark):
         for r in SR.phrase_search(idx, ["a", "b", "a"]).collect()
     }
     assert gotp2 == {2: 2}, gotp2
+
+
+def _probe_corpus(tmp_path, spark, tables: dict):
+    """Write adversarial parquet tables and return (sf_dir, duckdb
+    con with views) for running REGISTERED queries + their oracles
+    on a corpus the driver SFs don't contain (r12 probe harness)."""
+    import duckdb as _duckdb
+
+    d = str(tmp_path / "probe_sf")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    con = _duckdb.connect()
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+        # Spark writes a parquet DIRECTORY; DuckDB needs the part-file
+        # glob (the driver testdata are single files, so conftest's
+        # bare path works there but not here)
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{d}/{name}.parquet/*.parquet'"
+        )
+    return d, con
+
+
+def test_q08_adversarial_ties_and_null_shipdates(spark, tmp_path):
+    """r12 probe (r11 verdict #4a): q08's composite-key join on the
+    per-order MAX shipdate, driven on a corpus the driver SFs don't
+    stress — two lines TIED at the max (both must aggregate), a
+    fully-duplicated row (both copies count), an order whose
+    shipdates are ALL NULL (MAX is NULL, the equi-join must drop it
+    in BOTH engines), and a mixed NULL/real order (MAX ignores
+    NULL)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    ts = dt.datetime
+    rows = [
+        # order 1: tie at max shipdate + an earlier line
+        (1, ts(2024, 1, 5), 10.0),
+        (1, ts(2024, 1, 5), 20.0),
+        (1, ts(2024, 1, 2), 99.0),
+        # order 2: exact duplicate rows at the max
+        (2, ts(2024, 2, 1), 5.0),
+        (2, ts(2024, 2, 1), 5.0),
+        # order 3: all-NULL shipdates -> dropped by the equi-join
+        (3, None, 7.0),
+        (3, None, 8.0),
+        # order 4: NULL + real -> MAX ignores the NULL
+        (4, None, 1.0),
+        (4, ts(2024, 3, 3), 2.0),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"lineitem": (rows,
+                      "l_orderkey long, l_shipdate timestamp, "
+                      "l_extendedprice double")},
+    )
+    spec = REGISTRY["q08_composite_key_join"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "q08-probe")
+    got = {r["l_orderkey"]: (r["n_lines_last_day"], r["last_day_value"])
+           for r in df.collect()}
+    assert got == {1: (2, 30.0), 2: (2, 10.0), 4: (1, 2.0)}, got
+
+
+def test_q23_adversarial_rank_boundary_ties(spark, tmp_path):
+    """r12 probe (r11 verdict #4a): q23's top-2-per-group under ties
+    AT the rank boundary (three rows sharing the top price — the
+    partkey tie-break must pick the same two in both engines),
+    fully-duplicated rows (identical (brand, partkey, price): either
+    copy is the same OUTPUT row, so rank arbitrariness is
+    value-invisible), a singleton brand, and a NULL retailprice
+    (DESC puts NULLs last in both engines' defaults — pinned here so
+    a default change cannot slip through)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    rows = [
+        ("B1", 1, "p1", 100.0),   # three-way tie at the top:
+        ("B1", 2, "p2", 100.0),   # partkeys 1,2 win; 3 is rank 3
+        ("B1", 3, "p3", 100.0),
+        ("B2", 4, "p4", 50.0),    # exact duplicate rows: the two
+        ("B2", 4, "p4", 50.0),    # output rows are identical
+        ("B2", 5, "p5", 60.0),
+        ("B3", 6, "p6", 10.0),    # singleton brand
+        ("B4", 7, "p7", None),    # NULL price sorts after real ones
+        ("B4", 8, "p8", 1.0),
+        ("B4", 9, "p9", 2.0),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"part": (rows,
+                  "p_brand string, p_partkey long, p_name string, "
+                  "p_retailprice double")},
+    )
+    spec = REGISTRY["q23_top_per_group"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "q23-probe")
+    got = sorted((r["p_brand"], r["p_partkey"]) for r in df.collect())
+    assert got == [
+        ("B1", 1), ("B1", 2), ("B2", 4), ("B2", 5),
+        ("B3", 6), ("B4", 8), ("B4", 9),
+    ], got
+
+
+def test_a15_adversarial_interpolation_boundaries(spark, tmp_path):
+    """r12 probe (r11 verdict #4a): a15's exact interpolated
+    percentiles at the boundary regimes the driver corpus averages
+    away — a 1-element group (all four fractions = the element), a
+    2-element group (pure interpolation at every fraction), a
+    5-element group (0.25/0.5/0.75 land EXACTLY on elements, 0.9
+    interpolates), negative balances, and a half-cent value (0.125
+    rounds HALF-UP to 13 cents in both engines' conventions)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    customers = [
+        # nation 0: singleton
+        (1, 0, 42.37),
+        # nation 1: two elements, one negative
+        (2, 1, -10.00),
+        (3, 1, 0.125),
+        # nation 2: five elements -> exact hits at .25/.5/.75
+        (4, 2, 1.00), (5, 2, 2.00), (6, 2, 3.00),
+        (7, 2, 4.00), (8, 2, 5.00),
+    ]
+    nations = [(0, "SINGLETON"), (1, "PAIR"), (2, "FIVE"), (3, "EMPTY")]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "customer": (customers,
+                         "c_custkey long, c_nationkey int, c_acctbal double"),
+            "nation": (nations, "n_nationkey int, n_name string"),
+        },
+    )
+    spec = REGISTRY["a15_exact_percentiles"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "a15-probe")
+    got = {r["nation"]: (r["p25"], r["median"], r["p75"], r["p90"])
+           for r in df.collect()}
+    assert "EMPTY" not in got          # inner join drops empty nations
+    assert got["SINGLETON"] == (42.37, 42.37, 42.37, 42.37)
+    assert got["FIVE"] == (2.0, 3.0, 4.0, 4.6)
+    # PAIR: cents are -1000 and 13 (0.125 -> HALF-UP 13); linear
+    # interpolation between exactly two points
+    assert got["PAIR"][1] == (-1000 + (13 - -1000) * 0.5) / 100.0

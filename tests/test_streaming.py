@@ -768,3 +768,65 @@ def test_upsert_named_checkpoint_crash_mid_stream_then_retry(spark, tmp_path):
         p for p in os.listdir(dest) if p.startswith("batch=")
     ) == ["batch=0", "batch=1", "batch=2"]
     assert not [p for p in os.listdir(dest) if p.startswith(".")]
+
+
+def test_upsert_resume_rejects_foreign_staging_wreckage(spark, tmp_path):
+    """r12 self-review of the recovery change: a resume can only
+    prove ownership of ITS deterministic staging dir. A foreign
+    .staging-upsert_* dir (another checkpoint's — or an anonymous
+    run's — crash leftover) may mean dest already holds a partial
+    swap of that other run, so resuming in place would return silent
+    garbage; the resume must fail loudly and direct the caller to a
+    fresh run. A trailing-slash respelling of the SAME checkpoint
+    must still find its own pending dir (name normalization), not
+    trip this guard."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    d = tmp_path / "foreign_in"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1, 10, 0)],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "event_type": pa.array(["click"]),
+                "value": pa.array([1.0]),
+            }
+        ),
+        str(d / "a.parquet"),
+    )
+    dest = str(tmp_path / "foreign_out")
+    ckpt = str(tmp_path / "foreign_ckpt")
+    truth = sorted(
+        tuple(r)
+        for r in SE.stream_upsert_daily_totals(
+            spark, str(d), dest, glob="*.parquet", checkpoint=ckpt
+        ).collect()
+    )
+
+    # the same checkpoint spelled with a trailing slash maps to the
+    # SAME staging name — build both and check
+    assert SE._staging_root_for(dest, ckpt, "n") == SE._staging_root_for(
+        dest, ckpt + "/", "n"
+    )
+
+    # foreign wreckage: another run's staging dir appears under dest
+    os.makedirs(os.path.join(dest, ".staging-upsert_deadbeef01"))
+    with pytest.raises(IOError, match="foreign staging"):
+        SE.stream_upsert_daily_totals(
+            spark, str(d), dest, glob="*.parquet", checkpoint=ckpt
+        )
+
+    # remediation path: a FRESH run sweeps it and lands the truth
+    out = SE.stream_upsert_daily_totals(spark, str(d), dest, glob="*.parquet")
+    assert sorted(tuple(r) for r in out.collect()) == truth
+    assert not [p for p in os.listdir(dest) if p.startswith(".")]
