@@ -936,7 +936,11 @@ def semantic_dedup(
     similarity.build_ivf_index), candidate pairs are blocked by the
     cell equi-join with per-row hoisted norms (cosine_from_parts),
     O(cell²) per cell with n_cells ≈ √corpus at scale
-    (resolve_ivf_cells) — the IVF bound, never all-pairs. The scored
+    (resolve_ivf_cells) — the IVF bound, never all-pairs. Past
+    CELL_EXPR_MAX cells the centroid-cosine stage switches from plan
+    literals to a broadcast centroid table (r12 — the assign_cells
+    dispatch convention; √corpus cells would otherwise inline
+    n_cells × dim constant nodes into the plan). The scored
     frame (assignment + norm + centroid cosine, one corpus-sized
     kernel pass) is slot-persisted: it feeds the plan THREE times
     (both join sides + the final keep join), and Spark does not
@@ -953,25 +957,63 @@ def semantic_dedup(
         vec_col=vec_col,
         persist=False,
     )
-    cent_lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in idx["cents"]]
+    cents = idx["cents"]
+    assigned = idx["assigned"].select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cell").cast("bigint").alias("cell"),
+        V.norm(vec_col).alias("__norm"),
     )
-    scored = rotating_persist(
-        idx["assigned"].select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("__cell").cast("bigint").alias("cell"),
-            V.norm(vec_col).alias("__norm"),
+    if len(cents) <= S.CELL_EXPR_MAX:
+        # pinned small configs (the registered x99 path): centroid
+        # literals + element_at — bit-stable with the driver oracle
+        cent_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        scored_plan = assigned.select(
+            id_col,
+            vec_col,
+            "cell",
+            "__norm",
             dround(
                 V.cosine_similarity(
                     F.col(vec_col),
-                    F.element_at(cent_lits, (F.col("__cell") + 1).cast("int")),
+                    F.element_at(cent_lits, (F.col("cell") + 1).cast("int")),
                 ),
                 4,
             ).alias("cent_cos"),
-        ),
-        _SEMDEDUP_SCORED_SLOT,
-    )
+        )
+    else:
+        # at-scale path (r12 review): the literal form inlines
+        # n_cells × dim constant nodes into the plan — at the
+        # n_cells ≈ √corpus sizing that is ~29k nodes at the 100×
+        # decade, the exact plan-analysis blowup assign_cells already
+        # solves with its kernel dispatch (similarity.py
+        # CELL_EXPR_MAX; a 447-cell F.array was measured 5× slower
+        # before the in-kernel argmax). Past the threshold the
+        # centroids ride a broadcast TABLE instead: an n_cells-row
+        # equi-join on the assignment, cosine via the same Arrow dot
+        # kernel over two array columns — value-identical doubles
+        # (same kernel, same centroid floats), plan size O(1) in
+        # n_cells. Differentially pinned against the DuckDB oracle
+        # at an >CELL_EXPR_MAX config in tests.
+        cents_df = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell bigint, __cvec array<double>",
+        )
+        scored_plan = (
+            assigned.join(F.broadcast(cents_df), "cell")
+            .select(
+                id_col,
+                vec_col,
+                "cell",
+                "__norm",
+                dround(
+                    V.cosine_similarity(F.col(vec_col), F.col("__cvec")), 4
+                ).alias("cent_cos"),
+            )
+        )
+    scored = rotating_persist(scored_plan, _SEMDEDUP_SCORED_SLOT)
     left = scored.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__va"),

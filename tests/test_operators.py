@@ -3206,3 +3206,83 @@ def test_a15_adversarial_interpolation_boundaries(spark, tmp_path):
     # PAIR: cents are -1000 and 13 (0.125 -> HALF-UP 13); linear
     # interpolation between exactly two points
     assert got["PAIR"][1] == (-1000 + (13 - -1000) * 0.5) / 100.0
+
+
+def test_semantic_dedup_broadcast_centroid_path_matches_duckdb(
+    spark, sf_dir, duck
+):
+    """r12 review: past CELL_EXPR_MAX cells semantic_dedup's
+    centroid-cosine stage switches from plan literals to a broadcast
+    centroid table (√corpus cells would inline n_cells × dim constant
+    nodes — the plan-analysis blowup assign_cells already dispatches
+    around). Pin the join path end-to-end against the independent
+    DuckDB oracle at n_cells=18 (> CELL_EXPR_MAX=16; also exercises
+    the kernel argmax assignment)."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+    from duckdb_retail_pipeline_spark.operators.similarity import CELL_EXPR_MAX
+    from duckdb_retail_pipeline_spark.queries.extensions import (
+        SQL_COSINE_PARTS,
+        _sql_norm,
+    )
+
+    n_cells, th = 18, 0.3
+    assert n_cells > CELL_EXPR_MAX
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(n_cells).collect()
+    ]
+    got = sorted(
+        (r["vec_id"], r["cell"], round(r["cent_cos"], 9), r["keep"])
+        for r in D.semantic_dedup(
+            emb, threshold=th, n_cells=n_cells, kmeans_iters=0
+        ).collect()
+    )
+    assert any(not k for _, _, _, k in got)  # the drop path fired
+
+    def lit(vec):
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    def cos(col, cvec):
+        return (
+            f"({SQL_COSINE_PARTS.format(a=col, b=lit(cvec))}"
+            f" / NULLIF({_sql_norm(col)} * {_sql_norm(lit(cvec))}, 0.0))"
+        )
+
+    sims = "[" + ", ".join(cos("embedding", c) for c in cents) + "]"
+    sql = f"""
+        WITH base AS (
+            SELECT vec_id, embedding, {sims} AS sims,
+                   {_sql_norm('embedding')} AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT vec_id, embedding, nrm,
+                   CAST(COALESCE(list_position(sims,
+                        list_aggregate(sims, 'max')) - 1, 0) AS BIGINT)
+                       AS cell,
+                   sims
+            FROM base
+        ), sc AS (
+            SELECT vec_id, embedding, nrm, cell,
+                   CAST(CAST(sims[cell + 1] AS DECIMAL(28,4)) AS DOUBLE)
+                       AS cent_cos
+            FROM scored
+        ), dominated AS (
+            SELECT DISTINCT a.vec_id
+            FROM sc a JOIN sc b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             AND (b.cent_cos < a.cent_cos
+                  OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+            WHERE CAST(CAST(
+                    {SQL_COSINE_PARTS.format(a='a.embedding', b='b.embedding')}
+                    / NULLIF(a.nrm * b.nrm, 0.0)
+                  AS DECIMAL(28,4)) AS DOUBLE) >= {th}
+        )
+        SELECT s.vec_id, s.cell, s.cent_cos, d.vec_id IS NULL AS keep
+        FROM sc s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+    """
+    want = sorted(
+        (int(v), int(c), round(cc, 9), bool(k))
+        for v, c, cc, k in duck.execute(sql).fetchall()
+    )
+    assert got == want
