@@ -698,7 +698,8 @@ def q19_view_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH counted AS (
             SELECT p_brand, p_type, COUNT(*) AS cnt
-            FROM part GROUP BY p_brand, p_type
+            FROM part WHERE p_type IS NOT NULL
+            GROUP BY p_brand, p_type
         ), ranked AS (
             SELECT p_brand, p_type,
                    ROW_NUMBER() OVER (
@@ -711,7 +712,14 @@ def q19_view_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deterministic MODE with pinned (count DESC, value ASC) "
     "tie-break (SURVEY §2.4 A1/A2 + §4 — MODE() tie-breaking is "
     "arbitrary in both engines, so the engine pins it; reference "
-    "src/models/dimensions.py:157-171).",
+    "src/models/dimensions.py:157-171). MODE is over NON-NULL "
+    "values (pandas .mode() drops NaN — the reference's behavior; "
+    "deterministic_mode filters them): the oracle's IS NOT NULL "
+    "mirrors that (r12 probe — without it a NULL-majority group "
+    "made DuckDB crown NULL the mode while the engine returned the "
+    "top non-NULL value, and an all-NULL group changed the row "
+    "count; latent on the NULL-free driver corpus, pinned by the "
+    "q20 probe test).",
     tags=("agg", "window"),
 )
 def q20_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:

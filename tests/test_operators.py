@@ -3286,3 +3286,414 @@ def test_semantic_dedup_broadcast_centroid_path_matches_duckdb(
         for v, c, cc, k in duck.execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_q20_mode_null_regimes_match_after_oracle_fix(spark, tmp_path):
+    """r12 probe wave 2: the registered MODE convention is over
+    NON-NULL values (pandas .mode() drops NaN — the reference's
+    behavior; deterministic_mode filters them), but q20's oracle
+    ranked NULL like any value: a NULL-majority group made DuckDB
+    crown NULL the mode while the engine returned the top non-NULL,
+    and an all-NULL group changed the row count. Latent on the
+    NULL-free driver corpus — the oracle now filters p_type IS NOT
+    NULL; this corpus is the regime that diverged."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    rows = [
+        # NULL-majority brand: mode must be the top NON-NULL value
+        ("B1", None), ("B1", None), ("B1", None),
+        ("B1", "small"), ("B1", "small"), ("B1", "large"),
+        # all-NULL brand: no mode row at all
+        ("B2", None), ("B2", None),
+        # tie brand: (count DESC, value ASC) pinned tie-break
+        ("B3", "zinc"), ("B3", "alum"),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark, {"part": (rows, "p_brand string, p_type string")}
+    )
+    spec = REGISTRY["q20_deterministic_mode"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "q20-null-probe")
+    got = {r["p_brand"]: r["mode_type"] for r in df.collect()}
+    assert got == {"B1": "small", "B3": "alum"}, got
+
+
+def test_x73_histogram_degenerate_distributions(spark, tmp_path):
+    """r12 probe wave 2: equi-width histogram where the bin
+    arithmetic degenerates — all-equal totals (width collapses to 1
+    cent, everything in bin 0), a single row, and negative totals
+    (lo < 0: the (cents − lo) shift keeps the integer division
+    non-negative, where Spark's truncating `div` and DuckDB's
+    flooring `//` would otherwise disagree)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    spec = REGISTRY["x73_histogram"]
+    for name, totals in (
+        ("all-equal", [42.0] * 7),
+        ("single-row", [13.37]),
+        ("negative", [-25.0, -5.5, 0.0, 12.25, 99.99]),
+    ):
+        sf, con = _probe_corpus(
+            tmp_path, spark,
+            {"orders": ([(t,) for t in totals], "o_totalprice double")},
+        )
+        df = spec.fn(spark, sf)
+        assert_matches(df, con, spec.oracle, f"x73-{name}")
+        n = sum(r["n_orders"] for r in df.collect())
+        assert n == len(totals), (name, n)
+
+
+def test_x78_correlation_zero_variance_groups(spark, tmp_path):
+    """r12 probe wave 2: Pearson r where the exact-moment denominator
+    is zero — a source whose docs all share the same (tokens,
+    distinct tokens) point, and a singleton source (n=1 ⇒ zero
+    variance by definition). Both engines must emit NULL (the
+    NULLIF-guarded sqrt), never NaN or a division error; a normal
+    two-point source rides along with r = ±1 exactness."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        ("const", "a b c"), ("const", "x y z"), ("const", "p q r"),
+        ("single", "lone doc here"),
+        ("line", "a a"),              # x=2, y=1
+        ("line", "a b c d"),          # x=4, y=4
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark, {"documents": (docs, "source string, text string")}
+    )
+    spec = REGISTRY["x78_correlation_report"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x78-degenerate")
+    got = {r["source"]: r["pearson_r"] for r in df.collect()}
+    assert got["const"] is None      # zero variance in BOTH coords
+    assert got["single"] is None     # n=1
+    assert got["line"] == 1.0        # two points -> exact +1
+
+
+def test_x72_ab_test_degenerate_arms(spark, tmp_path):
+    """r12 probe wave 2: the two-proportion z-test where the guards
+    must fire — an EMPTY arm (every user_id even ⇒ n_b=0: rate_b and
+    z are NULL via NULLIF, not a division error) and a
+    zero-conversion corpus (pooled rate 0 ⇒ the standard error is 0
+    ⇒ z NULL). Cross-engine equality pinned in both regimes."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    spec = REGISTRY["x72_ab_test"]
+
+    # regime 1: all-even user ids -> arm B empty
+    ev1 = [
+        (t0, 0, "purchase"), (t0, 0, "purchase"), (t0, 0, "view"),
+        (t0, 2, "view"), (t0, 2, "view"),
+        (t0, 4, "purchase"), (t0, 4, "view"),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (ev1, "ts timestamp, user_id long, event_type string")},
+    )
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x72-empty-arm")
+    row = df.collect()[0]
+    assert row["n_b"] == 0 and row["rate_b"] is None and row["z_score"] is None
+
+    # regime 2: both arms populated, nobody converts -> se = 0 -> z NULL
+    ev2 = [
+        (t0, 0, "view"), (t0, 1, "view"), (t0, 2, "view"), (t0, 3, "view"),
+    ]
+    sf2 = tmp_path / "probe2"
+    sf2.mkdir()
+    import duckdb as _duckdb
+
+    spark.createDataFrame(
+        ev2, "ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf2}/events.parquet")
+    con2 = _duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf2}/events.parquet/*.parquet'"
+    )
+    df2 = spec.fn(spark, str(sf2))
+    assert_matches(df2, con2, spec.oracle, "x72-zero-conversion")
+    row2 = df2.collect()[0]
+    assert row2["z_score"] is None and row2["rate_a"] == 0.0
+
+
+def test_a09_moving_average_short_and_gapped_series(spark, tmp_path):
+    """r12 probe wave 2: the 7-ROW moving average on a single-day
+    series (frame of one) and a gapped series (ROWS frames ignore
+    calendar gaps by design — both engines must agree on that
+    semantics, not interpolate missing days)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    mk = lambda d, v: (dt.datetime(2024, 1, d, 0, 0), v)  # noqa: E731
+    orders = [
+        mk(1, 10.0), mk(1, 20.0),       # day 1: two orders
+        mk(2, 30.0),                    # day 2
+        mk(20, 40.0),                   # 18-day gap: still "adjacent row"
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"orders": (orders, "o_orderdate timestamp, o_totalprice double")},
+    )
+    spec = REGISTRY["a09_moving_average"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "a09-gapped")
+    got = {str(r["date"]): r["avg_order_value_7d"] for r in df.collect()}
+    assert got["2024-01-01"] == 15.0            # frame of one day
+    assert got["2024-01-02"] == 20.0            # (10+20+30)/3
+    assert got["2024-01-20"] == 25.0            # gap ignored: 100/4
+
+
+def test_x55_attribution_timestamp_ties_and_1h_boundary(spark, tmp_path):
+    """r12 probe wave 2: last-touch attribution at its tie and
+    boundary regimes — a click sharing the purchase's exact
+    timestamp (the (ts, event_id) total order decides whether the
+    touch is in frame: id-before counts, id-after does not), a touch
+    EXACTLY 1 hour before the purchase (>= keeps it), and one just
+    beyond (dropped to 'none'). Cross-engine pinned."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    t = lambda m, s=0, us=0: dt.datetime(2024, 1, 1, 12, m, s, us)  # noqa: E731
+    rows = [
+        # user 1: click at the SAME microsecond as the purchase,
+        # event_id BEFORE -> the click is in frame, attributed
+        (1, 10, "click", 0.0, t(0)),
+        (1, 11, "purchase", 50.0, t(0)),
+        # user 2: click at the same microsecond, event_id AFTER ->
+        # not in the purchase's frame -> 'none'
+        (2, 21, "purchase", 30.0, t(0)),
+        (2, 22, "click", 0.0, t(0)),
+        # user 3: view EXACTLY 1h before -> >= boundary keeps it
+        (3, 30, "view", 0.0, t(0)),
+        (3, 31, "purchase", 20.0, t(0) + dt.timedelta(hours=1)),
+        # user 4: click 1h + 1µs before -> beyond the window -> 'none'
+        (4, 40, "click", 0.0, t(0)),
+        (4, 41, "purchase", 10.0,
+         t(0) + dt.timedelta(hours=1, microseconds=1)),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (rows,
+                    "user_id long, event_id long, event_type string, "
+                    "value double, ts timestamp")},
+    )
+    spec = REGISTRY["x55_last_touch_attribution"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x55-ties")
+    got = {r["channel"]: (r["n_purchases"], r["attributed_value"])
+           for r in df.collect()}
+    assert got == {
+        "click": (1, 50.0),   # user 1 (tie, id-before)
+        "view": (1, 20.0),    # user 3 (exact 1h)
+        "none": (2, 40.0),    # users 2 (tie, id-after) + 4 (1h+1µs)
+    }, got
+
+
+def test_x45_funnel_step_boundary_semantics(spark, tmp_path):
+    """r12 probe wave 2: the funnel's step predicates are strict-
+    after / inclusive-within (> t_prev, <= t_prev + 1h) — probe a
+    click at the view's exact microsecond (excluded), a click at
+    exactly view+1h (included), a purchase at exactly click+1h
+    (included), and one at click+1h+1µs (excluded)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    b = dt.datetime(2024, 3, 1, 9, 0, 0)
+    h1 = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: click at the view's exact ts -> NOT counted (strict >)
+        (1, "view", b), (1, "click", b),
+        # user 2: click exactly at view+1h -> counted; purchase at
+        # click+1h exactly -> counted
+        (2, "view", b), (2, "click", b + h1), (2, "purchase", b + 2 * h1),
+        # user 3: click in window; purchase at click+1h+1µs -> not counted
+        (3, "view", b), (3, "click", b + us), (3, "purchase", b + h1 + 2 * us),
+        # user 4: purchase only -> counted at step 0 of nothing
+        (4, "purchase", b),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (rows, "user_id long, event_type string, ts timestamp")},
+    )
+    spec = REGISTRY["x45_event_funnel"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x45-boundaries")
+    row = df.collect()[0]
+    assert (row["n_users"], row["n_view"], row["n_click_1h"],
+            row["n_purchase_1h"]) == (4, 3, 2, 1), row
+
+
+def test_a03_setops_duplicate_row_semantics(spark, tmp_path):
+    """r12 probe wave 2: INTERSECT/EXCEPT are DISTINCT set ops in
+    both engines — a customer with several urgent AND several low
+    orders yields exactly one 'both' row (no bag multiplicity), and
+    duplicate urgent-only orders collapse to one 'urgent_only' row.
+    Pinned cross-engine so a future rewrite to intersectAll/exceptAll
+    (bag semantics) cannot slip through."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    rows = [
+        (1, "1-URGENT"), (1, "1-URGENT"), (1, "5-LOW"), (1, "5-LOW"),
+        (2, "1-URGENT"), (2, "1-URGENT"),
+        (3, "5-LOW"),
+        (4, "3-MEDIUM"),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"orders": (rows, "o_custkey long, o_orderpriority string")},
+    )
+    spec = REGISTRY["a03_intersect_except"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "a03-dups")
+    got = sorted((r["cohort"], r["c_custkey"]) for r in df.collect())
+    assert got == [("both", 1), ("urgent_only", 2)], got
+
+
+def test_x76_rolling_dau_24h_boundary(spark, tmp_path):
+    """r12 probe wave 2: the trailing-24h window's boundary — a user
+    active EXACTLY 23 hours before a target hour still counts
+    (t-23 <= u), one at exactly 24 hours before does not (strict
+    u > t-24); a user active twice in one hour counts once. The
+    explode-based engine form and the inequality-join oracle must
+    agree at the exact boundary."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    h = lambda k, m=0: (dt.datetime(2024, 1, 1, 0, 0) +  # noqa: E731
+                        dt.timedelta(hours=k, minutes=m))
+    rows = [
+        (h(0), 100), (h(0, 30), 100),   # user 100 twice in hour 0
+        (h(23), 200),                   # hour 23: user 200
+        (h(24), 300),                   # hour 24: user 300
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (rows, "ts timestamp, user_id long")},
+    )
+    spec = REGISTRY["x76_rolling_distinct_users"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x76-boundary")
+    got = {r["hour"].isoformat()[:13]: r["dau_24h"] for r in df.collect()}
+    # hour 23: users 100 (active h0, exactly 23h back) + 200 -> 2
+    # hour 24: users 200 + 300 (user 100's h0 is exactly 24h back -> out)
+    assert got["2024-01-01T00"] == 1
+    assert got["2024-01-01T23"] == 2
+    assert got["2024-01-02T00"] == 2, got
+
+
+def test_x43_range_join_interval_boundaries(spark, tmp_path):
+    """r12 probe wave 2: the binned range join's half-open window
+    semantics at exact boundaries — an interval ENDING exactly at
+    the window start is included with ZERO overlap (e >= w), one
+    STARTING exactly at the window end is excluded (s < w+1h
+    strict), a single-event (zero-length) interval inside the
+    window counts, and a multi-hour-spanning interval contributes
+    the full hour. The explode-binned engine join and the
+    inequality-join oracle must agree at every edge."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    t = lambda hh, mm=0, ss=0, us=0: dt.datetime(  # noqa: E731
+        2024, 5, 1, hh, mm, ss, us
+    )
+    rows = [
+        # the incident window: >=3 errors inside hour 10
+        (t(10, 5), 999, "error"), (t(10, 10), 999, "error"),
+        (t(10, 15), 999, "error"),
+        # user 1: single event exactly at the window END -> excluded
+        (t(11), 1, "view"),
+        # user 2: single event exactly at the window START -> zero
+        # overlap, still a pair
+        (t(10), 2, "view"),
+        # user 3: interval [09:30, 10:00] ends exactly at window
+        # start -> included, overlap 0
+        (t(9, 30), 3, "view"), (t(10), 3, "click"),
+        # user 4: interval ends 1µs BEFORE the window -> excluded
+        (t(9), 4, "view"), (t(9, 59, 59, 999999), 4, "view"),
+        # user 5: spans the whole window -> full-hour overlap
+        (t(9, 30), 5, "view"), (t(12, 30), 5, "view"),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (rows, "ts timestamp, user_id long, event_type string")},
+    )
+    spec = REGISTRY["x43_range_join_binned"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x43-boundaries")
+    row = df.collect()[0]
+    # pairs: users 2, 3, 5 and the error user 999 (interval
+    # [10:05, 10:15] sits inside its own window); users 1, 4 excluded
+    assert row["n_pairs"] == 4 and row["n_users"] == 4, row
+    # overlaps: 0 (u2) + 0 (u3) + 3600s (u5) + 600s (u999)
+    assert row["total_overlap_us"] == (3600 + 600) * 1_000_000, row
+
+
+def test_x71_fuzzy_match_threshold_and_tie_regimes(spark, tmp_path):
+    """r12 probe wave 2: fuzzy matching at its decision edges — a
+    decoy at Levenshtein distance EXACTLY 2 (inside the <= 2 cut,
+    loses the (dist, key) order to the true distance-1 match but
+    raises n_candidates), a decoy at distance 3 (outside), a
+    distance TIE broken by the smaller key, and a short name (< 13
+    chars) whose 'deletion' is a no-op — the dirty name equals the
+    clean name at distance 0, and right(s,4)/substring(s,-4,4)
+    agree on strings shorter than the block width."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    # block key = last 4 chars; corruption deletes char 12
+    rows = [
+        # true entity (key 20 -> dirtied): name len > 13
+        (20, "AcmeCorpXY12_BLK1"),
+        # decoy in the same block at distance exactly 2 from the
+        # dirty name "AcmeCorpXY1_BLK1"
+        (3, "AcmeCorpXY34_BLK1"),
+        # decoy at distance 3+ (still same block, filtered out)
+        (5, "Zz9!CorpAB34_BLK1"),
+        # tie pair: deleting char 12 (the underscore) of key 40's
+        # name gives "TieNameAB1XBLK2"; clean 40 re-inserts the _,
+        # clean 7 re-inserts an X — both Levenshtein 1, same block
+        (40, "TieNameAB1X_BLK2"),
+        (7, "TieNameAB1XXBLK2"),
+        # short name (no 13th char): dirty == clean, distance 0
+        (60, "Tiny_BLK3"),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"customer": (rows, "c_custkey long, c_name string")},
+    )
+    spec = REGISTRY["x71_fuzzy_entity_match"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x71-edges")
+    got = {
+        r["dirty_key"]: (r["matched_key"], r["distance"],
+                         r["n_candidates"], r["is_true_match"])
+        for r in df.collect()
+    }
+    # key 20: true match at distance 1 wins; the distance-2 decoy
+    # (key 3) is a candidate; the distance-3+ one is not
+    assert got[10000020] == (20, 1, 2, True), got
+    # key 40: clean 40 ("...AB1X...") and clean 7 ("...AB1Y...") are
+    # both distance 1 from the dirty "TieNameAB1_BLK2" -> tie broken
+    # by the SMALLER key -> 7 wins, honest is_true_match=False
+    assert got[10000040] == (7, 1, 2, False), got
+    # key 60: no-op corruption -> exact self-match at distance 0
+    assert got[10000060] == (60, 0, 1, True), got
