@@ -2118,11 +2118,16 @@ def x74_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     t = s.withColumn("total", F.sum("n_tokens").over(w_all).cast("bigint"))
     scaled = F.lit(_X74_BUDGET) * F.col("n_tokens")
+    # NULLIF the zero-mass corpus (r12 probe): ANSI-mode Spark THROWS
+    # on integer div/% by zero where DuckDB's // returns NULL — an
+    # error-vs-NULL cross-engine divergence on an all-empty corpus;
+    # with the guard both engines emit NULL allocations
+    total = F.nullif(F.col("total"), F.lit(0))
     q = t.select(
         "source",
         "n_tokens",
-        F.call_function("div", scaled, F.col("total")).alias("quota"),
-        (scaled % F.col("total")).alias("rem"),
+        F.call_function("div", scaled, total).alias("quota"),
+        (scaled % total).alias("rem"),
     )
     r = q.select(
         "*",

@@ -3697,3 +3697,168 @@ def test_x71_fuzzy_match_threshold_and_tie_regimes(spark, tmp_path):
     assert got[10000040] == (7, 1, 2, False), got
     # key 60: no-op corruption -> exact self-match at distance 0
     assert got[10000060] == (60, 0, 1, True), got
+
+
+def test_a02_a06_cube_with_null_valued_keys(spark, tmp_path):
+    """r12 probe wave 3: CUBE/GROUPING SETS over data that CONTAINS
+    NULL key values — the classic ambiguity where a data-NULL
+    subtotal row is indistinguishable from a cube-generated rollup
+    row without GROUPING(). Both engines emit both kinds of rows;
+    the compare is multiset equality, so they must collide
+    IDENTICALLY (a data-NULL group of n rows plus the rollup row
+    over the same slice)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    import datetime as dt
+
+    rows = [
+        ("F", "1-URGENT", dt.datetime(2023, 1, 1)),
+        ("F", None, dt.datetime(2023, 6, 1)),        # NULL priority
+        (None, "1-URGENT", dt.datetime(2024, 1, 1)),  # NULL status
+        (None, None, dt.datetime(2024, 6, 1)),        # both NULL
+        ("O", "5-LOW", dt.datetime(2024, 1, 1)),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"orders": (rows,
+                    "o_orderstatus string, o_orderpriority string, "
+                    "o_orderdate timestamp")},
+    )
+    for name in ("a02_cube", "a06_grouping_sets_sql"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-nulls")
+    # spot-check the collision shape: CUBE(2 keys) over 5 rows with
+    # NULL keys -> the (NULL, NULL) cell appears as a DATA group (1)
+    # AND as the grand total (5), plus NULL-key slices
+    cells = [
+        (r["status"], r["priority"], r["n_orders"])
+        for r in REGISTRY["a02_cube"].fn(spark, sf).collect()
+        if r["status"] is None and r["priority"] is None
+    ]
+    # data group (NULL,NULL)=1; status-NULL slice rollup = 2; priority-
+    # NULL slice rollup = 2; grand total = 5
+    assert sorted(c[2] for c in cells) == [1, 2, 2, 5], cells
+
+
+def test_x74_apportionment_degenerate_masses(spark, tmp_path):
+    """r12 probe wave 3: largest-remainder apportionment where the
+    masses degenerate — a zero-token source (quota 0, can still win
+    a remainder unit only if rem ties say so), a SINGLE source
+    (quota = the whole budget, leftover 0), and the all-empty corpus
+    (total 0: integer division by zero is NULL in BOTH engines —
+    Spark's div and DuckDB's // agree — so allocations are NULL, not
+    an error)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    spec = REGISTRY["x74_token_budget"]
+
+    # regime 1: normal + zero-token source
+    docs1 = [("a", "w1 w2 w3"), ("b", "w1 w2 w3 w4 w5 w6 w7"), ("z", "")]
+    sf, con = _probe_corpus(
+        tmp_path, spark, {"documents": (docs1, "source string, text string")}
+    )
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x74-zero-source")
+    got = {r["source"]: (r["quota"], r["final_alloc"]) for r in df.collect()}
+    assert got["z"][0] == 0 and sum(v[1] for v in got.values()) == 100_000
+
+    # regime 2: single source takes the whole budget exactly
+    sf2, con2 = _probe_corpus(
+        tmp_path, spark,
+        {"documents": ([("only", "a b c d")], "source string, text string")},
+    )
+    df2 = spec.fn(spark, sf2)
+    assert_matches(df2, con2, spec.oracle, "x74-single")
+    assert df2.collect()[0]["final_alloc"] == 100_000
+
+    # regime 3: all-empty corpus -> total 0 -> NULL allocations
+    sf3, con3 = _probe_corpus(
+        tmp_path, spark,
+        {"documents": ([("e1", ""), ("e2", " ")], "source string, text string")},
+    )
+    df3 = spec.fn(spark, sf3)
+    assert_matches(df3, con3, spec.oracle, "x74-empty")
+    assert all(r["final_alloc"] is None for r in df3.collect())
+
+
+def test_x80_transitions_single_event_users_and_ties(spark, tmp_path):
+    """r12 probe wave 3: the transition matrix where the LEAD window
+    degenerates — a corpus of ONLY single-event users produces an
+    EMPTY matrix in both engines (no next event, the WHERE next IS
+    NOT NULL drops everything), and same-microsecond events order by
+    event_id (the tie-break that makes the chain deterministic);
+    self-transitions count like any other."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    spec = REGISTRY["x80_event_transitions"]
+    t0 = dt.datetime(2024, 2, 1, 8, 0)
+
+    # regime 1: singletons only -> empty matrix, cross-engine
+    ev1 = [(1, "view", t0, 10), (2, "click", t0, 20), (3, "purchase", t0, 30)]
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    sf, con = _probe_corpus(tmp_path, spark, {"events": (ev1, schema)})
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x80-singletons")
+    assert df.count() == 0
+
+    # regime 2: one user, all four events at the SAME microsecond —
+    # the chain is event_id order (1,2,4,9):
+    # view->click->view->purchase
+    ev2 = [
+        (7, "view", t0, 4), (7, "click", t0, 2),
+        (7, "view", t0, 1), (7, "purchase", t0, 9),
+    ]
+    sf2 = tmp_path / "p2"
+    sf2.mkdir()
+    import duckdb as _duckdb
+
+    spark.createDataFrame(ev2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf2}/events.parquet")
+    con2 = _duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf2}/events.parquet/*.parquet'"
+    )
+    df2 = spec.fn(spark, str(sf2))
+    assert_matches(df2, con2, spec.oracle, "x80-ties")
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in df2.collect()}
+    assert got == {
+        ("view", "click"): 1, ("click", "view"): 1, ("view", "purchase"): 1,
+    }, got
+
+
+def test_x63_fingerprint_canonicalization_cross_source(spark, tmp_path):
+    """r12 probe wave 3: the cross-source dup report's fingerprint is
+    the md5 of lowercased whitespace-canonical tokens — 'The  Cat'
+    and 'the cat' (different case, run of spaces, trailing newline)
+    must collide across sources; a natural cross-source dup under
+    different doc_ids is reported; a same-source-only dup is NOT
+    (HAVING n_sources >= 2)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "feed_a", "The  Cat\nsat"),
+        (2, "feed_b", "the cat sat "),     # canonical twin, other source
+        (3, "feed_a", "unique alpha"),
+        (4, "feed_a", "dup same source"),
+        (5, "feed_a", "dup same source"),  # same source only -> excluded
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs, "doc_id long, source string, text string")},
+    )
+    spec = REGISTRY["x63_cross_source_dups"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x63-canon")
+    rows = df.collect()
+    # the canonical twin pair (plus doc 10-mirrors: none here since
+    # no doc_id % 10 == 0 except... doc_ids 1-5 have none)
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2
+    assert rows[0]["n_sources"] == 2
+    assert (rows[0]["first_doc"], rows[0]["last_doc"]) == (1, 2)
