@@ -462,22 +462,35 @@ def a11_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a12_array_agg_surface",
     oracle="""
-        SELECT n_name AS nation,
-               array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
-                   AS priorities,
-               CAST(len(list_sort(list(DISTINCT o_orderpriority))) AS BIGINT)
-                   AS n_priorities,
-               list_contains(list(DISTINCT o_orderpriority), '1-URGENT')
-                   AS has_urgent,
-               list_sort(list(DISTINCT o_orderpriority))[1] AS first_priority
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name
+        WITH g AS (
+            SELECT n_name AS nation,
+                   -- COALESCE to []: an all-NULL group's FILTERed
+                   -- aggregate is NULL in DuckDB, but Spark's
+                   -- collect_set is the EMPTY ARRAY there
+                   list_sort(COALESCE(list(DISTINCT o_orderpriority)
+                             FILTER (o_orderpriority IS NOT NULL), [])) AS ps
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT nation,
+               -- empty-list string is NULL in DuckDB, '' in Spark
+               COALESCE(array_to_string(ps, '|'), '') AS priorities,
+               CAST(len(ps) AS BIGINT) AS n_priorities,
+               list_contains(ps, '1-URGENT') AS has_urgent,
+               ps[1] AS first_priority
+        FROM g
     """,
     doc="Array aggregation surface: collect_set → array_sort → size / "
-    "array_contains / element_at — Spark ArrayType vs DuckDB LIST. "
-    "The array itself is serialized with array_join('|') for the "
+    "array_contains / try_element_at — Spark ArrayType vs DuckDB "
+    "LIST. The collected set is over NON-NULL values (Spark's "
+    "collect_set drops NULLs; the oracle's FILTER mirrors that — r12 "
+    "probe: DuckDB's list(DISTINCT) KEEPS NULL, so n_priorities "
+    "diverged on NULL-priority data), and the first element reads "
+    "via try_element_at (ANSI element_at THROWS on the empty array "
+    "an all-NULL group produces; DuckDB ps[1] is NULL there). The "
+    "array itself is serialized with array_join('|') for the "
     "compared frame (the driver's canonicalizer hashes scalar cells "
     "only); the array ops stay in the plan. `customer` scales with SF "
     "so it carries no broadcast hint — AQE/threshold picks the join.",
@@ -498,7 +511,10 @@ def a12_array_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("priorities_arr", "|").alias("priorities"),
         F.size("priorities_arr").cast("bigint").alias("n_priorities"),
         F.array_contains("priorities_arr", "1-URGENT").alias("has_urgent"),
-        F.element_at("priorities_arr", 1).alias("first_priority"),
+        # try_element_at, not element_at: ANSI mode throws
+        # INVALID_ARRAY_INDEX on the empty array an all-NULL-priority
+        # group produces (r12 probe); NULL is the cross-engine answer
+        F.try_element_at("priorities_arr", F.lit(1)).alias("first_priority"),
     )
 
 

@@ -3862,3 +3862,40 @@ def test_x63_fingerprint_canonicalization_cross_source(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["n_docs"] == 2
     assert rows[0]["n_sources"] == 2
     assert (rows[0]["first_doc"], rows[0]["last_doc"]) == (1, 2)
+
+
+def test_a12_array_agg_null_values_and_empty_set_group(spark, tmp_path):
+    """r12 probe wave 3 (two real finds in one probe): (1) DuckDB's
+    list(DISTINCT x) KEEPS NULL while Spark's collect_set drops it —
+    a12's n_priorities diverged by one on NULL-priority data until
+    the oracle gained FILTER (x IS NOT NULL); (2) a nation whose
+    priorities are ALL NULL produces an EMPTY collected set, where
+    ANSI element_at(arr, 1) THROWS — the builder now uses
+    try_element_at (NULL, like DuckDB's ps[1] on an empty list)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    orders = [
+        (1, "1-URGENT"), (1, None), (1, "5-LOW"),   # cust 1, nation A
+        (2, None), (2, None),                       # cust 2, nation B: all NULL
+        (3, "3-MEDIUM"),                            # cust 3, nation C
+    ]
+    customers = [(1, 10), (2, 20), (3, 30)]
+    nations = [(10, "ALPHA"), (20, "BRAVO"), (30, "CHARLIE")]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "orders": (orders, "o_custkey long, o_orderpriority string"),
+            "customer": (customers, "c_custkey long, c_nationkey int"),
+            "nation": (nations, "n_nationkey int, n_name string"),
+        },
+    )
+    spec = REGISTRY["a12_array_agg_surface"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "a12-nulls")
+    got = {r["nation"]: (r["priorities"], r["n_priorities"],
+                         r["has_urgent"], r["first_priority"])
+           for r in df.collect()}
+    assert got["ALPHA"] == ("1-URGENT|5-LOW", 2, True, "1-URGENT")
+    assert got["BRAVO"] == ("", 0, False, None)   # empty set, no crash
+    assert got["CHARLIE"] == ("3-MEDIUM", 1, False, "3-MEDIUM")
