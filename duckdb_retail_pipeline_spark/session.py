@@ -31,6 +31,15 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # cores under the 128 MB default).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # ANSI semantics are part of the ENGINE CONTRACT, not an ambient
+    # default (r12): the ANSI-conditioned behaviors are what the
+    # oracles and probes verify — try_element_at NULLs where
+    # element_at throws, integer div/% by zero is NULLIF-guarded at
+    # the call sites that can hit it (x74), overflow errors instead
+    # of silent wraps. A future Spark flipping the default (or a
+    # driver-owned session built with ansi=false) would silently
+    # change error behavior out from under those conventions.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

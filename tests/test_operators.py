@@ -3899,3 +3899,36 @@ def test_a12_array_agg_null_values_and_empty_set_group(spark, tmp_path):
     assert got["ALPHA"] == ("1-URGENT|5-LOW", 2, True, "1-URGENT")
     assert got["BRAVO"] == ("", 0, False, None)   # empty set, no crash
     assert got["CHARLIE"] == ("3-MEDIUM", 1, False, "3-MEDIUM")
+
+
+def test_x67_rfm_fewer_customers_than_quintiles(spark, tmp_path):
+    """r12 probe wave 3: NTILE(5) over FEWER rows than buckets (3
+    customers) assigns buckets 1..3 identically in both engines, and
+    full ties on every dimension (same day, same frequency, same
+    spend) resolve by the custkey tie-break — the degenerate
+    segmentation a tiny or heavily-filtered corpus produces."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    d = dt.datetime(2024, 4, 1)
+    rows = [
+        (101, d, 10.0),   # all three: same day, 1 order, same spend
+        (102, d, 10.0),
+        (103, d, 10.0),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"orders": (rows,
+                    "o_custkey long, o_orderdate timestamp, "
+                    "o_totalprice double")},
+    )
+    spec = REGISTRY["x67_rfm_segments"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x67-tiny")
+    got = sorted(
+        (r["r_q"], r["f_q"], r["m_q"], r["n_customers"]) for r in df.collect()
+    )
+    # custkey tie-break: customer 101 -> bucket 1 on every axis, etc.
+    assert got == [(1, 1, 1, 1), (2, 2, 2, 1), (3, 3, 3, 1)], got
