@@ -3932,3 +3932,133 @@ def test_x67_rfm_fewer_customers_than_quintiles(spark, tmp_path):
     )
     # custkey tie-break: customer 101 -> bucket 1 on every axis, etc.
     assert got == [(1, 1, 1, 1), (2, 2, 2, 1), (3, 3, 3, 1)], got
+
+
+def test_a13_correlated_subqueries_null_and_empty_inner(spark, tmp_path):
+    """r12 probe wave 4: EXISTS/NOT EXISTS decorrelation where the
+    inner set degenerates — a customer with NO orders (EXISTS false,
+    excluded), one with only NULL-priority orders (neither predicate
+    matches, excluded), urgent+low (killed by NOT EXISTS), and the
+    qualifying urgent-only customer whose scalar COUNT counts ALL
+    their orders, not just the urgent ones."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    customers = [(1, "keep"), (2, "both"), (3, "nullpri"), (4, "noorders")]
+    orders = [
+        (1, "1-URGENT"), (1, "3-MEDIUM"), (1, "3-MEDIUM"),
+        (2, "1-URGENT"), (2, "5-LOW"),
+        (3, None), (3, None),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "customer": (customers, "c_custkey long, c_name string"),
+            "orders": (orders, "o_custkey long, o_orderpriority string"),
+        },
+    )
+    spec = REGISTRY["a13_correlated_subqueries"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "a13-degenerate")
+    got = [(r["c_custkey"], r["n_orders"]) for r in df.collect()]
+    assert got == [(1, 3)], got   # all 3 orders counted, not just urgent
+
+
+def test_x49_profiling_null_columns_and_empty_table(spark, tmp_path):
+    """r12 probe wave 4: the profiling report where metrics
+    degenerate — an all-NULL column (min/max NULL, n_distinct 0 in
+    BOTH engines: COUNT DISTINCT ignores NULLs) and the EMPTY table
+    (n_rows 0, every min/max NULL) — the ingest-sanity regimes a
+    broken upstream feed actually produces."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    spec = REGISTRY["x49_data_profiling"]
+    schema = ("o_orderkey long, o_custkey long, o_totalprice double, "
+              "o_orderdate timestamp, o_orderstatus string")
+
+    rows = [
+        (1, 10, None, dt.datetime(2024, 1, 1), "O"),
+        (2, 10, None, dt.datetime(2024, 1, 2), None),
+        (3, None, None, dt.datetime(2024, 1, 2), "F"),
+    ]
+    sf, con = _probe_corpus(tmp_path, spark, {"orders": (rows, schema)})
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x49-nulls")
+    got = {r["col_name"]: (r["n_null"], r["n_distinct"], r["min_i"], r["max_i"])
+           for r in df.collect()}
+    assert got["o_totalprice"] == (3, 0, None, None)   # all-NULL column
+    assert got["o_orderstatus"][0] == 1 and got["o_orderstatus"][1] == 2
+
+    sf2 = tmp_path / "p_empty"
+    sf2.mkdir()
+    import duckdb as _duckdb
+
+    spark.createDataFrame([], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf2}/orders.parquet")
+    con2 = _duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf2}/orders.parquet/*.parquet'"
+    )
+    df2 = spec.fn(spark, str(sf2))
+    assert_matches(df2, con2, spec.oracle, "x49-empty")
+    assert all(
+        (r["n_rows"], r["min_i"], r["max_i"]) == (0, None, None)
+        for r in df2.collect()
+    )
+
+
+def test_x46_cohort_day_offsets_across_calendar_boundaries(spark, tmp_path):
+    """r12 probe wave 4: day-1/day-7 return offsets that cross
+    calendar edges — a Dec-31 cohort whose day-1 return is Jan 1 of
+    the NEXT YEAR, and a Feb-28 leap-year cohort whose day-1 return
+    is Feb 29 — plus a same-day-only user (zero retention) and a
+    user whose day-1 AND day-7 both hit."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    t = lambda y, mo, d: dt.datetime(y, mo, d, 12, 0)  # noqa: E731
+    rows = [
+        # user 1: cohort 2023-12-31, returns 2024-01-01 (day 1)
+        (t(2023, 12, 31), 1), (t(2024, 1, 1), 1),
+        # user 2: cohort 2024-02-28 (leap), returns 02-29 and 03-06
+        (t(2024, 2, 28), 2), (t(2024, 2, 29), 2), (t(2024, 3, 6), 2),
+        # user 3: same-day-only
+        (t(2024, 2, 28), 3), (t(2024, 2, 28, ), 3),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark, {"events": (rows, "ts timestamp, user_id long")}
+    )
+    spec = REGISTRY["x46_cohort_retention"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x46-calendar")
+    got = {str(r["cohort_day"]): (r["n_users"], r["n_day1"], r["n_day7"])
+           for r in df.collect()}
+    assert got["2023-12-31"] == (1, 1, 0)
+    assert got["2024-02-28"] == (2, 1, 1), got   # leap day-1; day-7 = 03-06
+
+
+def test_x41_sampling_strata_smaller_than_count(spark, tmp_path):
+    """r12 probe wave 4: fixed-count stratified sampling where every
+    stratum is SMALLER than the requested 50 — the sample is the
+    whole stratum, and the md5 hash-order ranks must agree
+    cross-engine down to the (md5, doc_id) tie-break (md5 of the
+    decimal doc_id string is byte-identical in both engines)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [(1, "en"), (2, "en"), (3, "en"), (10, "fr"), (99, "zz")]
+    sf, con = _probe_corpus(
+        tmp_path, spark, {"documents": (docs, "doc_id long, lang string")}
+    )
+    spec = REGISTRY["x41_fixed_count_sample"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x41-tiny-strata")
+    assert df.count() == 5               # every row sampled
+    ranks = {r["doc_id"]: r["sample_rank"] for r in df.collect()}
+    assert ranks[10] == 1 and ranks[99] == 1   # singleton strata rank 1
