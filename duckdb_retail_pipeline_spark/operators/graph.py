@@ -82,11 +82,11 @@ def cap_per_group(
     window shuffles on ``group_col``, reusable by a downstream
     group/join on the same key.
 
-    copurchase_edges keeps an expression-identical INLINE twin until
-    r13 (pinned equal by tests/test_operators.py) — switching it now
-    would put the r10 driver rows of x92/x94 on dead code with only
-    one free guard slot in the r12 window (ROADMAP r13 note); the
-    x92/x94 rule-3 re-entry at r13 absorbs the switch for free."""
+    copurchase_edges calls this helper since r13 (the scheduled
+    switch: its inline twin was pinned sameSemantics-equal from r11
+    until the x92/x94 rule-3 re-entry absorbed the change for free —
+    their r13 driver rows run THIS code path). The expression-shape
+    pin in tests/test_operators.py still guards the idiom."""
     w = Window.partitionBy(group_col).orderBy(
         F.xxhash64(item_col), F.col(item_col)
     )
@@ -140,17 +140,10 @@ def copurchase_edges(
         .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     if max_basket is not None:
-        # expression-identical inline twin of cap_per_group (pinned
-        # equal by test; switch to the helper at r13 — see its
-        # docstring for the window-slot reasoning)
-        w = Window.partitionBy("l_orderkey").orderBy(
-            F.xxhash64("l_partkey"), F.col("l_partkey")
-        )
-        items = (
-            items.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_basket)
-            .drop("_rn")
-        )
+        # the shared skew-cap idiom (r13: replaced the pinned
+        # expression-identical inline twin — sameSemantics, so the
+        # physical plan and x92's oracle values are unchanged)
+        items = cap_per_group(items, "l_orderkey", "l_partkey", max_basket)
     a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
     return (

@@ -2504,12 +2504,12 @@ def test_triangle_counts_matches_bruteforce_property(spark):
 
 
 def test_cap_per_group_equals_copurchase_inline_twin(spark):
-    """Drift pin for the r11 review: copurchase_edges keeps an
-    expression-identical INLINE twin of cap_per_group until its r13
-    switch (window-slot math in the helper's docstring) — the two
-    must stay sameSemantics so a tie-break fix to one cannot
-    silently diverge the other. Checked on the plan (canonical
-    equality), not just values."""
+    """Expression-shape pin (r11 review; r13 executed the switch —
+    copurchase_edges now CALLS cap_per_group): the helper must stay
+    sameSemantics with the canonical inline expression of the
+    skew-cap idiom, so a tie-break change cannot silently shift the
+    kept subset the x92/x98 adjudications assume. Checked on the
+    plan (canonical equality), not just values."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
