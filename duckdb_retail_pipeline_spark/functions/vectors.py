@@ -108,22 +108,28 @@ def _build_arrow_kernels():
             dtype=np.int64,
             count=n,
         )
-        if n and lens[0] > 0 and (lens == lens[0]).all():
-            # fast path: every row valid, uniform dimension (all
-            # registered datasets) — stack without per-row indexing
-            A = np.vstack(av).astype(np.float64, copy=False)
-            B = np.vstack(bv).astype(np.float64, copy=False)
-            return pd.Series(fold(A, B))
-        for length in np.unique(lens):
-            if length < 0:
-                continue
-            idx = np.nonzero(lens == length)[0]
-            if length == 0:
-                out[idx] = 0.0
-                continue
-            A = np.vstack([av[i] for i in idx]).astype(np.float64, copy=False)
-            B = np.vstack([bv[i] for i in idx]).astype(np.float64, copy=False)
-            out[idx] = fold(A, B)
+        # errstate: NaN/Inf components are IEEE-legal inputs (they
+        # fold to NaN → the documented NULL return); without the
+        # guard numpy emits an "invalid value" RuntimeWarning per
+        # batch, which a single pathological row would spam across
+        # every executor log at scale (r13 probe wave)
+        with np.errstate(invalid="ignore", over="ignore"):
+            if n and lens[0] > 0 and (lens == lens[0]).all():
+                # fast path: every row valid, uniform dimension (all
+                # registered datasets) — stack without per-row indexing
+                A = np.vstack(av).astype(np.float64, copy=False)
+                B = np.vstack(bv).astype(np.float64, copy=False)
+                return pd.Series(fold(A, B))
+            for length in np.unique(lens):
+                if length < 0:
+                    continue
+                idx = np.nonzero(lens == length)[0]
+                if length == 0:
+                    out[idx] = 0.0
+                    continue
+                A = np.vstack([av[i] for i in idx]).astype(np.float64, copy=False)
+                B = np.vstack([bv[i] for i in idx]).astype(np.float64, copy=False)
+                out[idx] = fold(A, B)
         # NaN → NULL on the Arrow return path, matching HOF NULL rows
         return pd.Series(out)
 

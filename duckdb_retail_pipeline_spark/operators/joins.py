@@ -141,8 +141,10 @@ def asof_join(
     # differing in a map-typed field remain a nondeterministic pick
     # among value-tied peers (documented, not silent: with zero
     # orderable fields there is no value order to impose). Left rows
-    # carry NULL __k and are already separated from right rows by
-    # __is_left, so the extra key never reorders left-vs-right.
+    # carry a NULL __r — so the unnamed tie struct built from __r's
+    # orderable fields below is NULL for them — and are already
+    # separated from right rows by __is_left, so the extra key never
+    # reorders left-vs-right.
     orderable = [c for c in payload if _orderable(right.schema[c].dataType)]
     tie_keys = (
         [F.struct(*[F.col("__r")[c] for c in orderable]).asc()]

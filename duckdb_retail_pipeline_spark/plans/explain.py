@@ -66,8 +66,14 @@ def final_plan(df: DataFrame) -> str:
     joins to SortMergeJoin and only AQE's runtime sizes convert them
     to broadcast — a static explain over such a plan reports the
     join strategy the query will NOT actually run (r12: the pl-layer
-    dim joins). Executes the frame once."""
-    df.collect()  # materialize THIS plan (count() would build a new one)
+    dim joins). Executes the frame once — via a lazily-drained
+    toLocalIterator, NOT collect(): same jdf → same queryExecution
+    → the identical plan, but the driver buffers one partition at a
+    time instead of the whole result set, so probing a corpus-sized
+    frame cannot OOM the driver (r12 ADVICE). count() would build a
+    NEW plan and is not an option."""
+    for _ in df.toLocalIterator():  # materialize THIS plan
+        pass
     return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
 
 
@@ -76,10 +82,12 @@ def codegen_span_count(df: DataFrame) -> int:
 
     Under AQE the pre-execution plan is just an AdaptiveSparkPlan
     placeholder (codegen explain reports 0 subtrees), so run the
-    query once and inspect the finalized physical plan."""
+    query once and inspect the finalized physical plan (drained
+    lazily, not collected — see final_plan)."""
     import re
 
-    df.collect()  # materialize THIS plan (count() would build a new one)
+    for _ in df.toLocalIterator():  # materialize THIS plan
+        pass
     executed = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
     # codegen stages print as `*(N) HashAggregate(...)` — count stage ids
     return len(set(re.findall(r"\*\((\d+)\)", executed)))

@@ -348,7 +348,11 @@ def stream_upsert_daily_totals(
     kept stale prior-run partials, under- and double-counting in one
     result): the retry writes its remaining batches into the same
     staging dir, swaps everything staged, and retires every dest
-    batch id outside the checkpoint's durable commit log. Leftover
+    batch id outside the run's durable ownership record — the
+    staging dir's ``_manifest/`` markers ∪ the checkpoint's commit
+    log (the manifest exists because the commit log is PURGED past
+    spark.sql.streaming.minBatchesToRetain, default 100 — r13,
+    closing the r12 ADVICE). Leftover
     staging dirs from failed runs that never committed offsets are
     swept at the next fresh run's start. ``dest_path`` must be
     exclusively owned by this operator, since a concurrent writer's
@@ -462,9 +466,28 @@ def stream_upsert_daily_totals(
     )
 
     written_ids: set[int] = set()  # foreachBatch runs driver-side
+    # Durable ownership manifest (r13, closing the r12 ADVICE
+    # medium): the checkpoint's commits/ log is NOT a complete
+    # record of owned batch ids — Spark purges HDFSMetadataLog
+    # entries beyond spark.sql.streaming.minBatchesToRetain
+    # (default 100), so a crashed fresh run with >100 micro-batches
+    # would, on retry, find its earliest already-swapped ids absent
+    # from the log, not in written_ids, and not in staging — and the
+    # retirement loop below would delete them as stale prior-run
+    # partials, silently undercounting at exactly the scale this
+    # recovery exists for. So every staged batch ALSO drops a
+    # zero-cost marker dir ``<staging>/_manifest/<id>`` the moment
+    # it is written; the marker survives the swap (only batch=*
+    # dirs move) and dies with the staging dir after the retire —
+    # making ownership durable independently of log retention.
+    # In-place resumes (write_root == dest) never retire, so they
+    # need no markers and must not pollute dest.
+    manifest_root = os.path.join(write_root, "_manifest")
 
     def write_partial(batch_df: DataFrame, batch_id: int) -> None:
         written_ids.add(batch_id)
+        if write_root != dest_path:
+            fs.mkdirs(jpath(os.path.join(manifest_root, str(batch_id))))
         (
             batch_df.select(
                 F.to_date("ts").alias("day"),
@@ -512,11 +535,14 @@ def stream_upsert_daily_totals(
         # The swap set is what is ON DISK under staging — not
         # written_ids, which is in-memory and empty of any batch a
         # crashed predecessor committed (the r12 ADVICE scenario).
-        # The OWNED id set for stale retirement is the checkpoint's
-        # durable commit log ∪ this process's written_ids ∪ the
-        # staged ids being swapped — ids from any of the three are
-        # this run's truth; every other batch=* dir under dest is a
-        # prior run's stale partial and must go.
+        # The OWNED id set for stale retirement is the staging
+        # manifest (durable, retention-independent — see its comment
+        # above) ∪ the checkpoint's commit log (bounded by
+        # minBatchesToRetain, kept as defense in depth) ∪ this
+        # process's written_ids ∪ the staged ids being swapped — ids
+        # from any of the four are this run's truth; every other
+        # batch=* dir under dest is a prior run's stale partial and
+        # must go.
         staged = [
             s.getPath()
             for s in fs.globStatus(
@@ -524,8 +550,17 @@ def stream_upsert_daily_totals(
             )
             or []
         ]
+        manifest_ids = {
+            int(s.getPath().getName())
+            for s in fs.globStatus(
+                jpath(os.path.join(manifest_root, "*"))
+            )
+            or []
+            if s.getPath().getName().isdigit()
+        }
         owned = (
-            _checkpoint_committed_ids(spark, ckpt)
+            manifest_ids
+            | _checkpoint_committed_ids(spark, ckpt)
             | written_ids
             | {int(p.getName().split("=", 1)[1]) for p in staged}
         )

@@ -54,3 +54,14 @@ def test_bench_cli_emits_driver_contract_json():
     # cold pass recorded for every headline query
     assert set(out["queries_cold"]) == set(out["queries"])
     assert out["headline_queries_cold_total_sec"] > 0
+
+    # r13 contention witnesses (r12 verdict #2): guest loadavg
+    # before/after, KVM steal fraction over the run, and the fixed
+    # single-thread calibration pair — the fields that make a
+    # contended driver run identifiable from the artifact alone
+    assert len(out["loadavg_before"]) == 3
+    assert len(out["loadavg_after"]) == 3
+    assert out["ncpus"] >= 1
+    assert out["steal_pct"] is None or out["steal_pct"] >= 0
+    cb, ca = out["calibrate_s"]
+    assert cb > 0 and ca > 0

@@ -649,3 +649,63 @@ def test_cosine_from_parts_bit_identical(spark, sf_dir):
         assert struct.pack("d", r["inline"]) == struct.pack("d", r["hoisted"]), (
             r["id_a"], r["id_b"],
         )
+
+
+def test_x86_canonical_selection_under_all_tied_clusters(spark):
+    """r13 probe wave (r12 verdict #5c): x86's canonical-doc pick is
+    max(struct(doc_len, -doc_id)) per cluster — under an ALL-TIED
+    cluster (every member the same length, the near-dup case where
+    members are byte-identical) the struct order must fall through
+    to the smallest doc_id, exactly the oracle's ROW_NUMBER()
+    ... ORDER BY doc_len DESC, doc_id ASC. Differential against
+    DuckDB's window formulation on synthetic clusters covering
+    all-tied, partially-tied, and singleton shapes."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # (cluster_id, doc_id, doc_len, cluster_size)
+    rows = [
+        # all-tied cluster: 3 members, identical lengths
+        (10, 17, 100, 3), (10, 5, 100, 3), (10, 42, 100, 3),
+        # partially tied: max length shared by two members
+        (20, 8, 50, 4), (20, 3, 80, 4), (20, 99, 80, 4), (20, 12, 10, 4),
+        # singleton
+        (30, 7, 1, 1),
+    ]
+    j = spark.createDataFrame(
+        rows, "cluster_id long, doc_id long, doc_len long, cluster_size long"
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("doc_len"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+        F.max("cluster_size").alias("cluster_size"),
+    )
+    got = sorted(
+        (r["cluster_id"], -r["b"]["neg_id"], r["b"]["doc_len"], r["cluster_size"])
+        for r in best.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (cluster_id BIGINT, doc_id BIGINT, "
+        "doc_len BIGINT, cluster_size BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT cluster_id, doc_id, doc_len, cluster_size FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY doc_len DESC, doc_id ASC
+                ) AS rn FROM t
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # the all-tied cluster resolved to its SMALLEST doc_id
+    assert got[0] == (10, 5, 100, 3)

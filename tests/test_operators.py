@@ -184,6 +184,86 @@ def test_arrow_dot_kernel_bit_identical_to_hof(spark, sf_dir):
     assert rows[1] == 11.0 and rows[2] is None and rows[3] is None
 
 
+def test_dot_kernels_on_pathological_values(spark):
+    """r13 probe wave (r12 verdict #5a): the Arrow and HOF dot
+    kernels must agree on the PATHOLOGICAL inputs, not just clean
+    embeddings — ±Inf components, zero vectors, empty arrays, an
+    all-empty batch — and the ONE documented divergence (a genuinely
+    NaN-valued dot: HOF yields double NaN, the Arrow return channel
+    maps NaN → NULL via pyarrow from_pandas; no registered dataset
+    can produce NaN) is PINNED here so a kernel change that widens
+    or silently 'fixes' it fails loudly."""
+    import math
+
+    from duckdb_retail_pipeline_spark.functions import vectors as V
+
+    inf = float("inf")
+    nan = float("nan")
+    rows = [
+        # (id, a, b): finite baseline, +inf product, -inf product,
+        # inf-inf → NaN mid-fold, NaN component, zero vectors,
+        # empty arrays
+        (1, [1.0, 2.0], [3.0, 4.0]),
+        (2, [inf, 1.0], [2.0, 1.0]),
+        (3, [-inf, 1.0], [2.0, 1.0]),
+        (4, [inf, inf], [1.0, -1.0]),
+        (5, [nan, 1.0], [1.0, 1.0]),
+        (6, [0.0, 0.0], [0.0, 0.0]),
+        (7, [], []),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r["id"]: (r["ad"], r["hd"], r["cos"])
+        for r in df.select(
+            "id",
+            V._arrow_dot("a", "b").alias("ad"),
+            V.dot_hof("a", "b").alias("hd"),
+            V.cosine_similarity("a", "b").alias("cos"),
+        ).collect()
+    }
+    assert got[1][0] == got[1][1] == 11.0
+    assert got[2][0] == got[2][1] == inf
+    assert got[3][0] == got[3][1] == -inf
+    # the documented NaN divergence, pinned exactly: HOF NaN, Arrow NULL
+    for rid in (4, 5):
+        assert got[rid][0] is None, rid
+        assert got[rid][1] is not None and math.isnan(got[rid][1]), rid
+    # zero / empty vectors: dot 0.0 on both kernels, cosine NULL
+    # (nullif zero-norm guard) — never a div-by-zero NaN
+    for rid in (6, 7):
+        assert got[rid][0] == got[rid][1] == 0.0, rid
+        assert got[rid][2] is None, rid
+
+    # an ALL-empty-array batch exercises the non-fast grouped path
+    # (lens[0] == 0 fails the fast-path guard) — must not crash and
+    # must yield 0.0 everywhere
+    all_empty = spark.createDataFrame(
+        [(i, [], []) for i in range(5)],
+        "id long, a array<double>, b array<double>",
+    )
+    vals = [
+        r["d"] for r in all_empty.select(V._arrow_dot("a", "b").alias("d")).collect()
+    ]
+    assert vals == [0.0] * 5
+
+    # plane_dots on pathological rows: NULL vector and wrong-dim
+    # vector → NULL array (the invalid-row path); an Inf component
+    # flows through the fold like any IEEE double
+    pdf = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, None), (3, [1.0]), (4, [inf, 1.0])],
+        "id long, v array<double>",
+    )
+    pd_rows = {
+        r["id"]: r["pd"]
+        for r in pdf.select(
+            "id", V.plane_dots("v", [[1.0, 1.0], [1.0, -1.0]]).alias("pd")
+        ).collect()
+    }
+    assert list(pd_rows[1]) == [0.0, 2.0]
+    assert pd_rows[2] is None and pd_rows[3] is None
+    assert list(pd_rows[4]) == [inf, inf]
+
+
 def test_plane_dots_bit_identical_and_deduped(spark, sf_dir):
     """plane_dots must equal per-plane dot() bit-for-bit (the LSH
     band keys derived from its signs are oracle-matched in x11/x42),
@@ -840,6 +920,55 @@ def test_pq_codes_bit_exact_vs_reference(spark, sf_dir):
             ]
             want.append(scores.index(min(scores)))
         assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_degenerate_codebooks(spark):
+    """r13 probe wave (r12 verdict #5b): PQ on degenerate corpora.
+    A corpus smaller than k_codes (= 2^bits) must fail loudly at
+    train time, never emit a short codebook that silently corrupts
+    every downstream argmin; an ALL-IDENTICAL corpus (every centroid
+    a duplicate, every Lloyd pass collapsing all members onto code
+    0) must stay deterministic end-to-end — codes all 0 (ties to the
+    lower code), ADC scores all equal (ties to the lower id), exact
+    IVF-PQ refinement returning cosine 1.0 — not crash on an empty
+    cluster or a tied argmin."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators import pq as PQ
+
+    # corpus smaller than k_codes: loud error, not a short codebook
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="smaller than k_codes"):
+        PQ.train_pq(tiny, dim=4, m=2, k_codes=16)
+
+    # all-identical corpus: every seed identical, every Lloyd pass
+    # assigns everything to code 0 and codes 1+ keep their (equal)
+    # centroids
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    books = PQ.train_pq(same, dim=4, m=2, k_codes=4, iters=2)
+    assert all(len(b) == 4 for b in books)
+    assert all(c == books[0][0] for c in books[0])  # duplicate centroids
+    codes = PQ.encode_pq(same, books, dim=4).collect()
+    assert all(list(r["codes"]) == [0, 0] for r in codes)
+
+    top = PQ.adc_topk(
+        PQ.encode_pq(same, books, dim=4), books, [1.0, 2.0, 3.0, 4.0], k=5
+    ).collect()
+    # all ADC scores equal → deterministic lower-id ties
+    assert [r["vec_id"] for r in top] == [0, 1, 2, 3, 4]
+    assert len({r["adc_dot"] for r in top}) == 1
+
+    got = PQ.ivf_pq_topk(
+        same, [1.0, 2.0, 3.0, 4.0], k=3, n_cells=2, nprobe=1, m=2, k_codes=4
+    ).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+    assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in got)
 
 
 def test_pq_adc_recall_and_compression(spark, sf_dir):

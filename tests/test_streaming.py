@@ -770,6 +770,83 @@ def test_upsert_named_checkpoint_crash_mid_stream_then_retry(spark, tmp_path):
     assert not [p for p in os.listdir(dest) if p.startswith(".")]
 
 
+def test_upsert_retry_survives_commit_log_retention_purge(spark, tmp_path):
+    """r13, closing the r12 ADVICE (medium): the checkpoint's
+    commits/ dir is NOT a complete record of owned batch ids — Spark
+    purges HDFSMetadataLog entries past
+    spark.sql.streaming.minBatchesToRetain (default 100). A fresh
+    run with more batches than the retention window that crashes
+    mid-swap would, on retry, find its earliest ALREADY-SWAPPED ids
+    absent from the commit log, not in written_ids, and not in
+    staging — and the old retirement loop deleted them as stale
+    prior-run partials, silently undercounting. The staging dir's
+    ``_manifest/<id>`` markers (written per batch, durable,
+    retention-independent) must keep those ids owned. Simulated here
+    by hand-purging the earliest commit entry rather than running
+    101 micro-batches."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.streaming import events as SE
+
+    d = tmp_path / "purge_in"
+    d.mkdir()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [dt.datetime(2024, 1, 1 + i, 10, 0)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "event_type": pa.array(["click"]),
+                    "value": pa.array([1.0]),
+                }
+            ),
+            str(d / name),
+        )
+        os.utime(str(d / name), (1_000_000 * (i + 1),) * 2)
+
+    dest = str(tmp_path / "purge_out")
+    ckpt = str(tmp_path / "purge_ckpt")
+    truth = sorted(
+        tuple(r)
+        for r in SE.stream_upsert_daily_totals(
+            spark, str(d), dest, glob="*.parquet",
+            max_files_per_trigger=1, checkpoint=ckpt,
+        ).collect()
+    )
+
+    # reconstruct the crash-mid-swap state of a long run whose
+    # earliest commit entries were retention-purged: batch=0 already
+    # swapped into dest, batches 1-2 stranded in staging, manifest
+    # markers for ALL THREE (the run wrote them as it went), and the
+    # commit log missing id 0
+    staging = SE._staging_root_for(dest, ckpt, name="unused")
+    for b in ["batch=1", "batch=2"]:
+        os.makedirs(staging, exist_ok=True)
+        shutil.move(os.path.join(dest, b), os.path.join(staging, b))
+    for i in range(3):
+        os.makedirs(os.path.join(staging, "_manifest", str(i)))
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    # plus a genuinely stale prior-run partial that MUST still go
+    shutil.copytree(os.path.join(dest, "batch=0"), os.path.join(dest, "batch=9"))
+
+    out = SE.stream_upsert_daily_totals(
+        spark, str(d), dest, glob="*.parquet",
+        max_files_per_trigger=1, checkpoint=ckpt,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == truth
+    assert sorted(
+        p for p in os.listdir(dest) if p.startswith("batch=")
+    ) == ["batch=0", "batch=1", "batch=2"]
+    assert not [p for p in os.listdir(dest) if p.startswith(".")]
+
+
 def test_upsert_resume_rejects_foreign_staging_wreckage(spark, tmp_path):
     """r12 self-review of the recovery change: a resume can only
     prove ownership of ITS deterministic staging dir. A foreign
