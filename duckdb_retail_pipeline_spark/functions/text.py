@@ -460,18 +460,21 @@ def fingerprint(col: Column | str) -> Column:
     whitespace-normalized text. Exact-dedup key that survives
     formatting noise.
 
-    NULL semantics (r11 review, documented rather than changed):
-    NULL text fingerprints as the EMPTY document — tokens(NULL) is a
-    NULL array but concat_ws skips null arguments, so md5 sees "" —
-    which collapses NULL-text rows with empty/whitespace-only docs
-    under exact dedup. Every registered corpus has non-null text, so
-    the behavior is unobserved in the gates; isolating NULLs would
-    change fingerprints under x01/x04/x28/x34/x63/x86 at once, so
-    the swap is queued for r13 when their window re-entry absorbs
-    the guard rows (ROADMAP). Callers needing NULL isolation today
-    filter nulls upstream."""
+    NULL semantics (r11 review queued; EXECUTED r13 when the x04
+    window re-entry absorbed the guard row): NULL text fingerprints
+    as NULL — "no document" is not "the empty document". Previously
+    concat_ws skipped the NULL token array so md5 saw "" and
+    NULL-text rows collapsed with empty/whitespace-only docs under
+    exact dedup. Zero-token text (empty or all-whitespace) still
+    fingerprints as md5("") — whitespace normalization makes those
+    genuinely identical. Every registered corpus has non-null text,
+    so the swap is value-invisible in the driver gates
+    (re-verified at three SFs r13); the x04 probe pins both
+    regimes differentially."""
     c = _c(col)
-    return F.md5(F.concat_ws(" ", tokens(F.lower(c))))
+    return F.md5(
+        F.when(c.isNotNull(), F.concat_ws(" ", tokens(F.lower(c))))
+    )
 
 
 def chunk_starts(toks: Column | str, chunk_size: int, overlap: int) -> Column:

@@ -44,8 +44,12 @@ def grouped_ols(
     NULL (x, y) pairs are dropped before fitting — the SQL regression
     aggregates (regr_slope family) skip null pairs, and a nullable int
     column reaches pandas as float64-with-NaN where int(NaN) would
-    otherwise kill the task. The group column's output type follows
-    the input schema (a bigint user_id group stays bigint).
+    otherwise kill the task. The drop happens JVM-side before the
+    Arrow transfer, so ``n`` counts non-null pairs and a group whose
+    pairs are ALL null yields NO output row (exactly the regr_*
+    family's GROUP BY behavior — r13 probe). The group column's
+    output type follows the input schema (a bigint user_id group
+    stays bigint).
 
     Exactness guard (r11 review): that same float64 delivery path is
     lossy above 2^53 — int(v) would silently round-trip a large
@@ -97,5 +101,15 @@ def grouped_ols(
             }
         )
 
-    narrow = df.select(group_col, x_col, y_col)
+    # NULL pairs are dropped JVM-SIDE, before the Arrow transfer
+    # (r13 probe wave): shipping rows to Python just to mask them
+    # out is wasted Arrow bandwidth at scale, and a group whose
+    # pairs are ALL NULL previously surfaced as a phantom (n=0,
+    # NULL, NULL) row that no SQL regression aggregate produces —
+    # the x24 oracle differential caught the divergence. The
+    # in-worker notna mask stays as a safety net for callers that
+    # bypass this path.
+    narrow = df.select(group_col, x_col, y_col).filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
     return narrow.groupBy(group_col).applyInPandas(fit, schema=out_schema)

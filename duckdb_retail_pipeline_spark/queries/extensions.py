@@ -214,13 +214,19 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x04_fingerprint",
     oracle=r"""
         SELECT doc_id,
-               md5(array_to_string(
-                   list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
-                   ' ')) AS fingerprint
+               CASE WHEN text IS NOT NULL THEN
+                   md5(COALESCE(array_to_string(
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t != ''),
+                       ' '), ''))
+               END AS fingerprint
         FROM documents
     """,
     doc="Document fingerprinting: canonical md5 over normalized "
-    "token stream (rolling-hash family).",
+    "token stream (rolling-hash family). NULL text → NULL (r13: "
+    "'no document' is not 'the empty document'); zero-token text → "
+    "md5('') in BOTH engines — the COALESCE exists because DuckDB's "
+    "array_to_string([]) is NULL where Spark's concat_ws yields ''.",
     tags=("text", "dedup"),
 )
 def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,20 +896,35 @@ def x15_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x16_events_json_extract",
     oracle="""
         SELECT event_type,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+               CAST(SUM(TRY_CAST(CASE
+                   WHEN props IS NOT NULL AND json_valid(props) THEN (
+                       CASE WHEN regexp_matches(
+                                trim(json_extract_string(props, '$.k')),
+                                '^[+-]?[0-9]+$')
+                            THEN json_extract_string(props, '$.k') END
+                   ) END AS BIGINT)) AS BIGINT) AS total_k,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events
         GROUP BY event_type
     """,
     doc="Semi-structured extraction: JSON property parse + aggregate "
-    "(get_json_object ≡ json_extract_string) — the props column is "
-    "the engine's nested-data surface.",
+    "(get_json_object ≡ json_valid-gated json_extract_string) — the "
+    "props column is the engine's nested-data surface. Dirty-data "
+    "convention (r13 probe): extraction is TRY-semantics end-to-end "
+    "— malformed JSON, a missing key, and a non-integer k all "
+    "contribute NULL instead of killing the job (an ANSI cast of a "
+    "non-numeric k THROWS; DuckDB's json_extract_string ERRORS on "
+    "malformed JSON — both engines are guarded). The oracle's "
+    "integer-literal regexp gate mirrors Spark try_cast's "
+    "string→bigint domain exactly (DuckDB TRY_CAST alone would "
+    "ROUND '7.5' to 8 where Spark yields NULL). Identical to the "
+    "pre-r13 expression on every well-formed corpus.",
     tags=("events", "json"),
 )
 def x16_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        F.sum(F.get_json_object("props", "$.k").try_cast("bigint"))
         .cast("bigint")
         .alias("total_k"),
         F.count(F.lit(1)).alias("n"),
@@ -1074,7 +1095,7 @@ def x23_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                             OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                         THEN 1 ELSE 0 END AS is_new
             FROM lagged
         ), sessions AS (
@@ -1092,11 +1113,18 @@ def x23_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Spark's NATIVE session_window in batch mode, oracle-checked "
     "against the classic lag+cumsum sessionization SQL. The gap test "
-    "is strictly > 1800: session_window MERGES an event that arrives "
-    "exactly gap seconds after the previous one (its window is "
-    "[ts, ts+gap) and a new event extends the session when its ts is "
-    "<= the current end) — pinned on the exact-boundary pair in "
-    "tests/test_operators.py::test_session_boundary_exactly_gap_apart.",
+    "is strictly > 1800 s of REAL (microsecond) time: session_window "
+    "MERGES an event that arrives exactly gap seconds after the "
+    "previous one (its window is [ts, ts+gap) and a new event extends "
+    "the session when its ts is <= the current end) — pinned on the "
+    "exact-boundary pair in tests/test_operators.py::"
+    "test_session_boundary_exactly_gap_apart. The oracle compares "
+    "epoch_us, NOT floored epoch seconds (r13 probe: session_window "
+    "tracks real time, so a 1800.5 s gap SPLITS here while the "
+    "floored-seconds convention — x15's lag+cumsum engine twin, "
+    "where engine and oracle floor IDENTICALLY — would merge it; "
+    "the two queries deliberately pin the two conventions, equal on "
+    "whole-second corpora).",
     tags=("events", "window", "session"),
 )
 def x21_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1223,10 @@ def x20_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
+            -- NULL pairs are outside the fit (regr_* semantics; the
+            -- engine drops them JVM-side), so n counts valid pairs
+            -- and an all-NULL nation yields no row (r13 probe)
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
         ), s AS (
             SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(CAST(x AS BIGINT)) AS sx, SUM(y) AS sy,
@@ -2499,22 +2531,47 @@ def x29_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x30_variant_extract",
     oracle="""
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-               json_extract_string(props, '$.k') IS NULL AS k_missing,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
-                   AS k_mod
-        FROM events
+        WITH x AS (
+            SELECT event_id,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS ks
+            FROM events
+        ), typed AS (
+            SELECT event_id,
+                   CASE
+                       WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+                           THEN TRY_CAST(ks AS BIGINT)
+                       WHEN regexp_matches(
+                               trim(ks), '^[+-]?[0-9]+\\.[0-9]+$')
+                           THEN CAST(trunc(TRY_CAST(ks AS DOUBLE))
+                                     AS BIGINT)
+                   END AS k
+            FROM x
+        )
+        SELECT event_id, k, k IS NULL AS k_missing, k % 7 AS k_mod
+        FROM typed
     """,
-    doc="Semi-structured VARIANT path (Spark 4): parse_json once "
+    doc="Semi-structured VARIANT path (Spark 4): try_parse_json once "
     "into a VARIANT column, then typed try_variant_get extraction — "
     "the shredded alternative to per-path get_json_object string "
-    "re-parsing (x16). Missing-path handling via NULL-safe probe.",
+    "re-parsing (x16). Missing-path handling via NULL-safe probe. "
+    "Dirty-data convention (r13 probe): try_parse_json maps "
+    "malformed/empty props to a NULL variant instead of the "
+    "parse_json ANSI throw, so one bad row cannot kill a corpus "
+    "job; k_missing is therefore true for missing-key, JSON-null, "
+    "malformed-JSON, and non-numeric-k rows alike. The oracle "
+    "mirrors try_variant_get's bigint coercion domain branch by "
+    "branch: integer literals cast exactly, decimal literals "
+    "TRUNCATE toward zero (Spark 7.5→7; DuckDB TRY_CAST alone "
+    "would round to 8), everything else (strings like 'abc', "
+    "booleans) is NULL. Non-integer regimes beyond IEEE-double "
+    "exactness (~2^53) are outside the oracle contract; no "
+    "registered corpus approaches them.",
     tags=("events", "json", "variant"),
 )
 def x30_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
-    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    v = ev.select("event_id", F.try_parse_json("props").alias("v"))
     k = F.try_variant_get(F.col("v"), "$.k", "bigint")
     return v.select(
         "event_id",

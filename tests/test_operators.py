@@ -4191,3 +4191,225 @@ def test_x41_sampling_strata_smaller_than_count(spark, tmp_path):
     assert df.count() == 5               # every row sampled
     ranks = {r["doc_id"]: r["sample_rank"] for r in df.collect()}
     assert ranks[10] == 1 and ranks[99] == 1   # singleton strata rank 1
+
+
+def test_x24_adversarial_null_pairs_and_degenerate_groups(spark, tmp_path):
+    """r13 probe wave: x24's per-group OLS driven on regimes the
+    driver corpus never hits — a nation with a SINGLE order (den=0 →
+    NULL slope in both engines: DuckDB double x/0 is NULL, the
+    engine pins den==0→None), a nation whose orders all share one
+    date (den=0 at n>1), NULL totalprice / NULL orderdate rows
+    (outside the fit: regr_* semantics — the r13 find was the
+    oracle counting them in n while the engine dropped them), and a
+    nation whose pairs are ALL NULL (no output row at all — the
+    engine previously emitted a phantom n=0 row no SQL GROUP BY
+    produces)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    d = dt.date
+    nations = [(0, "NORMAL"), (1, "SINGLE"), (2, "ONEDATE"),
+               (3, "ALLNULL"), (4, "MIXED")]
+    customers = [(10, 0), (11, 1), (12, 2), (13, 3), (14, 4)]
+    orders = [
+        # NORMAL: exact line y = 100 cents/day
+        (10, d(2024, 1, 1), 1.00), (10, d(2024, 1, 2), 2.00),
+        (10, d(2024, 1, 3), 3.00),
+        # SINGLE: one order → den = 0
+        (11, d(2024, 5, 5), 7.00),
+        # ONEDATE: three orders, one date → den = 0 at n=3
+        (12, d(2024, 6, 1), 1.00), (12, d(2024, 6, 1), 2.00),
+        (12, d(2024, 6, 1), 3.00),
+        # ALLNULL: every pair has a NULL side → nation absent
+        (13, None, 9.00), (13, d(2024, 7, 1), None),
+        # MIXED: two valid pairs + one NULL-price + one NULL-date
+        (14, d(2024, 8, 1), 5.00), (14, d(2024, 8, 3), 5.00),
+        (14, None, 1.00), (14, d(2024, 8, 9), None),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "nation": (nations, "n_nationkey int, n_name string"),
+            "customer": (customers, "c_custkey long, c_nationkey int"),
+            "orders": (orders,
+                       "o_custkey long, o_orderdate date, "
+                       "o_totalprice double"),
+        },
+    )
+    spec = REGISTRY["x24_grouped_ols_trend"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x24-probe")
+    got = {r["nation"]: (r["n"], r["slope"]) for r in df.collect()}
+    assert got["NORMAL"] == (3, 1.0)
+    assert got["SINGLE"] == (1, None)
+    assert got["ONEDATE"] == (3, None)
+    assert got["MIXED"] == (2, 0.0)
+    assert "ALLNULL" not in got
+
+
+def test_x16_x30_adversarial_malformed_json(spark, tmp_path):
+    """r13 probe wave (the x74/a12 class — two REAL finds): (a)
+    x16's ANSI cast of a non-numeric $.k THREW the engine and
+    DuckDB's json_extract_string ERRORS on malformed JSON — one
+    dirty props row killed both sides of a corpus job; extraction
+    is now TRY-semantics end-to-end (engine try_cast; oracle
+    json_valid gate + an integer-literal regexp that mirrors Spark
+    try_cast's domain — bare TRY_CAST would ROUND '7.5' to 8 where
+    Spark yields NULL). (b) x30's parse_json likewise THREW on
+    malformed props (ANSI-independent); now try_parse_json → NULL
+    variant, with the oracle replaying try_variant_get's bigint
+    coercion branch by branch (decimal literals TRUNCATE: 7.5→7,
+    "7"→7, "abc"→NULL)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    events = [
+        (1, ts, "click", '{"k": 7}', 1.0),
+        (2, ts, "click", '{"k": -3}', 1.0),
+        (3, ts, "click", '{"k": "abc"}', 1.0),     # non-numeric k
+        (4, ts, "click", '{bad json', 1.0),        # malformed
+        (5, ts, "view", "", 1.0),                  # empty string
+        (6, ts, "view", None, 1.0),                # NULL props
+        (7, ts, "view", '{"j": 1}', 1.0),          # key missing
+        (8, ts, "view", '{"k": null}', 1.0),       # JSON null
+        (9, ts, "buy", '{"k": "7"}', 1.0),         # numeric STRING
+        (10, ts, "buy", '{"k": 7.5}', 1.0),        # decimal → trunc 7
+        (11, ts, "buy", '{"k": -7.5}', 1.0),       # trunc toward zero
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (events,
+                    "event_id long, ts timestamp, event_type string, "
+                    "props string, value double")},
+    )
+    for name in ("x16_events_json_extract", "x30_variant_extract"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x30 = {r["event_id"]: (r["k"], r["k_missing"], r["k_mod"])
+           for r in REGISTRY["x30_variant_extract"].fn(spark, sf).collect()}
+    assert x30[1] == (7, False, 0)
+    assert x30[2] == (-3, False, -3)
+    for eid in (3, 4, 5, 6, 7, 8):
+        assert x30[eid] == (None, True, None), eid
+    assert x30[9] == (7, False, 0)
+    assert x30[10] == (7, False, 0)
+    assert x30[11] == (-7, False, 0)
+
+    x16 = {r["event_type"]: (r["total_k"], r["n"])
+           for r in REGISTRY["x16_events_json_extract"].fn(spark, sf).collect()}
+    # click: 7 + (-3) + NULL("abc") + NULL(malformed); buy: only the
+    # integer-STRING "7" counts under try_cast (7.5 is NULL for the
+    # string path — the get_json_object surface, unlike x30's typed
+    # variant coercion)
+    assert x16["click"] == (4, 4)
+    assert x16["view"] == (None, 4)
+    assert x16["buy"] == (7, 3)
+
+
+def test_x15_x21_adversarial_subsecond_boundaries(spark, tmp_path):
+    """r13 probe wave: sessionization on SUB-SECOND timestamps — the
+    regime both session queries' docstrings called latent. The two
+    registered queries pin two deliberate conventions: x15
+    (lag+cumsum) floors epoch seconds on BOTH sides (engine and
+    oracle — windows.py review note), so a 1800.5 s gap still
+    merges; x21 (native session_window) tracks REAL microsecond
+    time, so the same gap splits — its oracle previously floored
+    too, which the probe exposed (r13 fix: epoch_us). Exact-boundary
+    (= gap), boundary+0.5 s, same-microsecond duplicates, 1 µs
+    apart, and singleton users, differentially verified for both
+    queries."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    s = dt.timedelta(seconds=1)
+    e2 = t0 + 1800 * s                      # exactly the gap → merge both
+    e3 = e2 + 1800 * s + 500000 * us        # +1800.5s: x15 merge, x21 split
+    u2a = t0
+    u2b = t0 + us                           # 1 µs apart → merge
+    u2c = u2b + 1801 * s                    # split in both
+    events = [
+        (1, 1, t0), (2, 1, e2), (3, 1, e3),
+        (4, 2, u2a), (5, 2, u2b), (6, 2, u2c),
+        (7, 3, t0),                          # singleton
+        (8, 4, t0), (9, 4, t0),              # same-µs duplicates
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (events, "event_id long, user_id long, ts timestamp")},
+    )
+    for name in ("x15_events_sessionize", "x21_session_window_batch"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x15 = sorted(
+        (r["user_id"], r["n_events"])
+        for r in REGISTRY["x15_events_sessionize"].fn(spark, sf).collect()
+    )
+    # x15: floored-seconds convention merges user 1 into ONE session
+    assert x15 == [(1, 3), (2, 2), (2, 1), (3, 1), (4, 2)] or \
+        x15 == sorted([(1, 3), (2, 2), (2, 1), (3, 1), (4, 2)])
+    x21 = sorted(
+        (r["user_id"], r["n_events"])
+        for r in REGISTRY["x21_session_window_batch"].fn(spark, sf).collect()
+    )
+    # x21: real-time convention splits user 1's 1800.5 s gap
+    assert x21 == sorted([(1, 2), (1, 1), (2, 2), (2, 1), (3, 1), (4, 2)])
+
+
+def test_x02_x03_x04_adversarial_degenerate_documents(spark, tmp_path):
+    """r13 probe wave: the text-analysis trio on documents the
+    synthetic corpus never contains — empty text, whitespace-only,
+    punctuation-only, digits-only, unicode letters (non-ASCII is
+    NOT [A-Za-z]: alpha_ratio counts only ASCII letters in both
+    engines), a NULL text, and the language-marker TIE regimes
+    ('la' is a marker for BOTH fr and es → alphabetical tie-break
+    'es'; 'der the' ties de/en → 'de'). Pins zero-token
+    floor-ratios (NULL via the nullif guard, never a div-by-zero
+    throw) and NULL-text propagation."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "", "en", "synthetic", 0),
+        (2, "   ", "en", "synthetic", 3),
+        (3, "!!! ???", "en", "synthetic", 7),
+        (4, "123 456 123", "en", "synthetic", 11),
+        (5, "héllo wörld", "de", "synthetic", 11),
+        (6, None, "en", "synthetic", 0),
+        (7, "la", "fr", "synthetic", 2),            # fr/es tie → es
+        (8, "der the", "de", "synthetic", 7),       # de/en tie → de
+        (9, "the the the of", "en", "synthetic", 14),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs,
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    for name in ("x02_text_stats", "x03_lang_id", "x04_fingerprint"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x03 = {r["doc_id"]: r["predicted_lang"]
+           for r in REGISTRY["x03_lang_id"].fn(spark, sf).collect()}
+    assert x03[1] == "und" and x03[3] == "und" and x03[4] == "und"
+    assert x03[7] == "es" and x03[8] == "de" and x03[9] == "en"
+
+    x02 = {r["doc_id"]: (r["n_tokens"], r["alpha_ratio"], r["mean_wordlen"])
+           for r in REGISTRY["x02_text_stats"].fn(spark, sf).collect()}
+    # zero tokens → NULL ratios through the nullif guard, not a
+    # div-by-zero ANSI throw
+    assert x02[1][0] == 0 and x02[1][2] is None
+    assert x02[2][0] == 0 and x02[2][2] is None
+    # unicode letters are outside [A-Za-z]: 8 ASCII of 11 chars
+    assert x02[5] == (2, 0.7272, 5.5)
