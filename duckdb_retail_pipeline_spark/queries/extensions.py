@@ -2347,8 +2347,10 @@ def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(chunk_start AS BIGINT) AS chunk_start,
-               array_to_string(toks[chunk_start + 1 : chunk_start + 128], ' ')
-                   AS chunk,
+               CASE WHEN toks IS NOT NULL THEN
+                   COALESCE(array_to_string(
+                       toks[chunk_start + 1 : chunk_start + 128], ' '), '')
+               END AS chunk,
                CAST(len(toks[chunk_start + 1 : chunk_start + 128]) AS BIGINT)
                    AS n_chunk_tokens
         FROM s
@@ -2360,7 +2362,12 @@ def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Starts stop once the previous chunk covers the doc (bound "
     "size−overlap−1, mirrored in the oracle's len(toks)−33): the "
     "old last-token bound emitted a duplicate pure-suffix chunk on "
-    "~1/3 of documents (r11 review).",
+    "~1/3 of documents (r11 review). Degenerate docs keep the "
+    "chunk_starts ≥1-row contract (r13 probe): a zero-token doc "
+    "yields ONE empty-string chunk in both engines (the oracle's "
+    "COALESCE exists because DuckDB's array_to_string([]) is NULL "
+    "where Spark's array_join yields ''); a NULL-text doc yields "
+    "one (0, NULL, NULL) bookkeeping row in both.",
     tags=("text", "chunking"),
 )
 def x27_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:

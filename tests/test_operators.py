@@ -4413,3 +4413,61 @@ def test_x02_x03_x04_adversarial_degenerate_documents(spark, tmp_path):
     assert x02[2][0] == 0 and x02[2][2] is None
     # unicode letters are outside [A-Za-z]: 8 ASCII of 11 chars
     assert x02[5] == (2, 0.7272, 5.5)
+
+
+def test_x27_adversarial_chunk_boundaries(spark, tmp_path):
+    """r13 probe wave: chunking (128-token chunks, 32 overlap,
+    stride 96) on the boundary docs the synthetic corpus never
+    hits — empty text, whitespace-only, a single token, exactly one
+    stride (96), one chunk exactly (128), one token past a chunk
+    (129 → the second start at 96 since 96+32 < 129), exactly two
+    strides (224 = last start 96: start 192 would satisfy
+    192+32 ≥ 224 — the r11 pure-suffix bound), 225 tokens (start
+    192 survives), and NULL text."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = [
+        (1, "", "en", "s", 0),
+        (2, "   ", "en", "s", 3),
+        (3, "solo", "en", "s", 4),
+        (4, words(96), "en", "s", 0),
+        (5, words(128), "en", "s", 0),
+        (6, words(129), "en", "s", 0),
+        (7, words(224), "en", "s", 0),
+        (8, words(225), "en", "s", 0),
+        (9, None, "en", "s", 0),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs,
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    spec = REGISTRY["x27_text_chunking"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x27-probe")
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_start"], r["n_chunk_tokens"])
+        )
+    for k in got:
+        got[k].sort()
+    assert got[3] == [(0, 1)]
+    assert got[4] == [(0, 96)]
+    assert got[5] == [(0, 128)]
+    assert got[6] == [(0, 128), (96, 33)]
+    assert got[7] == [(0, 128), (96, 128)]          # no pure-suffix start
+    assert got[8] == [(0, 128), (96, 128), (192, 33)]
+    # degenerate docs keep the >=1-row bookkeeping contract: empty /
+    # whitespace-only -> one EMPTY chunk ('' in both engines, the
+    # oracle COALESCE pin); NULL text -> one (0, NULL, NULL) row
+    chunks = {(r["doc_id"], r["chunk_start"]): (r["chunk"], r["n_chunk_tokens"])
+              for r in df.collect()}
+    assert chunks[(1, 0)] == ("", 0)
+    assert chunks[(2, 0)] == ("", 0)
+    assert chunks[(9, 0)] == (None, None)
