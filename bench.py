@@ -44,7 +44,9 @@ def _calibrate_s() -> float:
     direct effective-CPU-speed probe: host-level contention/steal
     inflates it proportionally even when guest loadavg reads idle
     (r13: an idle-loadavg run measured 40% slower uniformly; only a
-    calibration/steal stamp makes that visible in the artifact)."""
+    calibration/steal stamp makes that visible in the artifact).
+    Quiet-box reference ~0.08 s — a first estimate of ~0.21 s was
+    itself taken under load, proving the probe works."""
     t0 = time.perf_counter()
     s = 0
     for i in range(2_000_000):
@@ -63,7 +65,7 @@ def main() -> None:
     # marks the run as contended from the artifact alone. loadavg is
     # guest-scoped, so it's paired with a /proc/stat steal delta and
     # a fixed single-thread calibration — the channels that catch
-    # HOST-level contention a Firecracker/KVM guest's loadavg misses)
+    # HOST-level contention a virtualized guest's loadavg misses)
     load_before = [round(x, 2) for x in os.getloadavg()]
     steal0, jiff0 = _steal_jiffies()
     calibrate_before = _calibrate_s()
@@ -196,7 +198,7 @@ def main() -> None:
         else None
     )
     # same fixed single-thread workload before and after: the ratio
-    # to a quiet-box reference (~0.21 s on this hardware) is the
+    # to a quiet-box reference (~0.08 s on this hardware) is the
     # effective-CPU-speed witness
     out["calibrate_s"] = [calibrate_before, _calibrate_s()]
     if failed:

@@ -50,13 +50,22 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # (identical expression for its all-orderable payload).
 # Rule 3, oldest-green re-entry (50): the full r10-green block,
 # last driver rows r10 — the recount's owed list verbatim.
-# 0 + 0 + 50 = 50. Done-condition: after CORRECTNESS_r13 lands
-# green, the recount must show no registered query's last driver
-# row older than r11 (exit 0). The r11-green block (49) is two
-# rounds old at r13 — invariant intact without re-entry — and is
-# the ENTIRE r14 window by rule 3 plus one free slot; headline
-# queries outside the window are re-verified every round by the
-# local full-registry pytest gate.
+# 0 + 0 + 50 = 50. Mid-round addendum: the r13 probe wave changed
+# code/oracles under x16/x24/x30/x21/x15/x04/x27 (+ the shared
+# grouped_ols and fingerprint kernels and their consumers
+# x34/x65/x86) — ALL inside this window, so their driver rows land
+# on the fixed code (the r12 a12 pattern). The fingerprint change
+# also touches x01/x63 (r12-green, outside the window) —
+# value-identical on every registered corpus, 3-SF + hostile
+# re-verified; their owe is assigned in ROTATION.md (r14 free slot
+# → x01; x63 re-enters r15 by rule 3).
+# Done-condition: after CORRECTNESS_r13 lands green, the recount
+# must show no registered query's last driver row older than r11
+# (exit 0). The r11-green block (49) is two rounds old at r13 —
+# invariant intact without re-entry — and is the ENTIRE r14 window
+# by rule 3 plus one free slot; headline queries outside the window
+# are re-verified every round by the local full-registry pytest
+# gate.
 _ROTATED_IN: list[str] = [
     # never driver-green: none this round (registry at 149/150,
     # operator queue empty since x99)
