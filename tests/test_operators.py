@@ -4471,3 +4471,226 @@ def test_x27_adversarial_chunk_boundaries(spark, tmp_path):
     assert chunks[(1, 0)] == ("", 0)
     assert chunks[(2, 0)] == ("", 0)
     assert chunks[(9, 0)] == (None, None)
+
+
+def test_x35_adversarial_single_key_skew(spark, tmp_path):
+    """r13 probe wave 4: the salted two-phase aggregation on the
+    corpus shape it exists for — EVERY row on ONE key (maximum skew:
+    all 40 rows fan out across the 16 salts and must recombine
+    exactly), plus a singleton key, zero values, negatives, and
+    half-cent boundaries (the money convention rounds BEFORE
+    salting, so the total is exact under any salt assignment)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    events = [
+        (i, ts, "hot", f'{{"k": {i}}}', v, 100 + i)
+        for i, v in enumerate(
+            [1.005, -2.345, 0.0, 99.999, -0.005] * 8
+        )
+    ] + [(1000, ts, "solo", '{"k": 1}', 7.77, 9)]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (events,
+                    "event_id long, ts timestamp, event_type string, "
+                    "props string, value double, user_id long")},
+    )
+    spec = REGISTRY["x35_salted_agg"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x35-probe")
+    got = {r["event_type"]: (r["n_events"], r["total_value"])
+           for r in df.collect()}
+    assert got["hot"][0] == 40
+    assert got["solo"] == (1, 7.77)
+
+
+def test_x37_adversarial_quantization_edges(spark, tmp_path):
+    """r13 probe wave 4: absmax int8 quantization on the edge
+    vectors — an all-zero vector (absmax 0: the guarded branch must
+    emit scale 0 and all-zero codes, not a 0/0 NaN), a vector whose
+    components land EXACTLY on half-bin boundaries (63.5/127 scale
+    1 → floor(63.5+0.5) = 64 in identical double arithmetic on both
+    engines), all-negative vectors (absmax is over |v|), and a
+    single dominant component with tiny tails."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0], 0),
+        (1, [127.0, 63.5, -63.5, 0.0], 0),
+        (2, [-1.0, -2.0, -4.0, -8.0], 0),
+        (3, [1000.0, 0.001, -0.001, 0.5], 0),
+        (4, [1.0, 1.0, 1.0, 1.0], 0),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"embeddings": (vecs,
+                        "vec_id long, embedding array<float>, label int")},
+    )
+    spec = REGISTRY["x37_embedding_quantization"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x37-probe")
+    got = {r["vec_id"]: (r["scale"], r["q_l1"]) for r in df.collect()}
+    assert got[0] == (0.0, 0)
+    # vec 1: scale 1.0; q = [127, 64, -63, 0] — floor(x+0.5) sends
+    # halves toward +inf on BOTH signs (-63.5 → -63), identically in
+    # both engines; never banker's, never round-half-away
+    assert got[1] == (1.0, 254)
+
+
+def test_x39_adversarial_duplicate_and_zero_vectors(spark, tmp_path):
+    """r13 probe wave 4: exact batch top-k under ties and NULL
+    cosines — corpus rows DUPLICATING the query vector (cosine
+    exactly 1.0, tie-broken by vec_id ASC in both engines), two
+    identical non-query vectors (tied cosine), and a ZERO corpus
+    vector (NULL cosine via the nullif guard: both engines sort
+    NULLS LAST under DESC, so it enters the top-3 only when fewer
+    than 3 real candidates exist)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),      # the query (vec_id % 500 == 0)
+        (1, [1.0, 0.0, 0.0, 0.0], 0),      # duplicate of the query
+        (2, [2.0, 0.0, 0.0, 0.0], 0),      # same direction (cos 1.0)
+        (3, [0.6, 0.8, 0.0, 0.0], 0),      # cos 0.6
+        (4, [0.6, 0.8, 0.0, 0.0], 0),      # tied with 3
+        (5, [0.0, 0.0, 0.0, 0.0], 0),      # zero vector -> NULL cosine
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"embeddings": (vecs,
+                        "vec_id long, embedding array<float>, label int")},
+    )
+    spec = REGISTRY["x39_similarity_batch_topk"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x39-probe")
+    got = [(r["vec_id"], r["cosine"]) for r in
+           sorted(df.collect(), key=lambda r: r["rnk"])]
+    # ties at cosine 1.0 resolve by vec_id ASC: 1, 2, then 3 (0.6)
+    assert got == [(1, 1.0), (2, 1.0), (3, 0.6)]
+
+
+def test_x75_adversarial_rollup_boundaries(spark, tmp_path):
+    """r13 probe wave 4: the three-level hypertable rollup on
+    boundary corpora — a SINGLE-instant corpus (one hour, one day,
+    one month: n_hours must be exactly 1 through the whole chain),
+    events 1 µs either side of a month boundary (23:59:59.999999
+    truncates to the OLD month's last hour; 00:00:00.000000 opens
+    the new month), sub-second spreads inside one hour (hour-trunc
+    dedup), and a gap-only series (two events months apart — no
+    intermediate rows are invented)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    events = [
+        # single-instant cluster: 3 events, same microsecond
+        (1, D(2024, 3, 15, 12, 0, 0), "a", None, 1.0, 1),
+        (2, D(2024, 3, 15, 12, 0, 0), "a", None, 2.0, 1),
+        (3, D(2024, 3, 15, 12, 0, 0), "a", None, 3.0, 1),
+        # month boundary: 1 µs before April vs exactly April
+        (4, D(2024, 3, 31, 23, 59, 59, 999999), "b", None, 10.0, 2),
+        (5, D(2024, 4, 1, 0, 0, 0), "b", None, 20.0, 2),
+        # sub-second spread within one hour: one hour-bucket
+        (6, D(2024, 5, 2, 8, 0, 0, 1), "c", None, 1.5, 3),
+        (7, D(2024, 5, 2, 8, 59, 59, 999999), "c", None, 2.5, 3),
+        # gap-only series: two isolated months
+        (8, D(2024, 1, 1, 0, 0, 0), "d", None, 5.0, 4),
+        (9, D(2024, 7, 1, 0, 0, 0), "d", None, 5.0, 4),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (events,
+                    "event_id long, ts timestamp, event_type string, "
+                    "props string, value double, user_id long")},
+    )
+    spec = REGISTRY["x75_hypertable_rollup"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x75-probe")
+    got = {(str(r["month"]), r["event_type"]): (r["n_events"], r["n_hours"])
+           for r in df.collect()}
+    assert got[("2024-03-01", "a")] == (3, 1)
+    assert got[("2024-03-01", "b")] == (1, 1)
+    assert got[("2024-04-01", "b")] == (1, 1)
+    assert got[("2024-05-01", "c")] == (2, 1)
+    assert got[("2024-01-01", "d")] == (1, 1)
+    assert got[("2024-07-01", "d")] == (1, 1)
+
+
+def test_pl_layer_adversarial_all_sentinel_corpus(spark, tmp_path):
+    """r13 probe wave 4: the ENTIRE pipeline DAG on a corpus the P3
+    cleaning filters to NOTHING — every l_orderkey is a multiple of
+    97, so every staged stock_code is the 'nan' sentinel: dim_product
+    must be EMPTY, fct_sales must be EMPTY, and every layer built
+    from an empty fact (the fx forward-fill spine whose bounds
+    aggregate over zero rows, the EUR enrichment, the country-day
+    agg, the monthly view) must come out EMPTY WITH THE CONTRACTED
+    SCHEMA in both engines — never a crash from sequence(NULL, NULL)
+    or an aggregation over an empty spine. dim_customer keeps its
+    cleaning-independent rows (the -1 UNKNOWN surrogate for NULL
+    customers); dim_calendar spines off raw (pre-cleaning) bounds so
+    it stays dense."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    # orderkeys: multiples of 97 (every stock_code -> 'nan'); customer
+    # keys include a %5==0 (NULL customer path)
+    lineitem = [
+        (97, 1, 1, 1, 5.0, 500.0, 0.0, 0.0, "N", "O", D(2024, 1, 10)),
+        (194, 2, 1, 1, 3.0, 300.0, 0.0, 0.0, "R", "F", D(2024, 2, 20)),
+        (291, 3, 1, 1, 7.0, 700.0, 0.0, 0.0, "N", "O", D(2024, 3, 5)),
+    ]
+    orders = [
+        (97, 5, "O", 500.0, D(2024, 1, 9), "1-URGENT"),
+        (194, 7, "F", 300.0, D(2024, 2, 19), "2-HIGH"),
+        (291, 10, "O", 700.0, D(2024, 3, 4), "3-MEDIUM"),
+    ]
+    customer = [(5, "C5", 0, 10.0, "BUILDING"),
+                (7, "C7", 1, 20.0, "AUTOMOBILE"),
+                (10, "C10", 0, 30.0, "MACHINERY")]
+    nation = [(0, "FRANCE", 1), (1, "GERMANY", 1)]
+    part = [(1, "blue part", "B1", "T", 1, 10.0),
+            (2, "red part", "B2", "T", 2, 20.0),
+            (3, "green part", "B3", "T", 3, 30.0)]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "lineitem": (lineitem,
+                         "l_orderkey long, l_partkey long, l_suppkey long, "
+                         "l_linenumber int, l_quantity double, "
+                         "l_extendedprice double, l_discount double, "
+                         "l_tax double, l_returnflag string, "
+                         "l_linestatus string, l_shipdate timestamp"),
+            "orders": (orders,
+                       "o_orderkey long, o_custkey long, "
+                       "o_orderstatus string, o_totalprice double, "
+                       "o_orderdate timestamp, o_orderpriority string"),
+            "customer": (customer,
+                         "c_custkey long, c_name string, c_nationkey int, "
+                         "c_acctbal double, c_mktsegment string"),
+            "nation": (nation, "n_nationkey int, n_name string, "
+                               "n_regionkey int"),
+            "part": (part, "p_partkey long, p_name string, p_brand string, "
+                           "p_type string, p_size int, p_retailprice double"),
+        },
+    )
+    for name in ("pl01_staging_retail", "pl04_dim_product",
+                 "pl05_dim_customer", "pl06_fct_sales",
+                 "pl07_daily_fx_rates", "pl09_agg_country_day",
+                 "pl10_monthly_sales_summary", "pl11_validation"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    assert REGISTRY["pl04_dim_product"].fn(spark, sf).count() == 0
+    assert REGISTRY["pl06_fct_sales"].fn(spark, sf).count() == 0
+    # staging kept all three raw rows (cleaning happens downstream)
+    assert REGISTRY["pl01_staging_retail"].fn(spark, sf).count() == 3
