@@ -42,6 +42,7 @@ from duckdb_retail_pipeline_spark.queries.extensions import (
     SQL_HASH28,
     SQL_TOKS,
     _sql_norm,
+    sql_fingerprint,
 )
 
 # ---------------------------------------------------------------- x43
@@ -1174,7 +1175,7 @@ def x62_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- x63
 @register(
     "x63_cross_source_dups",
-    oracle=r"""
+    oracle=f"""
         WITH aug AS (
             SELECT doc_id, source, text FROM documents
             UNION ALL
@@ -1182,9 +1183,7 @@ def x62_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id % 10 = 0
         ), fp AS (
             SELECT doc_id, source,
-                   md5(array_to_string(
-                       list_filter(string_split_regex(lower(text), '\s+'),
-                                   t -> t != ''), ' ')) AS fingerprint
+                   {sql_fingerprint('text')} AS fingerprint
             FROM aug
         )
         SELECT fingerprint,

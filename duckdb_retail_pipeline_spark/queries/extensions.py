@@ -55,6 +55,22 @@ _X42_SCORED_SLOT: list = []
 SQL_TOKS = r"list_filter(string_split_regex({x}, '\s+'), t -> t != '')"
 SQL_HASH28 = "('0x' || substr(md5({s}), 1, 7))::BIGINT"
 SQL_HASH60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def sql_fingerprint(text: str) -> str:
+    """DuckDB twin of functions/text.py ``fingerprint`` under the
+    r13 NULL-isolation convention: NULL text → NULL fingerprint,
+    zero-token text → md5('') — the COALESCE exists because DuckDB's
+    array_to_string([]) is NULL where Spark's concat_ws yields ''.
+    The ONE definition every fingerprint-consuming oracle embeds
+    (x01/x04/x28/x34/x63), so a convention change cannot drift
+    per-site."""
+    inner = (
+        "md5(COALESCE(array_to_string("
+        rf"list_filter(string_split_regex(lower({text}), '\s+'),"
+        " t -> t != ''), ' '), ''))"
+    )
+    return f"CASE WHEN {text} IS NOT NULL THEN {inner} END"
 MINHASH_P = T.MINHASH_PRIME
 
 
@@ -92,10 +108,8 @@ def _aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- x01
 @register(
     "x01_dedup_exact",
-    oracle=r"""
-        SELECT md5(array_to_string(
-                   list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
-                   ' ')) AS fp,
+    oracle=f"""
+        SELECT {sql_fingerprint('text')} AS fp,
                CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents
@@ -212,14 +226,8 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- x04
 @register(
     "x04_fingerprint",
-    oracle=r"""
-        SELECT doc_id,
-               CASE WHEN text IS NOT NULL THEN
-                   md5(COALESCE(array_to_string(
-                       list_filter(string_split_regex(lower(text), '\s+'),
-                                   t -> t != ''),
-                       ' '), ''))
-               END AS fingerprint
+    oracle=f"""
+        SELECT doc_id, {sql_fingerprint('text')} AS fingerprint
         FROM documents
     """,
     doc="Document fingerprinting: canonical md5 over normalized "
@@ -1546,10 +1554,8 @@ def x33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result is the distinct-fingerprint SET (which physical copy
     # survives dropDuplicates is arrival-order dependent, the set is
     # not)
-    oracle=r"""
-        SELECT DISTINCT md5(array_to_string(
-                   list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
-                   ' ')) AS fp
+    oracle=f"""
+        SELECT DISTINCT {sql_fingerprint('text')} AS fp
         FROM documents
     """,
     doc="Streaming ingestion dedup: stateful dropDuplicates on the "
@@ -2404,9 +2410,7 @@ def _x28_oracle() -> str:
         ), keep AS (
             SELECT MIN(doc_id) AS doc_id
             FROM documents
-            GROUP BY md5(array_to_string(
-                list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
-                ' '))
+            GROUP BY {sql_fingerprint('text')}
         ), scored AS (
             SELECT doc_id, toks,
                    len(toks) AS n_tokens,

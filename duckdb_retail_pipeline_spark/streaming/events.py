@@ -51,11 +51,32 @@ def _read_stream(
     # path mutated the shared session conf without the tz pin or the
     # read-only-session guard the catalog applies
     ensure_session_conventions(spark)
-    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    # Directory-aware source resolution (r13 probe wave): at scale a
+    # table is a DIRECTORY of part files, not one file — but
+    # pathGlobFilter matches FILE names only, so a directory named
+    # ``events.parquet`` streamed via the filter yields zero files
+    # and an UNABLE_TO_INFER_SCHEMA. When the glob is a literal name
+    # (no metacharacters) that resolves to a directory, stream that
+    # directory as the source path; wildcard globs keep the
+    # pathGlobFilter route (the single-file driver-testdata layout).
+    src, filt = sf_dir, glob
+    if not any(ch in glob for ch in "*?[]{}"):
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(sf_dir, glob))
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+            src, filt = os.path.join(sf_dir, glob), None
+    batch = spark.read
+    reader = spark.readStream
+    if filt is not None:
+        batch = batch.option("pathGlobFilter", filt)
+    schema = batch.parquet(src).schema
+    reader = reader.schema(schema)
+    if filt is not None:
+        reader = reader.option("pathGlobFilter", filt)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
+    stream = reader.parquet(src)
     return normalize_event_ts(stream) if normalize else stream
 
 

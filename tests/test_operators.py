@@ -4694,3 +4694,116 @@ def test_pl_layer_adversarial_all_sentinel_corpus(spark, tmp_path):
     assert REGISTRY["pl06_fct_sales"].fn(spark, sf).count() == 0
     # staging kept all three raw rows (cleaning happens downstream)
     assert REGISTRY["pl01_staging_retail"].fn(spark, sf).count() == 3
+
+
+def test_x06_x08_x22_x41_adversarial_degenerate_corpus(spark, tmp_path):
+    """r13 probe wave 5: the signature/frequency/sampling family on
+    a corpus of degenerate documents — fewer tokens than the
+    3-shingle window (MinHash over an EMPTY hash set), empty and
+    whitespace-only text (SimHash over zero bit-votes), a language
+    stratum with a SINGLE doc and a request (50) far exceeding every
+    stratum (x41 must return min(50, |stratum|) rows, never pad or
+    throw), and term frequency where a language's vocabulary is
+    smaller than the top-10 window."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "", "en", "s", 0),                  # zero tokens
+        (2, "one", "en", "s", 3),               # below shingle window
+        (3, "one two", "en", "s", 7),           # still below (needs 3)
+        (4, "one two three", "en", "s", 13),    # exactly one shingle
+        (5, "a b c d", "fr", "s", 7),           # singleton stratum
+        (6, "x x x y", "de", "s", 7),           # vocab (2) < top-10
+        (7, "   ", "de", "s", 3),               # whitespace-only
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs,
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    for name in ("x06_minhash_signatures", "x08_simhash_values",
+                 "x22_term_frequency", "x41_fixed_count_sample"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x41 = REGISTRY["x41_fixed_count_sample"].fn(spark, sf).collect()
+    assert len(x41) == 7                          # every doc sampled
+    by_lang = {}
+    for r in x41:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by_lang["fr"]) == [1]
+    assert sorted(by_lang["en"]) == [1, 2, 3, 4]
+
+    x22 = [(r["lang"], r["token"], r["n"])
+           for r in REGISTRY["x22_term_frequency"].fn(spark, sf).collect()
+           if r["lang"] == "de"]
+    assert sorted(x22) == [("de", "x", 3), ("de", "y", 1)]
+
+
+def test_streaming_adversarial_boundaries_and_dirty_docs(spark, tmp_path):
+    """r13 probe wave 5 (streaming): the streaming queries on an
+    engineered corpus — events OUT OF ORDER within the watermark,
+    same-microsecond duplicates, rows exactly ON an hour boundary,
+    a type seen in a single micro-instant (x17 tumbling windows +
+    x31 stateful totals + x38 stream-static cohort join, each
+    oracle-checked against its batch SQL twin), and x34's streaming
+    dedup over documents containing exact duplicates, an EMPTY doc,
+    a whitespace-only doc (same zero-token fingerprint md5('') —
+    ONE survivor for both), and a NULL-text doc (NULL fingerprint
+    under the r13 isolation — its own dedup key in both engines)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    events = [
+        # hour boundary: exactly 11:00:00 belongs to the 11:00 window
+        (1, D(2024, 1, 1, 10, 59, 59, 999999), "a", None, 1.0, 1),
+        (2, D(2024, 1, 1, 11, 0, 0), "a", None, 2.0, 1),
+        # out-of-order arrival (file order != event order)
+        (3, D(2024, 1, 1, 11, 30, 0), "a", None, 4.0, 2),
+        (4, D(2024, 1, 1, 11, 5, 0), "a", None, 8.0, 2),
+        # same-microsecond duplicates (distinct event ids)
+        (5, D(2024, 1, 1, 12, 0, 0), "b", None, 1.5, 3),
+        (6, D(2024, 1, 1, 12, 0, 0), "b", None, 1.5, 3),
+        # singleton type
+        (7, D(2024, 1, 1, 13, 7, 7), "c", None, -9.99, 4),
+    ]
+    docs = [
+        (1, "same text", "en", "s", 9),
+        (2, "same  text", "en", "s", 10),      # ws-normalized duplicate
+        (3, "other", "en", "s", 5),
+        (4, "", "en", "s", 0),                 # zero-token: md5('')
+        (5, "   ", "en", "s", 3),              # same zero-token key
+        (6, None, "en", "s", 0),               # NULL fingerprint
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "events": (events,
+                       "event_id long, ts timestamp, event_type string, "
+                       "props string, value double, user_id long"),
+            "documents": (docs,
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long"),
+        },
+    )
+    for name in ("x17_streaming_hourly", "x31_streaming_stateful_totals",
+                 "x38_stream_static_join", "x34_streaming_dedup"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x17 = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+           for r in REGISTRY["x17_streaming_hourly"].fn(spark, sf).collect()}
+    assert x17[("2024-01-01 10:00:00", "a")] == 1
+    assert x17[("2024-01-01 11:00:00", "a")] == 3
+    assert x17[("2024-01-01 12:00:00", "b")] == 2
+
+    fps = [r["fp"] for r in
+           REGISTRY["x34_streaming_dedup"].fn(spark, sf).collect()]
+    # 4 distinct fingerprints: "same text", "other", md5('') (docs
+    # 4+5 collapse), and the NULL key (doc 6)
+    assert len(fps) == 4 and fps.count(None) == 1
