@@ -4807,3 +4807,77 @@ def test_streaming_adversarial_boundaries_and_dirty_docs(spark, tmp_path):
     # 4 distinct fingerprints: "same text", "other", md5('') (docs
     # 4+5 collapse), and the NULL key (doc 6)
     assert len(fps) == 4 and fps.count(None) == 1
+
+
+def test_pivot_and_split_adversarial_sparse_categories(spark, tmp_path):
+    """r13 probe wave 5: the reshape/split family on sparse
+    categories — x18's pivot where users carry only SOME of the
+    pinned event types (absent cells must coalesce to 0 like SQL
+    COUNT, the documented NULL edge), an event type OUTSIDE the
+    pinned value list (dropped by pivot AND by the oracle's CASE
+    columns — a user with ONLY that type still gets an all-zero
+    row), a17's region pivot where a year has orders in a single
+    region (the other region columns NULL in both engines' money
+    sums), and x29's rate-based split on singleton strata plus a
+    language outside its CASE list (kept at 100%)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    events = [
+        (1, D(2024, 1, 1, 10, 0), "click", None, 1.0, 1),
+        (2, D(2024, 1, 1, 10, 1), "click", None, 1.0, 1),
+        (3, D(2024, 1, 1, 10, 2), "view", None, 1.0, 2),
+        (4, D(2024, 1, 1, 10, 3), "refund", None, 1.0, 3),  # unseen type
+        (5, D(2024, 1, 1, 10, 4), "error", None, 1.0, 4),
+    ]
+    orders = [
+        (1, 5, "O", 100.0, D(2023, 6, 1), "1-URGENT"),   # 2023: only EUROPE
+        (2, 7, "O", 250.0, D(2024, 6, 1), "2-HIGH"),     # 2024: both regions
+        (3, 5, "O", 50.005, D(2024, 7, 1), "3-MEDIUM"),  # half-cent boundary
+    ]
+    customer = [(5, "C5", 0, 1.0, "B"), (7, "C7", 1, 2.0, "A")]
+    nation = [(0, "FRANCE", 0), (1, "BRAZIL", 1)]
+    region = [(0, "EUROPE"), (1, "AMERICA")]
+    docs = [
+        (1, "hello", "en", "s", 5),      # en: 50% kept by hash bucket
+        (2, "welt", "de", "s", 4),       # de: outside CASE -> kept
+        (3, "monde", "fr", "s", 5),      # singleton stratum
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "events": (events,
+                       "event_id long, ts timestamp, event_type string, "
+                       "props string, value double, user_id long"),
+            "orders": (orders,
+                       "o_orderkey long, o_custkey long, "
+                       "o_orderstatus string, o_totalprice double, "
+                       "o_orderdate timestamp, o_orderpriority string"),
+            "customer": (customer,
+                         "c_custkey long, c_name string, c_nationkey int, "
+                         "c_acctbal double, c_mktsegment string"),
+            "nation": (nation, "n_nationkey int, n_name string, "
+                               "n_regionkey int"),
+            "region": (region, "r_regionkey int, r_name string"),
+            "documents": (docs,
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long"),
+        },
+    )
+    for name in ("x18_events_pivot", "a17_pivot_surface",
+                 "x29_stratified_split"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x18 = {r["user_id"]: (r["click"], r["view"], r["error"])
+           for r in REGISTRY["x18_events_pivot"].fn(spark, sf).collect()}
+    assert x18[1] == (2, 0, 0)
+    assert x18[3] == (0, 0, 0)       # only the unseen type: all-zero row
+    assert x18[4] == (0, 0, 1)
+
+    x29 = {r["doc_id"]: r["split"]
+           for r in REGISTRY["x29_stratified_split"].fn(spark, sf).collect()}
+    assert 2 in x29 and 3 in x29     # de (outside CASE) and fr kept
