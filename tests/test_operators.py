@@ -4683,9 +4683,11 @@ def test_pl_layer_adversarial_all_sentinel_corpus(spark, tmp_path):
                            "p_type string, p_size int, p_retailprice double"),
         },
     )
-    for name in ("pl01_staging_retail", "pl04_dim_product",
+    for name in ("pl01_staging_retail", "pl02_staging_fx",
+                 "pl03_dim_calendar", "pl04_dim_product",
                  "pl05_dim_customer", "pl06_fct_sales",
-                 "pl07_daily_fx_rates", "pl09_agg_country_day",
+                 "pl07_daily_fx_rates", "pl08_fct_sales_eur",
+                 "pl09_agg_country_day",
                  "pl10_monthly_sales_summary", "pl11_validation"):
         spec = REGISTRY[name]
         assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
@@ -4881,3 +4883,163 @@ def test_pivot_and_split_adversarial_sparse_categories(spark, tmp_path):
     x29 = {r["doc_id"]: r["split"]
            for r in REGISTRY["x29_stratified_split"].fn(spark, sf).collect()}
     assert 2 in x29 and 3 in x29     # de (outside CASE) and fr kept
+
+
+def test_x43_adversarial_interval_endpoints(spark, tmp_path):
+    """r13 probe wave 6: the binned range join at EXACT interval
+    endpoints — an interval ending precisely at a window's start
+    (e == w: inclusive, a zero-microsecond overlap pair), one
+    starting precisely at the window's end (s == w+1h: excluded by
+    the strict <), a zero-length interval (single event) inside the
+    window, a 1 µs overlap, an incident hour with exactly
+    MIN_ERRORS (3) errors versus one with 2 (below threshold), and
+    an interval spanning multiple hour bins."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    H = D(2024, 1, 1, 12, 0, 0)          # incident hour [12:00, 13:00)
+    us = dt.timedelta(microseconds=1)
+    hr = dt.timedelta(hours=1)
+    events = [
+        # exactly 3 errors in H -> window; 2 errors at 15:00 -> none
+        (1, H.replace(minute=5), "error", None, 1.0, 100),
+        (2, H.replace(minute=6), "error", None, 1.0, 100),
+        (3, H.replace(minute=7), "error", None, 1.0, 100),
+        (4, D(2024, 1, 1, 15, 1), "error", None, 1.0, 100),
+        (5, D(2024, 1, 1, 15, 2), "error", None, 1.0, 100),
+        # user 1: interval [10:00, 12:00] -> e == w, zero-overlap pair
+        (6, D(2024, 1, 1, 10, 0), "view", None, 1.0, 1),
+        (7, H, "view", None, 1.0, 1),
+        # user 2: interval [13:00, 14:00] -> s == w+1h, EXCLUDED
+        (8, H + hr, "view", None, 1.0, 2),
+        (9, H + 2 * hr, "view", None, 1.0, 2),
+        # user 3: zero-length interval at 12:30
+        (10, H.replace(minute=30), "view", None, 1.0, 3),
+        # user 4: 1 us overlap [11:00, 12:00:00.000001]
+        (11, D(2024, 1, 1, 11, 0), "view", None, 1.0, 4),
+        (12, H + us, "view", None, 1.0, 4),
+        # user 5: spans 11:30 -> 13:30 (covers all of H)
+        (13, D(2024, 1, 1, 11, 30), "view", None, 1.0, 5),
+        (14, D(2024, 1, 1, 13, 30), "view", None, 1.0, 5),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (events,
+                    "event_id long, ts timestamp, event_type string, "
+                    "props string, value double, user_id long")},
+    )
+    spec = REGISTRY["x43_range_join_binned"]
+    df = spec.fn(spark, sf)
+    assert_matches(df, con, spec.oracle, "x43-probe")
+    row = {str(r["day"]): (r["n_pairs"], r["n_users"], r["total_overlap_us"])
+           for r in df.collect()}["2024-01-01"]
+    # pairs: users 1 (0 us), 3 (0 us, point), 4 (1 us), 5 (full hour)
+    # + user 100's own error interval [12:05, 15:02] overlaps H for
+    # 55 min; user 2 excluded
+    assert row[0] == 5 and row[1] == 5
+    assert row[2] == 1 + 3600_000_000 + 55 * 60_000_000
+
+
+def test_x44_x90_adversarial_search_corpora(spark, tmp_path):
+    """r13 probe wave 6: BM25 and positional phrase search on the
+    corpora the ranking math stresses — a term present in EVERY doc
+    (df == N: the +1 idf floor keeps the contribution positive,
+    never log of a sub-1 ratio going negative-infinite), docs with
+    zero query terms (outside the hit set), a SINGLE-doc corpus
+    regime (df == N == 1), overlapping phrase repeats ('slow join
+    slow join slow' scores 2 occurrences; 'slow slow join' only 1),
+    a doc shorter than the phrase, and an empty doc."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "join join join", "en", "s", 14),          # tf 3, one term
+        (2, "slow join slow join slow", "en", "s", 24),# phrase x2
+        (3, "slow slow join", "en", "s", 14),          # phrase x1
+        (4, "nothing relevant here", "en", "s", 21),   # no hit
+        (5, "join", "en", "s", 4),                     # 1-token doc
+        (6, "", "en", "s", 0),                         # empty doc
+        (7, "vector join slow vector", "en", "s", 23), # all three terms,
+                                                       # but "join slow" is
+                                                       # NOT the phrase
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs,
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    for name in ("x44_bm25_search", "x90_phrase_search"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x90 = {r["doc_id"]: r["n_occurrences"]
+           for r in REGISTRY["x90_phrase_search"].fn(spark, sf).collect()}
+    assert x90 == {2: 2, 3: 1}
+
+
+def test_x47_x71_adversarial_pii_and_unicode(spark, tmp_path):
+    """r13 probe wave 6: (a) x47's PII redaction where the ORIGINAL
+    text already contains near-PII — minimal matches ('a@b.c'),
+    non-matches the regex must NOT touch (no local part, uppercase
+    letters outside the [a-z] class, 3-digit phone stubs), a phone
+    number whose first four digits match inside a longer run, and
+    adjacent PII tokens — regexp_extract_all/regexp_replace parity
+    between engines on every boundary. (b) x71's fuzzy matching over
+    UNICODE names: multi-byte characters in and around the corrupted
+    region — levenshtein must count CODEPOINTS identically in both
+    engines, and the 4-char suffix block key must slice characters,
+    not bytes."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "contact a@b.c now", "en", "s", 17),
+        (2, "no pii @mail alone or 555-123 stub", "en", "s", 34),
+        (3, "UPPER@CASE.COM stays", "en", "s", 20),
+        (4, "run 555-123456 over", "en", "s", 19),
+        (5, "a@b.c c@d.e twice", "en", "s", 17),
+        (6, "", "en", "s", 0),
+    ]
+    # names >= 13 chars so the deletion window exists; unicode inside
+    # and outside the corrupted region; 20/40/60 enter the dirty set
+    customer = [
+        (20, "Ünïcode#münch0020", 0, 1.0, "B"),
+        (40, "Ωmega#customer40", 0, 1.0, "B"),
+        (60, "plain#customer60", 0, 1.0, "B"),
+        (61, "plain#customer61", 0, 1.0, "B"),   # same block tail? no
+        (80, "日本語#クライアント80", 0, 1.0, "B"),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "documents": (docs,
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long"),
+            "customer": (customer,
+                         "c_custkey long, c_name string, c_nationkey int, "
+                         "c_acctbal double, c_mktsegment string"),
+        },
+    )
+    for name in ("x47_pii_redaction", "x71_fuzzy_entity_match"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x47 = {r["doc_id"]: (r["n_emails"], r["n_phones"])
+           for r in REGISTRY["x47_pii_redaction"].fn(spark, sf).collect()}
+    # every doc gains 1 synthetic email + 1 synthetic phone from aug
+    assert x47[1] == (2, 1)      # a@b.c + synthetic
+    assert x47[2] == (1, 1)      # @mail / 555-123 must NOT count
+    # 'UPPER@CASE.COM' has no lowercase local part before the @, so
+    # only the synthetic email counts (identical in both engines)
+    assert x47[3] == (1, 1)
+    assert x47[4] == (1, 2)      # 555-1234 inside 555-123456 counts
+    assert x47[5] == (3, 1)
+
+    x71 = {r["dirty_key"]: (r["matched_key"], r["is_true_match"])
+           for r in REGISTRY["x71_fuzzy_entity_match"].fn(spark, sf).collect()}
+    for true_key in (20, 40, 60, 80):
+        assert x71[10000000 + true_key] == (true_key, True), true_key
