@@ -5043,3 +5043,122 @@ def test_x47_x71_adversarial_pii_and_unicode(spark, tmp_path):
            for r in REGISTRY["x71_fuzzy_entity_match"].fn(spark, sf).collect()}
     for true_key in (20, 40, 60, 80):
         assert x71[10000000 + true_key] == (true_key, True), true_key
+
+
+def test_x59_x87_adversarial_blob_and_vocab_edges(spark, tmp_path):
+    """r13 probe wave 7: (a) x59's byte-grid pooling on blobs the
+    8-cell mapping stresses — a 1-byte blob (all 8 cells collapse to
+    cell 0), blobs SHORTER than the grid (3, 7 bytes: some cells
+    empty, never emitted), exactly 8 bytes (one byte per cell), a
+    prime length (13: uneven floor split), multi-byte UTF-8 text
+    (cells pool BYTES, not characters), and an empty blob (no rows).
+    (b) x87's bigram LM on a vocabulary-1 corpus (every conditional
+    probability exactly 1 -> score == SCALE), a two-token doc, and
+    docs below the bigram window (excluded entirely)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "a", "en", "s", 1),            # 1 byte
+        (2, "abc", "en", "s", 3),          # shorter than grid
+        (3, "abcdefg", "en", "s", 7),      # 7 bytes
+        (4, "abcdefgh", "en", "s", 8),     # exactly the grid
+        (5, "abcdefghijklm", "en", "s", 13),  # prime length
+        (6, "héé", "en", "s", 5),          # multi-byte UTF-8
+        (7, "", "en", "s", 0),             # empty blob
+        (8, "x x x x x", "en", "s", 9),    # vocab-1 (for x87)
+        (9, "y z", "en", "s", 3),          # single bigram, disjoint vocab
+        (10, "solo", "en", "s", 4),        # below bigram window
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs,
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    for name in ("x59_media_resize_grid", "x87_bigram_lm_quality"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x59 = {}
+    for r in REGISTRY["x59_media_resize_grid"].fn(spark, sf).collect():
+        x59.setdefault(r["media_id"], []).append(
+            (r["cell_idx"], r["n_cell_bytes"])
+        )
+    assert sorted(x59[1]) == [(0, 1)]                 # 1 byte -> cell 0
+    assert sorted(x59[4]) == [(i, 1) for i in range(8)]
+    assert sum(n for _, n in x59[5]) == 13
+    assert sum(n for _, n in x59[6]) == 5             # h + 2 bytes per é
+    assert 7 not in x59                               # empty blob: no rows
+
+    from duckdb_retail_pipeline_spark.operators import lm as LM
+    x87 = {r["doc_id"]: (r["n_bigrams"], r["lm_score_scaled"])
+           for r in REGISTRY["x87_bigram_lm_quality"].fn(spark, sf).collect()}
+    assert x87[8] == (4, LM.SCALE)     # vocab-1: P(x|x) == 1 exactly
+    assert x87[9] == (1, LM.SCALE)     # sole (y,z) bigram: P == 1
+    assert 10 not in x87               # no bigram -> no row
+
+
+def test_cohort_family_adversarial_minimal_corpora(spark, tmp_path):
+    """r13 probe wave 7: the cohort family (x46 retention, x84 LTV
+    curves, x45 funnel) on minimal engineered corpora — a
+    single-user cohort whose only purchase IS the cohort event
+    (week 0 only, cumulative == weekly), a purchase exactly 7 days
+    later (the week-1 floor boundary: day offset 7 // 7 = 1, never
+    week 0), 6 days later (still week 0), a user with purchases
+    months apart (gap weeks produce NO rows — the curve is sparse,
+    not zero-filled), negative-value purchases (refunds pull the
+    cumulative DOWN), and funnel users completing steps out of
+    order."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    events = [
+        # user 1: cohort 2024-01-01, single purchase
+        (1, D(2024, 1, 1, 10, 0), "purchase", None, 10.0, 1),
+        # user 2: cohort day + exactly 7 days -> week 1
+        (2, D(2024, 1, 1, 9, 0), "purchase", None, 5.0, 2),
+        (3, D(2024, 1, 8, 9, 0), "purchase", None, 7.0, 2),
+        # user 3: +6 days -> still week 0
+        (4, D(2024, 1, 1, 8, 0), "purchase", None, 1.0, 3),
+        (5, D(2024, 1, 7, 8, 0), "purchase", None, 2.0, 3),
+        # user 4: months-apart purchases (sparse weeks)
+        (6, D(2024, 1, 1, 7, 0), "purchase", None, 3.0, 4),
+        (7, D(2024, 4, 1, 7, 0), "purchase", None, 4.0, 4),
+        # user 5: refund pulls cumulative down
+        (8, D(2024, 2, 1, 7, 0), "purchase", None, 9.0, 5),
+        (9, D(2024, 2, 2, 7, 0), "purchase", None, -3.0, 5),
+        # funnel fodder: view -> click -> purchase orders
+        (10, D(2024, 3, 1, 7, 0), "view", None, 1.0, 6),
+        (11, D(2024, 3, 1, 8, 0), "click", None, 1.0, 6),
+        (12, D(2024, 3, 1, 9, 0), "purchase", None, 1.0, 6),
+        # out-of-order funnel: purchase BEFORE view
+        (13, D(2024, 3, 1, 7, 0), "purchase", None, 1.0, 7),
+        (14, D(2024, 3, 1, 8, 0), "view", None, 1.0, 7),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"events": (events,
+                    "event_id long, ts timestamp, event_type string, "
+                    "props string, value double, user_id long")},
+    )
+    for name in ("x45_event_funnel", "x46_cohort_retention",
+                 "x84_cohort_ltv_curves"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x84 = {(str(r["cohort_day"]), r["week_idx"]):
+           (r["week_revenue"], r["cum_revenue"])
+           for r in REGISTRY["x84_cohort_ltv_curves"].fn(spark, sf).collect()}
+    # 2024-01-01 cohort: week 0 = users 1+2+3+4 day-0 purchases +
+    # user 3's +6d; week 1 = user 2's exactly-7-days purchase
+    assert x84[("2024-01-01", 0)] == (21.0, 21.0)
+    assert x84[("2024-01-01", 1)] == (7.0, 28.0)
+    # user 4's April purchase: week 13 (91 days // 7), sparse rows
+    assert x84[("2024-01-01", 13)] == (4.0, 32.0)
+    assert ("2024-01-01", 2) not in x84
+    # refund cohort: cumulative goes 9.0 -> 6.0
+    assert x84[("2024-02-01", 0)] == (6.0, 6.0)
