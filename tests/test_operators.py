@@ -5162,3 +5162,88 @@ def test_cohort_family_adversarial_minimal_corpora(spark, tmp_path):
     assert ("2024-01-01", 2) not in x84
     # refund cohort: cumulative goes 9.0 -> 6.0
     assert x84[("2024-02-01", 0)] == (6.0, 6.0)
+
+
+def test_profiling_sampling_incremental_adversarial_minimal(spark, tmp_path):
+    """r13 probe wave 8: (a) x49's one-pass profiler on a ONE-ROW
+    orders table (min == max per column, distinct == 1, zero nulls)
+    and NULL-heavy columns (null counting vs distinct counting);
+    (b) q18's scalar-subquery window when every order sits inside
+    the 90-day bound (single-order corpus) — BETWEEN NULL bounds on
+    an EMPTY orders table yields zero groups in both engines;
+    (c) q19's view-over-join with a region that has no orders (only
+    joined regions appear); (d) x57's incremental base+delta merge
+    when the DELTA is empty (every event before the cutoff) and
+    when the BASE is empty (every event after) — merged result ==
+    plain aggregate in both regimes; (e) x50's importance sampling
+    on single-token docs (diversity weight saturates at the PPM
+    cap) and empty docs (NULLIF-guarded zero-token weight)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    # corpus A: one-row orders (+ empty-delta / empty-base events)
+    orders_one = [(7, 3, "O", 123.45, D(2024, 5, 5), "1-URGENT")]
+    customer = [(3, "C3", 0, 1.0, "B")]
+    nation = [(0, "FRANCE", 0)]
+    region = [(0, "EUROPE"), (1, "AMERICA")]   # AMERICA: no orders
+    ev_before = [(1, D(2024, 1, 10, 8, 0), "click", None, 1.0, 1),
+                 (2, D(2024, 1, 15, 8, 0), "view", None, 2.0, 1)]
+    ev_after = [(3, D(2024, 1, 20, 8, 0), "click", None, 4.0, 2)]
+    docs = [
+        (1, "one", "en", "a", 3),              # single token: w == cap
+        (2, "", "en", "a", 0),                 # zero tokens: guarded
+        (3, "x x x x", "en", "b", 7),          # diversity 1/4
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {
+            "orders": (orders_one,
+                       "o_orderkey long, o_custkey long, "
+                       "o_orderstatus string, o_totalprice double, "
+                       "o_orderdate timestamp, o_orderpriority string"),
+            "customer": (customer,
+                         "c_custkey long, c_name string, c_nationkey int, "
+                         "c_acctbal double, c_mktsegment string"),
+            "nation": (nation, "n_nationkey int, n_name string, "
+                               "n_regionkey int"),
+            "region": (region, "r_regionkey int, r_name string"),
+            "events": (ev_before + ev_after,
+                       "event_id long, ts timestamp, event_type string, "
+                       "props string, value double, user_id long"),
+            "documents": (docs,
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long"),
+        },
+    )
+    for name in ("x49_data_profiling", "q18_cte_scalar_subquery",
+                 "q19_view_over_join", "x57_incremental_agg",
+                 "x50_importance_sampling", "x96_seasonal_decompose"):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x49 = {r["col_name"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                           r["min_i"], r["max_i"])
+           for r in REGISTRY["x49_data_profiling"].fn(spark, sf).collect()}
+    assert x49["o_orderkey"] == (1, 0, 1, 7, 7)
+    assert x49["o_totalprice"] == (1, 0, 1, 12345, 12345)
+
+    q19 = {r["region"] for r in
+           REGISTRY["q19_view_over_join"].fn(spark, sf).collect()}
+    assert q19 == {"EUROPE"}
+
+    # delta-empty regime: cutoff 2024-01-16 puts events 1-2 in base,
+    # 3 in delta — now prove the two degenerate splits agree too by
+    # re-driving on sliced corpora
+    for rows in (ev_before, ev_after):
+        sf2, con2 = _probe_corpus(
+            tmp_path / f"slice{len(rows)}", spark,
+            {"events": (rows,
+                        "event_id long, ts timestamp, event_type string, "
+                        "props string, value double, user_id long")},
+        )
+        spec = REGISTRY["x57_incremental_agg"]
+        assert_matches(spec.fn(spark, sf2), con2, spec.oracle,
+                       f"x57-slice{len(rows)}")
