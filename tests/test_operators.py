@@ -5247,3 +5247,267 @@ def test_profiling_sampling_incremental_adversarial_minimal(spark, tmp_path):
         spec = REGISTRY["x57_incremental_agg"]
         assert_matches(spec.fn(spark, sf2), con2, spec.oracle,
                        f"x57-slice{len(rows)}")
+
+
+def _probe_retail_edge_tables():
+    """A compact retail corpus stressing the q-family's edges: NULL
+    dates/prices/balances, sentinel-looking strings, negative
+    quantities, orphan foreign keys, duplicate rows, a nation with
+    zero customers, LIKE-prefix misses, and ties everywhere a
+    tie-break is pinned."""
+    import datetime as dt
+
+    D = dt.datetime
+    region = [(0, "EUROPE"), (1, "AMERICA")]
+    nation = [(0, "FRANCE", 0), (1, "BRAZIL", 1), (2, "GHOSTLAND", 1)]
+    customer = [
+        (1, "Customer#000000001", 0, 100.0, "BUILDING"),
+        (2, "Customer#000000002", 0, -50.0, "AUTOMOBILE"),
+        (3, "Customer#000000003", 1, 0.0, "BUILDING"),
+        (4, "Customer#000000004", 1, None, "MACHINERY"),  # NULL acctbal
+    ]
+    supplier = [(1, "Supplier#1", 0, 10.0), (2, "Supplier#2", 1, None)]
+    part = [
+        (1, "azure part one", "Brand#1", "TYPE A", 1, 10.0),
+        (2, "azure part two", "Brand#1", "TYPE A", 2, 10.0),   # mode tie
+        (3, "misc part", "Brand#2", "TYPE B", 3, None),        # NULL price
+    ]
+    orders = [
+        (1, 1, "O", 100.0, D(2024, 1, 10), "1-URGENT"),
+        (2, 1, "F", 200.0, D(2024, 2, 10), "2-HIGH"),
+        (3, 2, "O", 300.0, D(2024, 3, 10), "3-MEDIUM"),
+        (4, 3, "O", 0.0, D(2024, 3, 10), "5-LOW"),       # zero price
+        (5, 4, "P", 50.0, None, "1-URGENT"),             # NULL orderdate
+        (6, 999, "O", 75.0, D(2024, 4, 1), "4-NOT SPEC"),# orphan custkey
+    ]
+    lineitem = [
+        (1, 1, 1, 1, 5.0, 500.0, 0.1, 0.02, "N", "O", D(2024, 1, 12)),
+        (1, 2, 1, 2, 3.0, 300.0, 0.0, 0.0, "N", "O", D(2024, 1, 12)),
+        (2, 1, 2, 1, -2.0, -100.0, 0.05, 0.01, "R", "F", D(2024, 2, 12)),
+        (3, 3, 1, 1, 7.0, 700.0, 1.0, 0.08, "A", "F", D(2024, 3, 12)),
+        (3, 3, 1, 2, 7.0, 700.0, 1.0, 0.08, "A", "F", D(2024, 3, 12)),
+        (7, 1, 999, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", D(2024, 5, 1)),
+    ]
+    return {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (customer,
+                     "c_custkey long, c_name string, c_nationkey int, "
+                     "c_acctbal double, c_mktsegment string"),
+        "supplier": (supplier,
+                     "s_suppkey long, s_name string, s_nationkey int, "
+                     "s_acctbal double"),
+        "part": (part, "p_partkey long, p_name string, p_brand string, "
+                       "p_type string, p_size int, p_retailprice double"),
+        "orders": (orders,
+                   "o_orderkey long, o_custkey long, o_orderstatus string, "
+                   "o_totalprice double, o_orderdate timestamp, "
+                   "o_orderpriority string"),
+        "lineitem": (lineitem,
+                     "l_orderkey long, l_partkey long, l_suppkey long, "
+                     "l_linenumber int, l_quantity double, "
+                     "l_extendedprice double, l_discount double, "
+                     "l_tax double, l_returnflag string, "
+                     "l_linestatus string, l_shipdate timestamp"),
+    }
+
+
+def test_q_family_adversarial_retail_edges(spark, tmp_path):
+    """r13 probe wave 9: the ENTIRE core q-family driven on the edge
+    retail corpus (_probe_retail_edge_tables) — NULL order dates
+    flowing through date parts and range scans, an orphan custkey
+    through the anti/semi joins, duplicate lineitem rows through
+    aggregation, negative quantities/prices through conditional
+    sums, a NULL retailprice through top-k ranking, zero-customer
+    nations, and mode ties. Every query must hash-match its oracle
+    on this corpus exactly as on the driver SFs."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    sf, con = _probe_corpus(tmp_path, spark, _probe_retail_edge_tables())
+    for name in (
+        "q01_pricing_summary", "q02_monthly_revenue_by_nation",
+        "q03_top_customers", "q04_filter_like_prefix",
+        "q05_null_sentinel_filters", "q06_semi_join_in_subquery",
+        "q07_anti_join_orphans", "q09_conditional_agg",
+        "q10_conditional_count_distinct", "q11_scalar_multi_agg",
+        "q12_ratio_nullif", "q13_weekend_cohort", "q14_date_parts",
+        "q16_lag_gap_detection", "q17_union_all_checks",
+        "q21_multikey_star_agg", "q22_distinct_dedup",
+        "q24_between_range_scan",
+    ):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+
+def test_text_dedup_family_adversarial_degenerate_docs(spark, tmp_path):
+    """r13 probe wave 10: the text/dedup/curation family driven on
+    one degenerate document corpus — exact duplicates (including a
+    whitespace-normalized pair), an empty doc, a whitespace-only
+    doc, a NULL-text doc, docs below the shingle/bigram windows,
+    single-token and vocabulary-1 docs, and unicode — every
+    registered query in the family must hash-match its oracle on
+    this corpus (the operators' blocking/banding must DEGRADE to
+    exactness, never crash on empty hash sets or drop the NULL
+    key)."""
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a", 43),
+        (2, "the quick  brown fox jumps over the lazy dog", "en", "b", 44),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "b", 43),
+        (4, "", "en", "a", 0),
+        (5, "   ", "en", "a", 3),
+        (6, None, "en", "a", 0),
+        (7, "solo", "en", "b", 4),
+        (8, "x x x x x x", "en", "a", 11),
+        (9, "héllo wörld 中文 テスト", "de", "b", 20),
+        (10, "one two", "fr", "a", 7),
+    ]
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"documents": (docs,
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    for name in (
+        "x01_dedup_exact", "x05_ngram_jaccard_pairs",
+        "x07_minhash_lsh_pairs", "x09_simhash_pairs",
+        "x23_winnowing_fingerprints", "x26_dedup_clusters",
+        "x28_corpus_curation", "x32_repetition_filter",
+        "x33_sequence_packing", "x36_decontamination",
+        "x52_token_rarity", "x54_pmi_pairs", "x61_bpe_token_stats",
+        "x64_vocab_oov", "x81_dedup_savings", "x86_canonical_docs",
+    ):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x01 = {r["fp"]: (r["keep_id"], r["n_copies"])
+           for r in REGISTRY["x01_dedup_exact"].fn(spark, sf).collect()}
+    # docs 1/2/3 share one whitespace-normalized fingerprint; 4/5
+    # share the zero-token key; 6 is the NULL key
+    assert (1, 3) in x01.values()
+    assert (4, 2) in x01.values()
+    assert x01[None] == (6, 1)
+
+
+def test_embedding_family_adversarial_duplicates_and_zero(spark, tmp_path):
+    """r13 probe wave 11: the embedding/ANN family driven on a
+    corpus of DUPLICATED directions (exact copies, scaled copies —
+    cosine exactly 1.0 everywhere, the tie-break regime), one zero
+    vector (NULL cosine through every kernel's nullif guard), and a
+    near-orthogonal tail — every registered query (brute force, LSH,
+    IVF, batch ANN, RRF hybrid, IVF-PQ, index upsert, SemDeDup) must
+    hash-match its oracle on this corpus: banding/celling must
+    degrade to exactness under maximal collision, never crash or
+    drop ties."""
+    import math
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    def unit(i, dim=64):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    vecs = []
+    # ids 0-11: the query anchor and its exact/scaled copies — the
+    # ENTIRE exact top-10 is this one duplicate cluster, so every
+    # index family's recall floor holds STRUCTURALLY (all ten true
+    # neighbors share the query's cell/bucket; the floors are
+    # corpus-calibrated contracts, so the probe corpus must satisfy
+    # them while still stressing maximal tie collision)
+    anchor = [math.cos(0.01 * j) for j in range(64)]
+    vecs.append((0, anchor, 0))
+    for i in range(1, 10):
+        vecs.append((i, list(anchor), 0))
+    vecs.append((10, [2.0 * x for x in anchor], 0))
+    vecs.append((11, [0.5 * x for x in anchor], 0))
+    vecs.append((12, [0.0] * 64, 0))                # zero vector
+    for i in range(13, 40):                         # near-orthogonal tail
+        vecs.append((i, unit(i), i % 3))
+    sf, con = _probe_corpus(
+        tmp_path, spark,
+        {"embeddings": (vecs,
+                        "vec_id long, embedding array<double>, label int"),
+         "documents": ([(i, f"doc {i}", "en", "s", 5) for i in range(10)],
+                       "doc_id long, text string, lang string, "
+                       "source string, n_chars long")},
+    )
+    for name in (
+        "x10_embedding_cosine_topk", "x11_embedding_dup_pairs",
+        "x12_similarity_lsh_topk", "x13_similarity_ivf_topk",
+        "x42_ann_batch_retrieval", "x88_rrf_hybrid",
+        "x89_ivf_pq_topk", "x91_ann_index_upsert", "x99_semantic_dedup",
+    ):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+
+def test_graph_events_reports_adversarial_edges(spark, tmp_path):
+    """r13 probe wave 12: the graph family on degenerate baskets —
+    one order holding FIVE distinct parts (a complete co-purchase
+    clique: every pagerank/triangle path under maximal density for
+    its size), single-part orders (no edges), duplicate lines of the
+    same part (deduped before pairing) — plus the event-time report
+    family (hourly, sliding windows, stream-stream joins, upsert
+    sink, late-data and deletion audits, transitions, rolling
+    users) and the retail report family (supplier latency, skew,
+    pareto, velocity, seasonal index) on the shared edge corpora.
+    Every registered query must hash-match its oracle."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    tables = _probe_retail_edge_tables()
+    # a clique basket + single-part orders + duplicate-line basket
+    li_schema = tables["lineitem"][1]
+    clique = [
+        (100, p, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", D(2024, 6, 1))
+        for i, p in enumerate((11, 12, 13, 14, 15))
+    ]
+    dup_lines = [
+        (101, 21, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", D(2024, 6, 2)),
+        (101, 21, 1, 2, 2.0, 20.0, 0.0, 0.0, "N", "O", D(2024, 6, 2)),
+        (101, 22, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", D(2024, 6, 2)),
+    ]
+    single = [(102, 31, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", D(2024, 6, 3))]
+    tables["lineitem"] = (tables["lineitem"][0] + clique + dup_lines + single,
+                          li_schema)
+    ev = [
+        (1, D(2024, 1, 1, 10, 0), "view", '{"k": 1}', 1.0, 1),
+        (2, D(2024, 1, 1, 10, 30), "click", '{"k": 2}', 2.0, 1),
+        (3, D(2024, 1, 1, 11, 0), "purchase", None, 30.0, 1),
+        (4, D(2024, 1, 1, 10, 0), "view", None, 1.0, 2),
+        (5, D(2024, 1, 2, 9, 0), "delete_request", None, 0.0, 2),
+        (6, D(2024, 1, 2, 9, 30), "view", None, 1.0, 2),
+        (7, D(2024, 1, 1, 10, 0), "error", None, -1.0, 3),
+    ]
+    tables["events"] = (ev, "event_id long, ts timestamp, "
+                            "event_type string, props string, "
+                            "value double, user_id long")
+    sf, con = _probe_corpus(tmp_path, spark, tables)
+    for name in (
+        "x92_copurchase_pagerank", "x94_pagerank_dangling",
+        "x97_pagerank_fixed_point", "x98_triangle_counts",
+        "x66_basket_pairs",
+        "x14_events_hourly", "x25_streaming_sliding",
+        "x58_stream_stream_join", "x85_stream_stream_left_outer",
+        "x60_streaming_upsert_sink",
+        "x68_supplier_latency", "x69_deletion_audit",
+        "x70_late_data_audit", "x77_skew_report",
+        "x79_pareto_analysis", "x82_part_velocity",
+        "x83_seasonal_index",
+    ):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+    x98 = {r["node"]: r["n_triangles"] for r in
+           REGISTRY["x98_triangle_counts"].fn(spark, sf).collect()}
+    # the 5-clique: every member sits on C(4,2) = 6 triangles
+    for p in (11, 12, 13, 14, 15):
+        assert x98[p] == 6, p
