@@ -949,6 +949,28 @@ def semantic_dedup(
     from duckdb_retail_pipeline_spark.operators import similarity as S
     from duckdb_retail_pipeline_spark.queries.base import dround
 
+    if emb.select(id_col).isEmpty():
+        # dedup extends naturally to the empty corpus (dedup(∅) = ∅),
+        # unlike an anchored ANN query — return the contracted empty
+        # frame instead of letting build_ivf_index raise its
+        # no-centroid-seeds error (r13 zero-row probe; the x99 oracle
+        # is likewise empty on an empty corpus, so the differential
+        # holds). The isEmpty probe is one limit-1 scan, noise next
+        # to the operator's own corpus passes.
+        from pyspark.sql import types as T
+
+        return emb.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, emb.schema[id_col].dataType),
+                    T.StructField("cell", T.LongType()),
+                    T.StructField("cent_cos", T.DoubleType()),
+                    T.StructField("keep", T.BooleanType()),
+                ]
+            ),
+        )
+
     idx = S.build_ivf_index(
         emb,
         n_cells=n_cells,

@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 from duckdb_retail_pipeline_spark.functions import vectors as V
 
 
+def query_anchor(
+    emb: DataFrame,
+    anchor_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """The query vector anchored at ``anchor_id`` — the convention
+    every registered ANN query uses (the oracle re-derives the same
+    vector via ``WHERE vec_id = 0``). Raises a CLEAR error when the
+    anchor row is absent (empty corpus, filtered-away id): the
+    anchor is part of the query CONTRACT, and the bare
+    ``first()[vec_col]`` this replaces died with an opaque
+    ``TypeError: 'NoneType' object is not subscriptable`` one frame
+    away from the actual cause (r13 zero-row-corpus probe)."""
+    row = emb.filter(F.col(id_col) == anchor_id).select(vec_col).first()
+    if row is None or row[vec_col] is None:
+        raise ValueError(
+            f"query anchor {id_col}={anchor_id} not found (or has a "
+            f"NULL {vec_col}) — the corpus is empty or the anchor id "
+            "is absent; ANN queries need an existing anchor vector"
+        )
+    return [float(x) for x in row[vec_col]]
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -47,8 +71,19 @@ def brute_force_topk(
 def _hyperplanes_from_data(emb: DataFrame, vec_col: str, id_col: str, bits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: take the first
     ``bits`` vectors by id, center them by the dataset mean. Driver
-    collects only bits × dim floats — O(KB)."""
+    collects only bits × dim floats — O(KB). A corpus with fewer
+    than ``bits`` vectors raises: silently building an index with
+    fewer sign bits than asked is the silent-truncation class the
+    r11 nprobe fix removed (and a 0-vector corpus previously died
+    on the mean row's ``None / None`` far from the cause — r13
+    zero-row-corpus probe)."""
     rows = emb.orderBy(id_col).limit(bits).select(vec_col).collect()
+    if len(rows) < bits:
+        raise ValueError(
+            f"cannot derive {bits} LSH hyperplanes from a corpus of "
+            f"{len(rows)} vectors — the index would silently carry "
+            f"{len(rows)} sign bits; shrink bits or grow the corpus"
+        )
     mean = emb.select(
         F.aggregate(
             F.transform(vec_col, lambda x: x.cast("double")),
@@ -667,6 +702,15 @@ def build_ivf_index(
         list(map(float, r[vec_col]))
         for r in emb.orderBy(id_col).limit(n_cells).collect()
     ]
+    if not cents:
+        # fail HERE, not three plan nodes later: with zero centroids
+        # assign_cells builds array_position(array(), ...) and dies
+        # in analysis with a NULL_TYPE datatype mismatch that names
+        # neither the corpus nor this builder (r13 zero-row probe)
+        raise ValueError(
+            "cannot build an IVF index over an empty corpus "
+            "(0 vectors — no centroid seeds exist)"
+        )
     if kmeans_iters:
         cents = refine_centroids(emb, cents, vec_col=vec_col, iters=kmeans_iters)
     assigned = emb.withColumn("__cell", assign_cells(F.col(vec_col), cents))

@@ -38,7 +38,13 @@ from duckdb_retail_pipeline_spark.queries.base import (
         GROUP BY ROLLUP(r_name, n_name)
     """,
     doc="ROLLUP hierarchy totals (region → nation → grand total): "
-    "subtotal rows carry NULL grouped-out keys in both engines.",
+    "subtotal rows carry NULL grouped-out keys in both engines. "
+    "ZERO-ROW input is a documented engine divergence (r13 probe, "
+    "pinned): Spark's Expand-based grouping sets emit NO rows on "
+    "empty input, while DuckDB (SQL-standard scalar-aggregate "
+    "semantics for the () set) emits one grand-total row with "
+    "count 0 — every registered corpus is non-empty, so the gates "
+    "never see it.",
     tags=("agg", "grouping-sets"),
 )
 def a01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +72,9 @@ def a01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     doc="CUBE: all 2^k grouping-set combinations of (status, "
-    "priority).",
+    "priority). Zero-row input: same documented engine divergence "
+    "as a01 (Spark emits no rows; DuckDB emits the () grand-total "
+    "row — r13 probe, pinned).",
     tags=("agg", "grouping-sets"),
 )
 def a02_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,11 +190,24 @@ def a05_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.col("exact_orders")
         ).alias("approx_orders_within_tol"),
         # percentile_approx default accuracy 10000 → rank error ≤1e-4;
-        # assert the value lands within 5% of the exact median
-        (
+        # assert the value lands within 5% of the exact median. On a
+        # ZERO-ROW corpus both medians are NULL and the comparison
+        # would emit NULL where the oracle states the contract as
+        # literal TRUE (r13 zero-row probe) — the tolerance holds
+        # VACUOUSLY when there is nothing to compare, so that one
+        # case is pinned TRUE explicitly; a sketch returning NULL
+        # against a real exact median still falls through to the
+        # comparison (NULL ≠ TRUE fails the hash — not masked).
+        F.when(
+            F.col("approx_median_price").isNull()
+            & F.col("exact_median_raw").isNull(),
+            F.lit(True),
+        )
+        .otherwise(
             F.abs(F.col("approx_median_price") - F.col("exact_median_raw"))
             <= 0.05 * F.col("exact_median_raw")
-        ).alias("approx_median_within_tol"),
+        )
+        .alias("approx_median_within_tol"),
     )
 
 
@@ -390,7 +411,9 @@ def a10_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
     """,
-    doc="Explicit GROUPING SETS via Spark SQL text.",
+    doc="Explicit GROUPING SETS via Spark SQL text. Zero-row input: "
+    "same documented engine divergence as a01 (Spark emits no rows; "
+    "DuckDB emits the () grand-total row — r13 probe, pinned).",
     tags=("agg", "grouping-sets", "sql"),
 )
 def a06_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:

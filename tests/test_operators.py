@@ -5590,3 +5590,77 @@ def test_remaining_family_adversarial_sweep(spark, tmp_path):
     ):
         spec = REGISTRY[name]
         assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
+
+
+def test_zero_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
+    """r13 probe wave 14: EVERY registered query + oracle on a
+    ZERO-ROW corpus (each table keeps its real schema, holds no
+    rows) — the empty-shard/empty-partition class a 100 TB filter
+    chain produces routinely. Expected outcomes, all pinned:
+
+    - 139/149 hash-MATCH (scalar aggs emit their one row with
+      additive zeros/NULLs in both engines; joins/windows/dedup/
+      streaming/graph families are empty-in → empty-out; x99's
+      semantic_dedup returns the contracted empty frame; a05's
+      tolerance booleans hold vacuously TRUE on both sides).
+    - The 7 anchored/index ANN queries raise a CLEAR ValueError
+      (query_anchor / hyperplane / IVF-seed contract errors — the
+      anchor row is part of those queries' registered contract;
+      before the r13 hardening they died in opaque TypeErrors and
+      analysis-time NULL_TYPE mismatches far from the cause).
+    - ROLLUP/CUBE/GROUPING SETS (a01/a02/a06) pin a documented
+      ENGINE divergence: Spark's Expand emits no rows on empty
+      input, DuckDB emits the SQL-standard () grand-total row with
+      count 0 — asserted exactly (0 vs 1 row) so a Spark version
+      that changes the semantics fails this test.
+    """
+    import duckdb as _duckdb
+    import pytest
+
+    from duckdb_retail_pipeline_spark.catalog import TABLES
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    d = str(tmp_path / "sf_empty")
+    con = _duckdb.connect()
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+
+    anchor_contract = {
+        "x10_embedding_cosine_topk", "x12_similarity_lsh_topk",
+        "x13_similarity_ivf_topk", "x42_ann_batch_retrieval",
+        "x88_rrf_hybrid", "x89_ivf_pq_topk", "x91_ann_index_upsert",
+    }
+    grand_total_divergence = {"a01_rollup", "a02_cube",
+                              "a06_grouping_sets_sql"}
+
+    for name, spec in REGISTRY.items():
+        if name in anchor_contract:
+            with pytest.raises(
+                ValueError, match="query anchor|LSH hyperplanes"
+            ):
+                spec.fn(spark, d).collect()
+        elif name in grand_total_divergence:
+            assert spec.fn(spark, d).count() == 0, name
+            res = con.execute(spec.oracle)
+            cols = [c[0] for c in res.description]
+            drows = res.fetchall()
+            assert len(drows) == 1, (name, drows)
+            row = dict(zip(cols, drows[0]))
+            count_col = {
+                "a01_rollup": "n_customers",
+                "a02_cube": "n_orders",
+                "a06_grouping_sets_sql": "n",
+            }[name]
+            assert row[count_col] == 0, (name, row)
+            for c in cols:  # grouping keys of the () set are NULL
+                if c != count_col and not c.startswith("total"):
+                    assert row[c] is None, (name, row)
+        else:
+            assert_matches(spec.fn(spark, d), con, spec.oracle,
+                           f"{name}-zero-row")
