@@ -264,15 +264,24 @@ def ann_contract(
     a bit and fails the value hash even though the approximate result
     itself is not SQL-reproducible.
 
-      recall_ge_bound — ≥ min_recall_hits of the exact top-k ids
-                        appear in the ANN result
+      recall_ge_bound — ≥ min(min_recall_hits, |exact top-k|) of the
+                        exact top-k ids appear in the ANN result. The
+                        floor is clamped at the exact list's size
+                        (r13 one-row probe, the a05 vacuous-truth
+                        principle): a floor of 5 is unsatisfiable on
+                        a 3-vector corpus where perfect recall is 3 —
+                        the clamp keeps the contract MEANINGFUL at
+                        every corpus size and is the identity on
+                        every registered corpus (|exact| = k there).
       scores_exact    — every ANN cosine equals the exact cosine for
                         that id (the index must never change scores,
                         only the candidate set)
       self_found      — the ANN result contains a cosine≈1 match
                         (the query vector is drawn from the corpus,
                         so its own bucket/cell must return it)
-      returned_k      — the ANN result has exactly k rows
+      returned_k      — the ANN result has exactly min(k, corpus)
+                        rows (= |exact top-k|, same clamp: a
+                        2-vector corpus can never return 10)
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored_all = emb.select(
@@ -284,13 +293,22 @@ def ann_contract(
         .limit(k)
         .select(id_col, F.lit(1).alias("__in_exact"))
     )
+    # one-row |exact top-k| frame (≤ k rows counted — limit already
+    # applied), broadcast into the contract agg so both clamps read
+    # it in-plan; O(1) data, no extra corpus pass (exact_ids is the
+    # same subplan the recall join already scans)
+    exact_n = exact_ids.agg(
+        F.count(F.lit(1)).cast("int").alias("__exact_n")
+    )
     j = (
         ann.join(scored_all, id_col, "left")
         .join(exact_ids, id_col, "left")
+        .crossJoin(F.broadcast(exact_n))
     )
     return j.agg(
         (
-            F.sum(F.coalesce(F.col("__in_exact"), F.lit(0))) >= F.lit(min_recall_hits)
+            F.sum(F.coalesce(F.col("__in_exact"), F.lit(0)))
+            >= F.least(F.lit(min_recall_hits), F.first("__exact_n"))
         ).alias("recall_ge_bound"),
         # coalesce(False): bool_and SKIPS NULL inputs, and the
         # corruption this boolean exists to catch (broken norm →
@@ -303,7 +321,7 @@ def ann_contract(
             )
         ).alias("scores_exact"),
         F.max(F.col("exact_cosine") >= 0.9999).alias("self_found"),
-        (F.count(F.lit(1)) == k).alias("returned_k"),
+        (F.count(F.lit(1)) == F.first("__exact_n")).alias("returned_k"),
     )
 
 

@@ -5664,3 +5664,80 @@ def test_zero_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
         else:
             assert_matches(spec.fn(spark, d), con, spec.oracle,
                            f"{name}-zero-row")
+
+
+def test_one_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
+    """r13 probe wave 15: every registered query + oracle on a
+    ONE-ROW corpus (each table holds exactly its first real row) —
+    the minimal-data class below most queries' statistical regimes.
+    142/149 hash-MATCH (windows/joins/aggs/dedup/streaming handle a
+    single row cleanly in both engines; the r13 ann_contract clamp
+    makes the recall floor and returned_k MEANINGFUL here — a floor
+    of 5 is unsatisfiable where perfect recall is 1, so both clamp
+    at |exact top-k|, the identity on every registered corpus).
+    Expected non-matches, pinned:
+
+    - x12/x42/x91 raise the hyperplane-count guard (1 vector < bits;
+      x91's modulo split leaves its base EMPTY), x89 raises
+      corpus < k_codes — the loud sizing contracts.
+    - x93: counts stay EXACT and hash-equal, but heavy_bound_holds
+      is honestly FALSE below the certificate's regime (vocab < k —
+      the r10 full-k-rows rule; the oracle literal states the
+      registered-corpus contract). Pinned as counts-equal +
+      all-False.
+    - x99: the ORACLE's pinned-4-centroid CTEs require vec_ids 0..3
+      to exist (the registered x13/x89-style config contract) — one
+      vector makes the oracle's cross join empty while the engine
+      correctly keeps the single vector. Pinned as 1-vs-0 rows.
+    - a01: the one customer/nation/region rows have non-matching
+      FKs, so the join is EMPTY and the a01/a02/a06 grand-total
+      divergence applies (Spark 0 rows, DuckDB's () row).
+    """
+    import duckdb as _duckdb
+    import pytest
+
+    from duckdb_retail_pipeline_spark.catalog import TABLES
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches, normalize
+
+    d = str(tmp_path / "sf_onerow")
+    con = _duckdb.connect()
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+
+    sizing_guards = {
+        "x12_similarity_lsh_topk", "x42_ann_batch_retrieval",
+        "x89_ivf_pq_topk", "x91_ann_index_upsert",
+    }
+    for name, spec in REGISTRY.items():
+        if name in sizing_guards:
+            with pytest.raises(
+                ValueError, match="hyperplanes|k_codes"
+            ):
+                spec.fn(spark, d).collect()
+        elif name == "x93_frequent_tokens":
+            srows = spec.fn(spark, d).collect()
+            assert srows and all(
+                r["heavy_bound_holds"] is False for r in srows
+            ), srows
+            drows = con.execute(spec.oracle).fetchall()
+            assert normalize(
+                [(r["token"], r["n_occurrences"]) for r in srows],
+                ["token", "n"],
+            ) == normalize([(t, n) for t, n, _ in drows], ["token", "n"])
+        elif name == "x99_semantic_dedup":
+            srows = spec.fn(spark, d).collect()
+            assert len(srows) == 1 and srows[0]["keep"] is True, srows
+            assert con.execute(spec.oracle).fetchall() == []
+        elif name == "a01_rollup":
+            assert spec.fn(spark, d).count() == 0, name
+            drows = con.execute(spec.oracle).fetchall()
+            assert len(drows) == 1 and drows[0][2] == 0, drows
+        else:
+            assert_matches(spec.fn(spark, d), con, spec.oracle,
+                           f"{name}-one-row")
