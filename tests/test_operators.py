@@ -5741,3 +5741,37 @@ def test_one_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
         else:
             assert_matches(spec.fn(spark, d), con, spec.oracle,
                            f"{name}-one-row")
+
+
+def test_multipart_layout_full_registry_sweep(spark, sf_dir, tmp_path):
+    """r13 probe wave 16: every registered query + oracle with every
+    table stored as a MULTI-PART directory (4 part files, rows
+    redistributed round-robin) — the universal layout at cluster
+    scale, where no table is ever one file and physical row order is
+    an accident of the writer. 149/149 hash-MATCH: any query whose
+    result leaked physical order / partition count (arrival-order
+    dropDuplicates keeps, first()-style picks, float fold order,
+    per-partition sketch merge order, limit-without-order) would
+    diverge from the set-semantic DuckDB oracle here. This is the
+    batch twin of the r13 wave-5 directory-layout streaming fix —
+    pinned so a future operator that accidentally depends on the
+    single-file driver-testdata layout fails loudly."""
+    import duckdb as _duckdb
+
+    from duckdb_retail_pipeline_spark.catalog import TABLES
+    from duckdb_retail_pipeline_spark.queries import REGISTRY
+    from tests.compare import assert_matches
+
+    d = str(tmp_path / "sf_multipart")
+    con = _duckdb.connect()
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(
+            4
+        ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+
+    for name, spec in REGISTRY.items():
+        assert_matches(spec.fn(spark, d), con, spec.oracle,
+                       f"{name}-multipart")
