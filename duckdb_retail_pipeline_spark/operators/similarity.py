@@ -50,6 +50,33 @@ def query_anchor(
     return [float(x) for x in row[vec_col]]
 
 
+def query_anchor_memo(
+    spark,
+    sf_dir: str,
+    emb: DataFrame,
+    anchor_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """``query_anchor`` memoized per (session, dataset, anchor): the
+    anchor fetch is a full Spark job (~140 ms at sf0.1, measured
+    r13) re-run by every ANN query invocation during PLAN BUILD for
+    a value that is one dim-sized driver list derived from the same
+    parquet. dataset_memo's per-file mtime signature keeps the
+    staleness contract — an in-session dataset regeneration
+    re-fetches instead of serving the stale anchor — and a missing
+    anchor still raises query_anchor's clear error (exceptions are
+    never memoized)."""
+    from duckdb_retail_pipeline_spark.memo import dataset_memo
+
+    return dataset_memo(
+        spark,
+        sf_dir,
+        f"query_anchor:{anchor_id}:{id_col}:{vec_col}",
+        lambda: query_anchor(emb, anchor_id, id_col, vec_col),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -3055,7 +3055,7 @@ def x88_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rnk")
     )
     emb = tbl(spark, sf_dir, "embeddings")
-    qvec = SIM.query_anchor(emb)
+    qvec = SIM.query_anchor_memo(spark, sf_dir, emb)
     dense = (
         SIM.brute_force_topk(emb, qvec, k=_X88_TOPN)
         .withColumnRenamed("vec_id", "doc_id")

@@ -479,7 +479,7 @@ def _sql_norm(a: str) -> str:
 )
 def x10_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
-    qvec = S.query_anchor(emb)
+    qvec = S.query_anchor_memo(spark, sf_dir, emb)
     return S.brute_force_topk(emb, qvec, k=10)
 
 
@@ -604,7 +604,7 @@ def _ann_oracle() -> str:
 
 def _ann_contract_frame(spark, sf_dir, ann_fn, min_recall_hits: int) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
-    qvec = S.query_anchor(emb)
+    qvec = S.query_anchor_memo(spark, sf_dir, emb)
     exact = S.brute_force_topk(emb, qvec, k=10)
     ann = ann_fn(emb, qvec)
     contract = S.ann_contract(
@@ -787,7 +787,7 @@ def x91_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_retail_pipeline_spark.memo import dataset_memo
 
     emb = tbl(spark, sf_dir, "embeddings")
-    qvec = S.query_anchor(emb)
+    qvec = S.query_anchor_memo(spark, sf_dir, emb)
 
     def build() -> dict:
         base = emb.filter(F.col("vec_id") % 10 != 0)
