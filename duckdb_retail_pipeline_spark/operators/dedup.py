@@ -52,16 +52,58 @@ def _pair_dedup(pairs: DataFrame, score_col: str) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition CPU-heavy per-document work across all cores.
+# _spread's engage window (bytes of plan-estimated input). Below the
+# floor the corpus is too small for fan-out to beat its own shuffle +
+# task-scheduling cost: measured r13 at sf0.1 (documents 0.59 MB,
+# single row group), x01's 32-way spread cost ~0.35 s of a 0.55 s
+# query — the no-spread plan ran 0.20 s with identical results. The
+# floor is a WORK threshold, not a tuning knob for the driver's box:
+# it compares corpus bytes against per-task overhead, which does not
+# change with SPARK_GRAFT_CPUS.
+_SPREAD_MIN_INPUT_BYTES = 4 * 1024 * 1024
 
-    Small corpora arrive as 1-2 parquet splits (files below
-    maxPartitionBytes don't split), which would serialize the
-    expensive shingle/hash expressions onto 2 of N cores. One cheap
-    shuffle of the id+text columns unlocks full parallelism; at real
-    scale the input already has enough splits and this is a no-op
-    cost-wise."""
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition CPU-heavy per-document work across all cores —
+    but only when the shuffle buys parallelism the scan does not
+    already have (guide §2.4: remove shuffles outright; §2: make
+    partitioning scale-adaptive rather than constant).
+
+    Single-file corpora arrive as ONE real split (a parquet file is
+    splittable only at row-group boundaries; the testdata ships one
+    row group per table), which would serialize the expensive
+    shingle/hash expressions onto 1 of N cores. One shuffle of the
+    id+text columns unlocks full parallelism there. Two regimes skip
+    the shuffle instead:
+
+    - tiny inputs (< _SPREAD_MIN_INPUT_BYTES): per-task scheduling
+      overhead exceeds the single-threaded compute being spread
+      (measured r13, see the constant's comment);
+    - inputs whose scan already yields >= target splits (the 100 TB
+      regime: thousands of row groups/files): the repartition would
+      shuffle the full text bytes corpus-wide to gain nothing — the
+      r12-class "no-op at scale" claim the old docstring made was
+      wrong, it was a full payload shuffle at every scale.
+
+    Plan-estimated input size (file bytes for scans, summed through
+    unions/projects) is deterministic for a given dataset, so the
+    chosen plan shape is stable across runs; estimation failure
+    falls back to spreading (the conservative pre-r13 behavior)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.math.BigInt to int for in-range values but
+        # hands back a JavaObject past 2^63 — str() covers both
+        size = raw if isinstance(raw, int) else int(str(raw))
+        if size < _SPREAD_MIN_INPUT_BYTES:
+            return df
+        max_split = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")
+        )
+        if size // max_split >= target:
+            return df
+    except Exception:  # noqa: BLE001 — unsizeable plan: spread as before
+        pass
     return df.repartition(target, key)
 
 

@@ -5775,3 +5775,40 @@ def test_multipart_layout_full_registry_sweep(spark, sf_dir, tmp_path):
     for name, spec in REGISTRY.items():
         assert_matches(spec.fn(spark, d), con, spec.oracle,
                        f"{name}-multipart")
+
+
+def test_spread_is_scale_adaptive(spark, sf_dir, monkeypatch):
+    """_spread (r13 optimization) must engage its repartition only in
+    the regime where the shuffle buys parallelism: skip on tiny
+    inputs (per-task overhead > the compute being spread), engage in
+    the single-split mid-range, and skip again when the scan already
+    yields >= target splits (the at-scale regime where the old
+    unconditional form shuffled the full text corpus for nothing)."""
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def n_shuffles(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+
+    # tiny input (sf0.001 documents << 4 MB): no repartition
+    assert D._spread(docs, "doc_id").sameSemantics(docs)
+    assert n_shuffles(D.exact_dedup(docs)) == 1  # only the groupBy
+
+    # mid-range (estimated size above the floor, scan single-split):
+    # the repartition engages
+    monkeypatch.setattr(D, "_SPREAD_MIN_INPUT_BYTES", 1)
+    spread = D._spread(docs, "doc_id")
+    assert not spread.sameSemantics(docs)
+    assert n_shuffles(D.exact_dedup(docs)) == 2  # spread + groupBy
+
+    # at-scale regime (scan splits >= target cores): skip again —
+    # simulate by shrinking maxPartitionBytes so size // split >= N
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        assert D._spread(docs, "doc_id").sameSemantics(docs)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
