@@ -95,9 +95,17 @@ def _build_layers_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFr
     daily_fx = build_daily_fx_rates(raw["raw_fx_rates"], fct_sales)
     # eur facts feed the aggregation, the view chain and validation
     fct_sales_eur = build_fct_sales_eur(fct_sales, daily_fx).cache()
+    # the agg layer feeds three consumers (the pl09 query surface,
+    # the monthly view, and validation) and is the reference's
+    # explicitly MATERIALIZED pre-aggregation table (facts.py:
+    # 347-412) — uncached it was the only layer whose every action
+    # replayed the full fact-table aggregation (bench r13: pl09 warm
+    # ~0.97 s vs 0.05-0.12 s for the cached layers; the cold pass
+    # still times the build). Few-K rows (date × country), so the
+    # cache is dimension-sized.
     agg_country_day = build_agg_country_day(
         fct_sales_eur, dim_customer, dim_calendar
-    )
+    ).cache()
     return {
         **raw,
         "dim_calendar": dim_calendar,
