@@ -30,6 +30,7 @@ from duckdb_retail_pipeline_spark.queries.base import (
     dround,
     floor_ratio,
     money_sum,
+    plan_memo,
     register,
     rotating_persist,
     sql_dround,
@@ -206,6 +207,7 @@ def _x44_oracle() -> str:
     headline=True,
     tags=("text", "search", "ranking"),
 )
+@plan_memo("x44")
 def x44_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _x44_scored(spark, sf_dir)
@@ -1485,6 +1487,7 @@ _X66_MAX_BASKET: int | None = None
     headline=True,
     tags=("retail", "association", "join"),
 )
+@plan_memo("x66")
 def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()

@@ -25,6 +25,7 @@ from duckdb_retail_pipeline_spark.operators import windows as W
 from duckdb_retail_pipeline_spark.queries.base import (
     money_avg,
     money_sum,
+    plan_memo,
     register,
     sql_money_avg,
     sql_money_sum,
@@ -57,6 +58,7 @@ CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
     headline=True,
     tags=("agg", "filter"),
 )
+@plan_memo("q01")
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -97,6 +99,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("join", "agg"),
 )
+@plan_memo("q02")
 def q02_monthly_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     customer = tbl(spark, sf_dir, "customer")
@@ -522,6 +525,7 @@ def q14_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("window", "datetime"),
 )
+@plan_memo("q15")
 def q15_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("date")).agg(

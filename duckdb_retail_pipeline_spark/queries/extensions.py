@@ -38,6 +38,7 @@ from duckdb_retail_pipeline_spark.memo import rotating_persist
 from duckdb_retail_pipeline_spark.queries.base import (
     dround,
     floor_ratio,
+    plan_memo,
     register,
     sql_dround,
     sql_floor_ratio,
@@ -478,6 +479,7 @@ def _sql_norm(a: str) -> str:
     headline=True,
     tags=("similarity", "vectors"),
 )
+@plan_memo("x10")
 def x10_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     qvec = S.query_anchor_memo(spark, sf_dir, emb)
@@ -1412,6 +1414,7 @@ def x31_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     headline=True,
     tags=("text", "quality"),
 )
+@plan_memo("x32")
 def x32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     base = docs.select(
@@ -1514,6 +1517,7 @@ def x32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("text", "packing", "window"),
 )
+@plan_memo("x33")
 def x33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1658,6 +1662,7 @@ def x35_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("text", "dedup", "curation"),
 )
+@plan_memo("x36")
 def x36_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     grams = docs.select(
@@ -1993,6 +1998,7 @@ def _x42_oracle() -> str:
     headline=True,
     tags=("similarity", "vectors", "window"),
 )
+@plan_memo("x42")
 def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_retail_pipeline_spark.memo import dataset_memo
 

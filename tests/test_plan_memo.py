@@ -1,0 +1,80 @@
+"""plan_memo (r13 optimization): prepared-statement reuse of query
+DataFrames per (session, dataset).
+
+The wrapper must (a) return the identical DataFrame handle on repeat
+invocations — the driver-side construction cost it exists to remove,
+(b) key per dataset so two SF dirs never share a plan, (c) rebuild
+when the dataset changes on disk (dataset_memo's signature
+invalidation, exercised through the wrapper), and (d) change NOTHING
+about what the query computes — pinned by comparing against the
+unwrapped builder row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from duckdb_retail_pipeline_spark.queries import REGISTRY
+from duckdb_retail_pipeline_spark.queries.base import plan_memo
+
+MEMOIZED = [
+    "q01_pricing_summary",
+    "q02_monthly_revenue_by_nation",
+    "q15_forward_fill",
+    "x10_embedding_cosine_topk",
+    "x32_repetition_filter",
+    "x33_sequence_packing",
+    "x36_decontamination",
+    "x42_ann_batch_retrieval",
+    "x44_bm25_search",
+    "x66_basket_pairs",
+]
+
+
+def test_plan_memo_returns_same_handle_and_same_rows(spark, sf_dir):
+    for name in MEMOIZED:
+        fn = REGISTRY[name].fn
+        assert hasattr(fn, "__wrapped__"), name  # wrapper applied
+        a = fn(spark, sf_dir)
+        assert fn(spark, sf_dir) is a, name  # memo hit
+        # the wrapper changes nothing about the computed result
+        memoized = sorted(map(tuple, a.collect()), key=str)
+        fresh = sorted(map(tuple, fn.__wrapped__(spark, sf_dir).collect()), key=str)
+        assert memoized == fresh, name
+
+
+def test_plan_memo_keys_per_dataset_and_invalidates_on_change(spark, tmp_path):
+    calls = []
+
+    @plan_memo("test_plan_memo_probe")
+    def probe(s, d):
+        calls.append(d)
+        return s.range(3).withColumn("tag", F.lit(os.path.basename(d)))
+
+    d1 = tmp_path / "ds1"
+    d2 = tmp_path / "ds2"
+    for d in (d1, d2):
+        d.mkdir()
+        (d / "t.parquet").write_bytes(b"x")
+    f1 = probe(spark, str(d1))
+    assert probe(spark, str(d1)) is f1
+    assert probe(spark, str(d2)) is not f1  # per-dataset key
+    assert calls == [str(d1), str(d2)]
+    # on-disk change (mtime_ns signature) rebuilds instead of serving
+    # the stale plan
+    (d1 / "t.parquet").write_bytes(b"xy")
+    assert probe(spark, str(d1)) is not f1
+    assert calls == [str(d1), str(d2), str(d1)]
+
+
+def test_plan_memo_registered_fns_are_pure_lazy():
+    """The wrapper contract forbids eager builders (their work would
+    be skipped on memo hits = result caching). Pin the registered
+    set: no streaming query and no sink-writing query is wrapped."""
+    for name in MEMOIZED:
+        tags = REGISTRY[name].tags
+        assert "streaming" not in tags, name
+        assert "sink" not in tags, name
