@@ -1487,7 +1487,6 @@ _X66_MAX_BASKET: int | None = None
     headline=True,
     tags=("retail", "association", "join"),
 )
-@plan_memo("x66")
 def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()

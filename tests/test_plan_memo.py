@@ -30,7 +30,11 @@ MEMOIZED = [
     "x36_decontamination",
     "x42_ann_batch_retrieval",
     "x44_bm25_search",
-    "x66_basket_pairs",
+    # x66 is deliberately NOT memoized: its plan depends on the
+    # mutable module config _X66_MAX_BASKET (the opt-in basket cap) —
+    # a memoized frame would silently serve the plan built under the
+    # previous cap value (caught by
+    # test_analytics.py::test_x66_basket_cap_optin_semantics).
 ]
 
 

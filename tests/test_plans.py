@@ -85,8 +85,20 @@ def test_sequence_packing_single_shuffle(spark, sf_dir):
     clusters those groups, so Catalyst must plan exactly ONE
     exchange. A second exchange would mean the packing cumsum and
     the per-sequence rollup stopped sharing their partitioning (the
-    property that makes packing scale as independent shards)."""
-    df = REGISTRY["x33_sequence_packing"].fn(spark, sf_dir)
+    property that makes packing scale as independent shards).
+
+    Pinned on the UNWRAPPED builder (r13): the registered fn is
+    plan_memo'd, so by the time this test runs another test has
+    usually executed the shared frame and its plan string is the
+    FINAL adaptive plan — where AQE's coalescing of the window
+    shuffle (small-data-only, by construction) drops the strict
+    HashPartitioning guarantee and EnsureRequirements inserts a
+    second runtime exchange over the coalesced rows. The static
+    planned shape this test exists to pin is unchanged; at scale the
+    first shuffle's output is too large to coalesce and the second
+    exchange never appears."""
+    fn = REGISTRY["x33_sequence_packing"].fn
+    df = getattr(fn, "__wrapped__", fn)(spark, sf_dir)
     plan = X.formatted_plan(df)
     # formatted mode lists each shuffle as an "Arguments:
     # hashpartitioning(...)" detail line — one per exchange
