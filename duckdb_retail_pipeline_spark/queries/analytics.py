@@ -1665,6 +1665,7 @@ def x67_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("retail", "percentile", "join"),
 )
+@plan_memo("x68")
 def x68_supplier_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")

@@ -758,6 +758,7 @@ def q20_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("agg", "join"),
 )
+@plan_memo("q21")
 def q21_multikey_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     customer = tbl(spark, sf_dir, "customer")

@@ -2150,6 +2150,7 @@ def x42_ann_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("agg", "quality", "robust"),
 )
+@plan_memo("x40")
 def x40_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     customer = tbl(spark, sf_dir, "customer")

@@ -24,12 +24,15 @@ MEMOIZED = [
     "q01_pricing_summary",
     "q02_monthly_revenue_by_nation",
     "q15_forward_fill",
+    "q21_multikey_star_agg",
     "x10_embedding_cosine_topk",
     "x32_repetition_filter",
     "x33_sequence_packing",
     "x36_decontamination",
+    "x40_robust_stats",
     "x42_ann_batch_retrieval",
     "x44_bm25_search",
+    "x68_supplier_latency",
     # x66 is deliberately NOT memoized: its plan depends on the
     # mutable module config _X66_MAX_BASKET (the opt-in basket cap) —
     # a memoized frame would silently serve the plan built under the
