@@ -22,6 +22,13 @@ from duckdb_retail_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
+# replicated cold measurement (r13 verdict #4): cold is
+# definitionally ONE sample per process (the first target-SF pass
+# builds the session memos; later passes are warm), so extra cold
+# samples need a fresh session each — taken via --cold-probe
+# subprocesses below. Default 2 keeps every per-round artifact
+# carrying cold dispersion; 1 restores the r13 single-sample run.
+COLD_SAMPLES = max(1, int(os.environ.get("SPARK_GRAFT_COLD_SAMPLES", "2")))
 
 
 def _steal_jiffies() -> tuple[int, int]:
@@ -53,6 +60,60 @@ def _calibrate_s() -> float:
         s += i
     assert s  # keep the loop un-optimizable
     return round(time.perf_counter() - t0, 4)
+
+
+def _cold_probe() -> None:
+    """Subprocess mode (--cold-probe): the bench's exact cold
+    methodology — one untimed sf0.001 JIT pass, then ONE timed pass
+    per headline query at the target SF in a FRESH session — and
+    nothing else. Prints one JSON line {"cold_probe": {...}} for the
+    parent to fold into queries_cold_samples. Exists because cold is
+    one-sample-per-process by construction (see COLD_SAMPLES)."""
+    spark = get_spark(app_name="bench-cold-probe")
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+    dirs = (WARMUP_DIR, SF_DIR)
+    if os.path.realpath(WARMUP_DIR) == os.path.realpath(SF_DIR):
+        dirs = (SF_DIR,)
+    cold: dict[str, float] = {}
+    for warm_dir in dirs:
+        for name, spec in sorted(headline.items()):
+            try:
+                t0 = time.perf_counter()
+                spec.fn(spark, warm_dir).count()
+                if warm_dir == SF_DIR:
+                    cold[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:  # noqa: BLE001
+                print(f"cold-probe {name} failed: {exc}", file=sys.stderr)
+    print(json.dumps({"cold_probe": cold}))
+    spark.stop()
+
+
+def _extra_cold_samples(n_extra: int) -> list[dict[str, float]]:
+    """Run ``n_extra`` fresh-session cold probes as subprocesses and
+    return their per-query cold dicts. Failures degrade to fewer
+    samples (never fail the bench)."""
+    import subprocess
+
+    out: list[dict[str, float]] = []
+    for _ in range(n_extra):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cold-probe"],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    probe = json.loads(line).get("cold_probe")
+                    if isinstance(probe, dict) and probe:
+                        out.append(probe)
+                    break
+        except Exception as exc:  # noqa: BLE001 — diagnostics only
+            print(f"cold probe subprocess failed: {exc}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -160,17 +221,17 @@ def main() -> None:
         "headline_queries_cold_total_sec": round(sum(cold.values()), 4),
         # cold is DEFINITIONALLY one sample per query per process:
         # the first target-SF pass builds the session memos/persists,
-        # and every later pass in the same JVM is warm — re-sampling
-        # cold requires a fresh session per sample, which the
-        # per-round driver run doesn't do. Stamped explicitly so a
-        # ±13% single-sample swing (r11 verdict: cold drifted
-        # 30.85→34.77 s on mostly-untouched code while warm MINS
-        # held) is read as what it is — an unreplicated point, not a
-        # regression signal. Warm has real dispersion (5 samples,
-        # queries_spread); cold trends are only meaningful across
-        # rounds at SAME code, and isolated decade re-measurement is
-        # the tool for chasing a suspect cold number.
-        "cold_samples": 1,
+        # and every later pass in the same JVM is warm. Since r14 the
+        # bench replicates cold via FRESH-SESSION subprocess probes
+        # (--cold-probe, same warmup+first-pass methodology), closing
+        # the r13 verdict's "cold is a single unreplicated point"
+        # gap: queries_cold stays sample 1 (round-over-round
+        # comparable with r6-r13), queries_cold_samples carries every
+        # sample, and cold_samples records how many landed. A ±13%
+        # single-sample swing (r11: cold drifted 30.85→34.77 s on
+        # mostly-untouched code while warm MINS held) is now readable
+        # as dispersion from the artifact alone.
+        "cold_samples": 1,  # updated below once the probes land
         # sum-of-mins: the most variance-robust total (box noise only
         # ever ADDS time to a warm run, so the min is the cleanest
         # per-query estimate and its sum the cleanest total trend)
@@ -187,6 +248,22 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "ncpus": os.cpu_count(),
     }
+    # replicated cold samples (after the warm timing so the probes
+    # never contend with the in-process measurement): each probe is a
+    # fresh session in a subprocess running the identical
+    # warmup+first-pass methodology
+    if COLD_SAMPLES > 1:
+        extras = _extra_cold_samples(COLD_SAMPLES - 1)
+        if extras:
+            out["queries_cold_samples"] = {
+                name: [c] + [p[name] for p in extras if name in p]
+                for name, c in cold.items()
+            }
+            out["headline_queries_cold_total_samples"] = [
+                out["headline_queries_cold_total_sec"]
+            ] + [round(sum(p.values()), 4) for p in extras]
+            out["cold_samples"] = 1 + len(extras)
+
     steal1, jiff1 = _steal_jiffies()
     # fraction of the run's cpu-time the hypervisor gave to someone
     # else (all cpus aggregated): ~0 on a quiet host; a contended
@@ -216,4 +293,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--cold-probe" in sys.argv[1:]:
+        _cold_probe()
+    else:
+        main()

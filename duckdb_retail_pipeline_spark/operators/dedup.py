@@ -63,6 +63,78 @@ def _pair_dedup(pairs: DataFrame, score_col: str) -> DataFrame:
 _SPREAD_MIN_INPUT_BYTES = 4 * 1024 * 1024
 
 
+# suffix multipliers of the JVM's byteStringAsBytes grammar (the
+# forms Spark accepts for spark.sql.files.maxPartitionBytes)
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+_WARNED_SPREAD_FALLBACK = False
+
+
+def _conf_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string — '134217728b' (the
+    canonical resolved form), human-set '128m' / '1g' / '64MB', or a
+    bare number (bytes). The previous ``int(value.rstrip('b'))``
+    handled only the canonical form: a human-set '128m' raised, was
+    swallowed by _spread's blanket except, and silently reverted to
+    always-spread — reviving the full-payload at-scale shuffle with
+    no signal (r13 ADVICE). Junk raises ValueError (callers decide
+    the fallback, loudly)."""
+    s = value.strip().lower()
+    i = len(s)
+    while i and not s[i - 1].isdigit():
+        i -= 1
+    suffix = s[i:]
+    if not i or (suffix and suffix not in _SIZE_SUFFIXES):
+        raise ValueError(f"unparseable byte-size conf value {value!r}")
+    return int(s[:i]) * (_SIZE_SUFFIXES[suffix] if suffix else 1)
+
+
+def _scan_has_row_groups(df: DataFrame, need: int) -> bool:
+    """True iff ``df``'s backing parquet files provably carry >=
+    ``need`` row groups — the scan's REAL split granularity. The
+    byte-ratio estimate alone overcounts splits for large files with
+    few/coarse row groups (parquet tasks only produce rows at
+    row-group boundaries), so the at-scale skip could serialize the
+    CPU-heavy shingle/hash work onto a handful of cores exactly in
+    the regime the shuffle was meant to fix (r13 ADVICE). Footer
+    metadata reads are driver-side and O(need) thanks to the early
+    exit — at 100 TB the loop stops after ~defaultParallelism
+    footers. Local files only; an unprovable answer returns False
+    (→ spread: the conservative pre-r13 behavior)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return False
+        total = 0
+        for uri in files:
+            path = uri
+            if uri.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                path = unquote(urlparse(uri).path)
+            elif "://" in uri:
+                return False  # remote URI: cannot probe footers here
+            total += pq.ParquetFile(path).metadata.num_row_groups
+            if total >= need:
+                return True
+        return False
+    except Exception:  # noqa: BLE001 — unreadable footer: not proven
+        return False
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition CPU-heavy per-document work across all cores —
     but only when the shuffle buys parallelism the scan does not
@@ -83,12 +155,17 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
       regime: thousands of row groups/files): the repartition would
       shuffle the full text bytes corpus-wide to gain nothing — the
       r12-class "no-op at scale" claim the old docstring made was
-      wrong, it was a full payload shuffle at every scale.
+      wrong, it was a full payload shuffle at every scale. The skip
+      requires BOTH the byte-ratio estimate AND a proven row-group
+      count >= target (r14, closing the r13 ADVICE blind spot: a
+      large file with one coarse row group passes the byte test but
+      yields ONE real split).
 
     Plan-estimated input size (file bytes for scans, summed through
     unions/projects) is deterministic for a given dataset, so the
     chosen plan shape is stable across runs; estimation failure
-    falls back to spreading (the conservative pre-r13 behavior)."""
+    falls back to spreading (the conservative pre-r13 behavior) and
+    warns once per process instead of failing silently."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -97,13 +174,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         size = raw if isinstance(raw, int) else int(str(raw))
         if size < _SPREAD_MIN_INPUT_BYTES:
             return df
-        max_split = int(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")
+        max_split = _conf_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
         )
-        if size // max_split >= target:
+        if size // max_split >= target and _scan_has_row_groups(df, target):
             return df
-    except Exception:  # noqa: BLE001 — unsizeable plan: spread as before
-        pass
+    except Exception as exc:  # noqa: BLE001 — unsizeable plan: spread as before
+        global _WARNED_SPREAD_FALLBACK
+        if not _WARNED_SPREAD_FALLBACK:
+            _WARNED_SPREAD_FALLBACK = True
+            import warnings
+
+            warnings.warn(
+                f"_spread: size probe failed ({exc!r}); falling back "
+                "to unconditional repartition — the at-scale shuffle "
+                "skip is DISABLED for this process",
+                stacklevel=2,
+            )
     return df.repartition(target, key)
 
 

@@ -66,13 +66,18 @@ def query_anchor_memo(
     staleness contract — an in-session dataset regeneration
     re-fetches instead of serving the stale anchor — and a missing
     anchor still raises query_anchor's clear error (exceptions are
-    never memoized)."""
+    never memoized). The memo tag folds in ``emb.semanticHash()``
+    (r13 ADVICE): keyed on (dataset, anchor, cols) alone, a caller
+    passing a FILTERED/derived frame for the same sf_dir would
+    silently be served the anchor fetched from whichever frame built
+    the entry first — latent today (all call sites pass the base
+    embeddings table) but one new call site away from live."""
     from duckdb_retail_pipeline_spark.memo import dataset_memo
 
     return dataset_memo(
         spark,
         sf_dir,
-        f"query_anchor:{anchor_id}:{id_col}:{vec_col}",
+        f"query_anchor:{anchor_id}:{id_col}:{vec_col}:{emb.semanticHash()}",
         lambda: query_anchor(emb, anchor_id, id_col, vec_col),
     )
 

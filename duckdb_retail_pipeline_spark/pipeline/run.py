@@ -62,70 +62,104 @@ LAYER_ORDER = (
 
 def build_layers(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Phase 1-4 of the reference pipeline as one declarative DAG,
-    memoized per (session, sf_dir)."""
+    memoized per (session, sf_dir). The returned mapping is LAZY per
+    layer: each layer's plan is constructed (and its ``.cache()``
+    registered) on first ``[...]`` access, building only its
+    ancestor chain — a ``pl03`` caller pays for staging + calendar
+    plan construction, never for fct/eur/agg/validation plan
+    building (r14, guide §5 — the driver should do almost no data
+    work, and the eager full-dict build billed every downstream
+    layer's py4j plan construction to whichever pl query ran first:
+    pl03 cold 5.5 s at sf0.1, ~1.5 s of it building plans pl03
+    never executes). Same mapping contract as the eager dict it
+    replaces: consumers only ever do ``build_layers(...)[name]``."""
     from duckdb_retail_pipeline_spark.memo import dataset_memo
 
     return dataset_memo(
-        spark, sf_dir, "build_layers", lambda: _build_layers_uncached(spark, sf_dir)
+        spark, sf_dir, "build_layers", lambda: _LayerDAG(spark, sf_dir)
     )
 
 
-def _build_layers_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    raw = staging.load_staging(spark, sf_dir)
-    # staging feeds four consumers (calendar bounds, both mode dims,
-    # fct_sales) — cache it so the 5-way source join runs once per
-    # build instead of per consumer
-    raw["raw_retail_data"] = raw["raw_retail_data"].cache()
-    # cached like the other dims: calendar feeds fct_sales, the agg
-    # layer, and two validation checks — uncached, each action on
-    # those replays its bounds aggregation + spine explode
-    dim_calendar = build_dim_calendar(
-        raw["raw_retail_data"], raw["raw_uk_holidays"]
-    ).cache()
-    # dims feed both fct_sales and the aggregation layer; fct_sales
-    # feeds fx/eur/agg — cache each so every downstream layer reads
-    # the computed result instead of replaying the mode windows and
-    # the three-way join (cache keys on the canonicalized plan, so
-    # repeated build_layers calls in one session share them)
-    dim_product = build_dim_product(raw["raw_retail_data"]).cache()
-    dim_customer = build_dim_customer(raw["raw_retail_data"]).cache()
-    fct_sales = build_fct_sales(
-        raw["raw_retail_data"], dim_calendar, dim_product, dim_customer
-    ).cache()
-    daily_fx = build_daily_fx_rates(raw["raw_fx_rates"], fct_sales)
-    # eur facts feed the aggregation, the view chain and validation
-    fct_sales_eur = build_fct_sales_eur(fct_sales, daily_fx).cache()
-    # the agg layer feeds three consumers (the pl09 query surface,
-    # the monthly view, and validation) and is the reference's
-    # explicitly MATERIALIZED pre-aggregation table (facts.py:
-    # 347-412) — uncached it was the only layer whose every action
-    # replayed the full fact-table aggregation (bench r13: pl09 warm
-    # ~0.97 s vs 0.05-0.12 s for the cached layers; the cold pass
-    # still times the build). Few-K rows (date × country), so the
-    # cache is dimension-sized.
-    agg_country_day = build_agg_country_day(
-        fct_sales_eur, dim_customer, dim_calendar
-    ).cache()
-    return {
-        **raw,
-        "dim_calendar": dim_calendar,
-        "dim_product": dim_product,
-        "dim_customer": dim_customer,
-        "fct_sales": fct_sales,
-        "daily_fx_rates": daily_fx,
-        "fct_sales_eur": fct_sales_eur,
-        "agg_country_day": agg_country_day,
-        "v_monthly_sales_summary": build_monthly_sales_summary(agg_country_day),
-        "validation": validation_checks(
-            dim_calendar,
-            dim_product,
-            dim_customer,
-            fct_sales,
-            daily_fx,
-            fct_sales_eur,
-            agg_country_day,
-        ),
-    }
+# layer -> plan builder over the DAG mapping itself; each recursive
+# [...] access fills the ancestor chain first. The .cache() choices
+# are unchanged from the eager build: staging feeds four consumers,
+# dims feed fct_sales + the agg layer, fct_sales feeds fx/eur/agg,
+# eur facts feed agg/view/validation, and the agg layer is the
+# reference's explicitly materialized pre-aggregation table
+# (facts.py:347-412; uncached it was the only layer whose every
+# action replayed the full fact aggregation — bench r13: pl09 warm
+# ~0.97 s vs 0.05-0.12 s for the cached layers). daily_fx_rates and
+# the view are dimension-cheap projections and stay uncached.
+_LAYER_BUILDERS: dict = {
+    "dim_calendar": lambda L: build_dim_calendar(
+        L["raw_retail_data"], L["raw_uk_holidays"]
+    ).cache(),
+    "dim_product": lambda L: build_dim_product(L["raw_retail_data"]).cache(),
+    "dim_customer": lambda L: build_dim_customer(L["raw_retail_data"]).cache(),
+    "fct_sales": lambda L: build_fct_sales(
+        L["raw_retail_data"], L["dim_calendar"], L["dim_product"], L["dim_customer"]
+    ).cache(),
+    "daily_fx_rates": lambda L: build_daily_fx_rates(
+        L["raw_fx_rates"], L["fct_sales"]
+    ),
+    "fct_sales_eur": lambda L: build_fct_sales_eur(
+        L["fct_sales"], L["daily_fx_rates"]
+    ).cache(),
+    "agg_country_day": lambda L: build_agg_country_day(
+        L["fct_sales_eur"], L["dim_customer"], L["dim_calendar"]
+    ).cache(),
+    "v_monthly_sales_summary": lambda L: build_monthly_sales_summary(
+        L["agg_country_day"]
+    ),
+    "validation": lambda L: validation_checks(
+        L["dim_calendar"],
+        L["dim_product"],
+        L["dim_customer"],
+        L["fct_sales"],
+        L["daily_fx_rates"],
+        L["fct_sales_eur"],
+        L["agg_country_day"],
+    ),
+}
+
+_STAGING_KEYS = ("raw_retail_data", "raw_fx_rates", "raw_uk_holidays")
+
+
+class _LayerDAG(dict):
+    """dict of layer DataFrames filled lazily by ``__missing__`` —
+    repeated access returns the SAME handle (so the per-layer
+    ``.cache()`` entries are shared, exactly as before), and
+    ``memo._unpersist``'s ``.values()`` sweep sees precisely the
+    layers that were actually built (only those hold cache entries).
+    A per-instance RLock makes concurrent first-access build each
+    layer once (the dataset_memo key lock only covers DAG creation;
+    thread-pool callers hit ``__missing__`` outside it). RLock, not
+    Lock: an ancestor fill recurses through ``self[...]`` on the
+    same thread."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        import threading
+
+        self._lock = threading.RLock()
+
+    def __missing__(self, name: str) -> DataFrame:
+        with self._lock:
+            if name in self:  # a racer built it while we waited
+                return dict.__getitem__(self, name)
+            if name in _STAGING_KEYS:
+                raw = staging.load_staging(self._spark, self._sf_dir)
+                raw["raw_retail_data"] = raw["raw_retail_data"].cache()
+                self.update(raw)
+                return dict.__getitem__(self, name)
+            build = _LAYER_BUILDERS.get(name)
+            if build is None:
+                raise KeyError(name)
+            df = build(self)
+            dict.__setitem__(self, name, df)
+            return df
 
 
 def run_pipeline(

@@ -30,102 +30,91 @@ from duckdb_retail_pipeline_spark.queries import analytics  # noqa: E402,F401
 # Everything outside the window keeps its local DuckDB-oracle pytest
 # row (tests/test_queries_oracle.py runs the WHOLE registry).
 #
-# Round-13 window (see ROTATION.md): CORRECTNESS_r12 landed 50/50
-# (cumulative 149/149; rotation invariant re-verified by the r12
-# judge, recount exit 0). Derived BY SCRIPT at round start —
-# tools/rotation_recount.py reports the r10-green block is exactly
-# 50 queries and goes 3-rounds-stale at r13: the window is the
-# rule-3 owed block VERBATIM, zero free slots, zero registrations
-# possible without a retirement (registry 149 of the 150 ceiling;
-# the first-retirement dry-run lives in ROTATION.md).
-# Rule 1, never-checked: none (SemDeDup/x99 was the last queued
-# operator; it landed green in r12).
-# Rule 2, r12→r13 diff owes — ALL satisfied by re-entry inside the
-# block (the pl09/x87 pattern): x92/x94 re-enter on the EXECUTED
-# copurchase_edges → cap_per_group helper switch (scheduled since
-# r11, sameSemantics-pinned, landed first thing this round so their
-# driver rows run the new code); x13 carries the r11 probe_cos
-# hoist owe (deferred from the r12 free slot, value-identical by
-# construction); q25 carries the r12 asof tie-key narrowing
-# (identical expression for its all-orderable payload).
+# Round-14 window (see ROTATION.md): CORRECTNESS_r13 landed 50/50
+# (cumulative 149/149, zero dropped/newly-failing per the r13
+# judge). Derived BY SCRIPT at round start — tools/
+# rotation_recount.py 14 reports the r11-green block is exactly 49
+# queries, 3-rounds-stale at r14, plus ONE genuinely free slot
+# (recount exit 0; registry stays 149 of the 150 ceiling).
+# Rule 1, never-checked: none (operator queue empty since x99).
+# Rule 2, diff owes: the ONE free slot goes to x01_dedup_exact —
+# the r13 fingerprint-kernel NULL-isolation change sits under its
+# r12 row (value-identical on every registered corpus, 3-SF +
+# hostile re-verified; the owe was assigned to r14 in ROTATION.md's
+# mid-r13 addendum). x63's matching owe re-enters r15 by rule 3
+# (the q25/x13 value-identical precedent).
+# Rule 3, oldest-green re-entry (49): the full r11-green block,
+# the recount's owed list verbatim.
 # Rule 3, oldest-green re-entry (50): the full r10-green block,
 # last driver rows r10 — the recount's owed list verbatim.
-# 0 + 0 + 50 = 50. Mid-round addendum: the r13 probe wave changed
-# code/oracles under x16/x24/x30/x21/x15/x04/x27 (+ the shared
-# grouped_ols and fingerprint kernels and their consumers
-# x34/x65/x86) — ALL inside this window, so their driver rows land
-# on the fixed code (the r12 a12 pattern). The fingerprint change
-# also touches x01/x63 (r12-green, outside the window) —
-# value-identical on every registered corpus, 3-SF + hostile
-# re-verified; their owe is assigned in ROTATION.md (r14 free slot
-# → x01; x63 re-enters r15 by rule 3).
-# Done-condition: after CORRECTNESS_r13 lands green, the recount
-# must show no registered query's last driver row older than r11
-# (exit 0). The r11-green block (49) is two rounds old at r13 —
-# invariant intact without re-entry — and is the ENTIRE r14 window
-# by rule 3 plus one free slot; headline queries outside the window
-# are re-verified every round by the local full-registry pytest
-# gate.
+# 0 + 1 + 49 = 50. Done-condition: after CORRECTNESS_r14 lands
+# green, the recount must show no registered query's last driver
+# row older than r12 (exit 0). The r12-green block (50) is two
+# rounds old at r14 — invariant intact without re-entry — and is
+# the ENTIRE r15 window by rule 3 (zero free slots; x63's owe is
+# satisfied by its rule-3 re-entry there). Headline queries outside
+# the window are re-verified every round by the local full-registry
+# pytest gate.
 _ROTATED_IN: list[str] = [
     # never driver-green: none this round (registry at 149/150,
     # operator queue empty since x99)
 ]
 _GUARDS = [
-    # oldest-green re-entry: the full r10-green block (last row
-    # r10), the rotation_recount owed list verbatim; x92/x94 double
-    # as rule-2 guard heads (driver rows on the r13 cap_per_group
-    # switch), x13 on the r11 probe_cos hoist, q25 on the r12 asof
-    # tie-key narrowing
-    "x92_copurchase_pagerank",
-    "x94_pagerank_dangling",
-    "x13_similarity_ivf_topk",
-    "q25_asof_join",
-    "a17_pivot_surface",
-    "pl02_staging_fx",
-    "pl04_dim_product",
-    "pl05_dim_customer",
-    "pl07_daily_fx_rates",
-    "pl10_monthly_sales_summary",
-    "q04_filter_like_prefix",
-    "q05_null_sentinel_filters",
-    "q06_semi_join_in_subquery",
-    "q07_anti_join_orphans",
-    "q08_composite_key_join",
-    "q09_conditional_agg",
-    "q10_conditional_count_distinct",
-    "q11_scalar_multi_agg",
-    "q12_ratio_nullif",
-    "x02_text_stats",
-    "x03_lang_id",
-    "x04_fingerprint",
-    "x06_minhash_signatures",
-    "x08_simhash_values",
-    "x10_embedding_cosine_topk",
-    "x11_embedding_dup_pairs",
-    "x12_similarity_lsh_topk",
-    "x15_events_sessionize",
-    "x16_events_json_extract",
-    "x17_streaming_hourly",
-    "x18_events_pivot",
-    "x21_session_window_batch",
-    "x22_term_frequency",
-    "x24_grouped_ols_trend",
-    "x25_streaming_sliding",
-    "x27_text_chunking",
-    "x28_corpus_curation",
-    "x29_stratified_split",
-    "x30_variant_extract",
-    "x31_streaming_stateful_totals",
-    "x34_streaming_dedup",
-    "x35_salted_agg",
-    "x37_embedding_quantization",
-    "x38_stream_static_join",
-    "x39_similarity_batch_topk",
-    "x41_fixed_count_sample",
-    "x65_rag_pipeline",
-    "x86_canonical_docs",
-    "x93_frequent_tokens",
-    "x95_frequent_tokens_escalation",
+    # rule-2 free-slot guard: x01's driver row lands on the r13
+    # fingerprint NULL-isolation kernel (the owe recorded in
+    # ROTATION.md's mid-r13 addendum)
+    "x01_dedup_exact",
+    # oldest-green re-entry: the full r11-green block (last row
+    # r11), the rotation_recount owed list verbatim
+    "a01_rollup",
+    "a07_merge_upsert",
+    "a08_scd2_history",
+    "pl01_staging_retail",
+    "pl03_dim_calendar",
+    "pl06_fct_sales",
+    "pl08_fct_sales_eur",
+    "pl09_agg_country_day",
+    "q02_monthly_revenue_by_nation",
+    "q13_weekend_cohort",
+    "q14_date_parts",
+    "q15_forward_fill",
+    "q16_lag_gap_detection",
+    "q17_union_all_checks",
+    "q18_cte_scalar_subquery",
+    "q19_view_over_join",
+    "q20_deterministic_mode",
+    "q22_distinct_dedup",
+    "q23_top_per_group",
+    "q24_between_range_scan",
+    "x09_simhash_pairs",
+    "x23_winnowing_fingerprints",
+    "x26_dedup_clusters",
+    "x32_repetition_filter",
+    "x33_sequence_packing",
+    "x36_decontamination",
+    "x40_robust_stats",
+    "x42_ann_batch_retrieval",
+    "x43_range_join_binned",
+    "x44_bm25_search",
+    "x45_event_funnel",
+    "x46_cohort_retention",
+    "x47_pii_redaction",
+    "x48_salted_join",
+    "x49_data_profiling",
+    "x50_importance_sampling",
+    "x52_token_rarity",
+    "x54_pmi_pairs",
+    "x55_last_touch_attribution",
+    "x57_incremental_agg",
+    "x58_stream_stream_join",
+    "x59_media_resize_grid",
+    "x81_dedup_savings",
+    "x85_stream_stream_left_outer",
+    "x87_bigram_lm_quality",
+    "x88_rrf_hybrid",
+    "x89_ivf_pq_topk",
+    "x96_seasonal_decompose",
+    "x97_pagerank_fixed_point",
 ]
 _PRIORITY = _ROTATED_IN + _GUARDS
 if len(_PRIORITY) != 50:  # not an assert: must survive python -O

@@ -174,6 +174,11 @@ def plan_memo(tag: str) -> Callable[[SparkQuery], SparkQuery]:
                 spark, sf_dir, "plan:" + tag, lambda: fn(spark, sf_dir)
             )
 
+        # inspection marker: the purity-pin test discovers every
+        # plan_memo application through this attribute and asserts
+        # the set equals its reviewed allowlist (r13 ADVICE — a tag
+        # check alone would wave an untagged eager builder through)
+        wrapped.__plan_memo_tag__ = tag
         return wrapped
 
     return deco

@@ -17,6 +17,9 @@ def test_bench_cli_emits_driver_contract_json():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
+        # pin the r14 replicated-cold default shape (one fresh-session
+        # subprocess probe on top of the in-process cold pass)
+        SPARK_GRAFT_COLD_SAMPLES="2",
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
@@ -54,6 +57,19 @@ def test_bench_cli_emits_driver_contract_json():
     # cold pass recorded for every headline query
     assert set(out["queries_cold"]) == set(out["queries"])
     assert out["headline_queries_cold_total_sec"] > 0
+
+    # r14 replicated cold (r13 verdict #4): a fresh-session subprocess
+    # probe adds a second cold sample per query; sample 1 must be the
+    # unchanged in-process queries_cold (round-over-round comparable)
+    assert out["cold_samples"] == 2
+    samples = out["queries_cold_samples"]
+    assert set(samples) == set(out["queries_cold"])
+    for name, vals in samples.items():
+        assert len(vals) == 2 and all(v > 0 for v in vals), name
+        assert vals[0] == out["queries_cold"][name], name
+    totals = out["headline_queries_cold_total_samples"]
+    assert len(totals) == 2
+    assert totals[0] == out["headline_queries_cold_total_sec"]
 
     # r13 contention witnesses (r12 verdict #2): guest loadavg
     # before/after, KVM steal fraction over the run, and the fixed

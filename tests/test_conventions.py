@@ -9,6 +9,7 @@ fractions, power-of-two denominators) where naive ROUND diverges.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.queries.base import (
@@ -240,6 +241,7 @@ def test_scale_testdata_tool_shifts_keys_disjointly(spark, tmp_path):
 # query + ONE DuckDB query and compares vectors.
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_floor_ratio_matches_fraction_floor_property(spark, duck):
     from fractions import Fraction
 

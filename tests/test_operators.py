@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from duckdb_retail_pipeline_spark.functions import datetime_fns as DT
@@ -1083,6 +1085,7 @@ def test_phrase_search_hand_computed(spark):
         SR.phrase_search(idx, [])
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_lsh_index_upsert_supersedes_and_equals_bulk(spark):
     """Delta rows with an existing id supersede the old vector, new
     ids append, and the upserted index is row-identical to
@@ -1419,6 +1422,7 @@ def _ref_pagerank_redistribute(edges, iters, scale=10**6):
     return r, outdeg
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_pagerank_redistribute_matches_python_reference_property(spark):
     """r9 verdict #4: the textbook dangling-mass convention on
     ASYMMETRIC graphs — every src∪dst node ranked, dangling nodes
@@ -2476,6 +2480,7 @@ def test_frequent_tokens_certificate_false_at_exact_equality(spark):
     assert got == [("a", 10, False), ("b", 6, False)]
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_pagerank_until_stable_limit_cycle_is_honest(spark):
     """r10 verdict #5(b): a graph whose floor-rounding limit cycle
     never reaches an exact fixed point (epsilon=0) must exhaust
@@ -3448,6 +3453,7 @@ def test_q20_mode_null_regimes_match_after_oracle_fix(spark, tmp_path):
     assert got == {"B1": "small", "B3": "alum"}, got
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_x73_histogram_degenerate_distributions(spark, tmp_path):
     """r12 probe wave 2: equi-width histogram where the bin
     arithmetic degenerates — all-equal totals (width collapses to 1
@@ -3870,6 +3876,7 @@ def test_a02_a06_cube_with_null_valued_keys(spark, tmp_path):
     assert sorted(c[2] for c in cells) == [1, 2, 2, 5], cells
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_x74_apportionment_degenerate_masses(spark, tmp_path):
     """r12 probe wave 3: largest-remainder apportionment where the
     masses degenerate — a zero-token source (quota 0, can still win
@@ -3993,6 +4000,7 @@ def test_x63_fingerprint_canonicalization_cross_source(spark, tmp_path):
     assert (rows[0]["first_doc"], rows[0]["last_doc"]) == (1, 2)
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_a12_array_agg_null_values_and_empty_set_group(spark, tmp_path):
     """r12 probe wave 3 (two real finds in one probe): (1) DuckDB's
     list(DISTINCT x) KEEPS NULL while Spark's collect_set drops it —
@@ -4193,6 +4201,7 @@ def test_x41_sampling_strata_smaller_than_count(spark, tmp_path):
     assert ranks[10] == 1 and ranks[99] == 1   # singleton strata rank 1
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_x24_adversarial_null_pairs_and_degenerate_groups(spark, tmp_path):
     """r13 probe wave: x24's per-group OLS driven on regimes the
     driver corpus never hits — a nation with a SINGLE order (den=0 →
@@ -4623,6 +4632,7 @@ def test_x75_adversarial_rollup_boundaries(spark, tmp_path):
     assert got[("2024-07-01", "d")] == (1, 1)
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_pl_layer_adversarial_all_sentinel_corpus(spark, tmp_path):
     """r13 probe wave 4: the ENTIRE pipeline DAG on a corpus the P3
     cleaning filters to NOTHING — every l_orderkey is a multiple of
@@ -4744,6 +4754,7 @@ def test_x06_x08_x22_x41_adversarial_degenerate_corpus(spark, tmp_path):
     assert sorted(x22) == [("de", "x", 3), ("de", "y", 1)]
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_streaming_adversarial_boundaries_and_dirty_docs(spark, tmp_path):
     """r13 probe wave 5 (streaming): the streaming queries on an
     engineered corpus — events OUT OF ORDER within the watermark,
@@ -4811,6 +4822,7 @@ def test_streaming_adversarial_boundaries_and_dirty_docs(spark, tmp_path):
     assert len(fps) == 4 and fps.count(None) == 1
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_pivot_and_split_adversarial_sparse_categories(spark, tmp_path):
     """r13 probe wave 5: the reshape/split family on sparse
     categories — x18's pivot where users carry only SOME of the
@@ -5164,6 +5176,7 @@ def test_cohort_family_adversarial_minimal_corpora(spark, tmp_path):
     assert x84[("2024-02-01", 0)] == (6.0, 6.0)
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_profiling_sampling_incremental_adversarial_minimal(spark, tmp_path):
     """r13 probe wave 8: (a) x49's one-pass profiler on a ONE-ROW
     orders table (min == max per column, distinct == 1, zero nulls)
@@ -5312,6 +5325,7 @@ def _probe_retail_edge_tables():
     }
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_q_family_adversarial_retail_edges(spark, tmp_path):
     """r13 probe wave 9: the ENTIRE core q-family driven on the edge
     retail corpus (_probe_retail_edge_tables) — NULL order dates
@@ -5340,6 +5354,7 @@ def test_q_family_adversarial_retail_edges(spark, tmp_path):
         assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_text_dedup_family_adversarial_degenerate_docs(spark, tmp_path):
     """r13 probe wave 10: the text/dedup/curation family driven on
     one degenerate document corpus — exact duplicates (including a
@@ -5392,6 +5407,7 @@ def test_text_dedup_family_adversarial_degenerate_docs(spark, tmp_path):
     assert x01[None] == (6, 1)
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_embedding_family_adversarial_duplicates_and_zero(spark, tmp_path):
     """r13 probe wave 11: the embedding/ANN family driven on a
     corpus of DUPLICATED directions (exact copies, scaled copies —
@@ -5446,6 +5462,7 @@ def test_embedding_family_adversarial_duplicates_and_zero(spark, tmp_path):
         assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_graph_events_reports_adversarial_edges(spark, tmp_path):
     """r13 probe wave 12: the graph family on degenerate baskets —
     one order holding FIVE distinct parts (a complete co-purchase
@@ -5513,6 +5530,7 @@ def test_graph_events_reports_adversarial_edges(spark, tmp_path):
         assert x98[p] == 6, p
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_remaining_family_adversarial_sweep(spark, tmp_path):
     """r13 probe wave 13 — closes the probe-coverage worklist
     (tools/probe_coverage.py): the last 19 registered queries
@@ -5592,6 +5610,7 @@ def test_remaining_family_adversarial_sweep(spark, tmp_path):
         assert_matches(spec.fn(spark, sf), con, spec.oracle, f"{name}-probe")
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_zero_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
     """r13 probe wave 14: EVERY registered query + oracle on a
     ZERO-ROW corpus (each table keeps its real schema, holds no
@@ -5666,6 +5685,7 @@ def test_zero_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
                            f"{name}-zero-row")
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_one_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
     """r13 probe wave 15: every registered query + oracle on a
     ONE-ROW corpus (each table holds exactly its first real row) —
@@ -5743,6 +5763,7 @@ def test_one_row_corpus_full_registry_sweep(spark, sf_dir, tmp_path):
                            f"{name}-one-row")
 
 
+@pytest.mark.slow  # tier-2 (r13 verdict #1): see conftest
 def test_multipart_layout_full_registry_sweep(spark, sf_dir, tmp_path):
     """r13 probe wave 16: every registered query + oracle with every
     table stored as a MULTI-PART directory (4 part files, rows
@@ -5805,10 +5826,67 @@ def test_spread_is_scale_adaptive(spark, sf_dir, monkeypatch):
     assert n_shuffles(D.exact_dedup(docs)) == 2  # spread + groupBy
 
     # at-scale regime (scan splits >= target cores): skip again —
-    # simulate by shrinking maxPartitionBytes so size // split >= N
+    # simulate by shrinking maxPartitionBytes so size // split >= N.
+    # Since r14 the skip ALSO requires a proven row-group count >=
+    # target (ADVICE r13: byte-range estimates overcount splits for
+    # files with few/coarse row groups): sf0.001's single-row-group
+    # file must KEEP the spread even though the byte test passes,
+    # and a many-row-group rewrite of the same data must skip.
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
-        assert D._spread(docs, "doc_id").sameSemantics(docs)
+        # byte test passes, but one coarse row group = one real
+        # split: spreading is still the right call
+        assert not D._spread(docs, "doc_id").sameSemantics(docs)
+
+        # same rows written with >= defaultParallelism row groups:
+        # the scan genuinely has the splits, so the shuffle is skipped
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        target = spark.sparkContext.defaultParallelism
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/docs_many_rg.parquet"
+            tab = pq.read_table(f"{sf_dir}/documents.parquet")
+            rows_per_group = max(1, len(tab) // (target + 1))
+            pq.write_table(tab, path, row_group_size=rows_per_group)
+            many = spark.read.parquet(path)
+            assert pq.ParquetFile(path).metadata.num_row_groups >= target
+            assert D._spread(many, "doc_id").sameSemantics(many)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_size_probe_internal_api_present(spark, sf_dir):
+    """_spread's size probe reads the PRIVATE py4j surface
+    ``optimizedPlan().stats().sizeInBytes()`` — version-fragile, and
+    its failure path degrades silently to always-spread (a full
+    payload shuffle at scale). Pin the API so a Spark upgrade that
+    removes it fails THIS test loudly instead of shipping the
+    regression (r13 verdict #8)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    size = raw if isinstance(raw, int) else int(str(raw))
+    assert size > 0  # a real file-backed scan always has an estimate
+
+
+def test_spread_conf_bytes_parses_size_suffixes():
+    """ADVICE r13: a human-set maxPartitionBytes like '128m' must not
+    silently disable the at-scale skip. _conf_bytes handles the JVM
+    byteStringAsBytes grammar and raises on junk (the caller warns
+    once and falls back to spreading)."""
+    import pytest
+
+    from duckdb_retail_pipeline_spark.operators.dedup import _conf_bytes
+
+    assert _conf_bytes("134217728b") == 134217728
+    assert _conf_bytes("134217728") == 134217728
+    assert _conf_bytes("128m") == 128 << 20
+    assert _conf_bytes("128MB") == 128 << 20
+    assert _conf_bytes("1g") == 1 << 30
+    assert _conf_bytes(" 4k ") == 4096
+    with pytest.raises(ValueError):
+        _conf_bytes("lots")
+    with pytest.raises(ValueError):
+        _conf_bytes("128x")

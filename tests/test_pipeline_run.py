@@ -46,3 +46,40 @@ def test_rebuild_false_refuses_overwrite(spark, sf_dir):
         run_pipeline(spark, sf_dir, wh, rebuild=True)
         with pytest.raises(Exception):  # noqa: B017 — AnalysisException: path exists
             run_pipeline(spark, sf_dir, wh, rebuild=False)
+
+
+def test_layer_fill_is_dependency_pruned(spark, sf_dir):
+    """r14 guide-§5 optimization pin: build_layers' mapping fills
+    lazily per layer — accessing dim_calendar must not construct
+    fct/eur/agg/validation plans (the eager dict billed ~1.5 s of
+    downstream py4j plan construction to a pl03-only caller), and
+    repeat access returns the SAME handle (shared .cache() entries,
+    as before). Built on a tmp COPY of the dataset so unpersisting
+    the test's cache entries cannot drop plan-canonical-equal
+    entries shared with the session-memoized DAG other tests use."""
+    import shutil
+
+    from duckdb_retail_pipeline_spark.pipeline.run import LAYER_ORDER, _LayerDAG
+
+    with tempfile.TemporaryDirectory() as tmp:
+        data = os.path.join(tmp, "data")
+        shutil.copytree(sf_dir, data)
+        dag = _LayerDAG(spark, data)
+        assert set(dag) == set()  # nothing built up front
+        cal = dag["dim_calendar"]
+        # only the ancestor chain (staging fills all three raw keys)
+        assert set(dag) == {
+            "raw_retail_data",
+            "raw_fx_rates",
+            "raw_uk_holidays",
+            "dim_calendar",
+        }
+        assert dag["dim_calendar"] is cal  # same handle on repeat
+        assert cal.count() > 0  # and it executes
+        # every declared layer is reachable and the filled key set
+        # is exactly the layer order — no layer lost in the rewrite
+        for name in LAYER_ORDER:
+            assert dag[name] is not None
+        assert set(dag) == set(LAYER_ORDER)
+        for df in dag.values():
+            df.unpersist()

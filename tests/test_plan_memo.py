@@ -85,3 +85,45 @@ def test_plan_memo_registered_fns_are_pure_lazy():
         tags = REGISTRY[name].tags
         assert "streaming" not in tags, name
         assert "sink" not in tags, name
+
+
+def test_plan_memo_allowlist_is_complete():
+    """Every plan_memo application in the registry must appear in
+    MEMOIZED (r13 ADVICE): the purity pins below run over MEMOIZED,
+    so a new @plan_memo query added without extending this reviewed
+    list would silently escape them. Discovery is by the wrapper's
+    inspection marker, not by naming convention."""
+    applied = {
+        n
+        for n, s in REGISTRY.items()
+        if getattr(s.fn, "__plan_memo_tag__", None) is not None
+    }
+    assert applied == set(MEMOIZED)
+
+
+def test_plan_memo_builds_launch_no_spark_jobs(spark, sf_dir):
+    """ADVICE r13: the tag check above cannot catch a future eager
+    builder that carries neither 'streaming' nor 'sink' — plan_memo
+    would silently turn its build-time work into result caching.
+    Pin the behavior itself: with the session memos warm, every
+    wrapped query's UNWRAPPED build must launch ZERO Spark jobs
+    (genuinely eager work — a streaming query run to completion, a
+    sink write, an unmemoized action — launches jobs on every
+    build; the contract's allowed memoized probes, ANN anchors and
+    auto-mode counts, are warm by then and launch none)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for name in MEMOIZED:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir)  # warm the session memos (anchors, counts)
+        group = f"plan-memo-purity-{name}"
+        sc.setJobGroup(group, "plan_memo purity probe")
+        try:
+            fn.__wrapped__(spark, sf_dir)  # build only, no action
+            jobs = tracker.getJobIdsForGroup(group)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert list(jobs) == [], (
+            f"{name} launched Spark jobs during plan build: {jobs} — "
+            "eager work may not be plan_memo'd (result caching)"
+        )
