@@ -1414,6 +1414,91 @@ _X66_MAX_BASKET: int | None = None
 # is PRE-exchange (x44's regex scan) or not exchange-shaped at all
 # (x42's broadcast-join + window chain).
 
+# segment width of the salted pair enumeration (r14, guide §2.5):
+# a basket of m items splits into ceil(m/2048) hash segments, so no
+# single sort-merge join task computes more than ~2048*m pair
+# comparisons. Measured on the Zipf corpora (tools/zipf_baskets.py,
+# forced-SMJ = the beyond-broadcast shape): w=2048 beat w=512 and
+# w=4096 at both 10x- and 100x-class skew (zipf100: 49-53 s vs
+# 130-170 plain, 69 s at w=4096).
+_X66_SEG_WIDTH = 2048
+
+
+def _x66_pair_supports(items: DataFrame) -> DataFrame:
+    """Exact per-pair basket supports with a deliberate, measured
+    join-strategy dispatch (guide §3.1 pick the strategy, §2.5 salt
+    hot keys; r13 verdict #2 — the skew levers exercised on Zipf
+    corpora where one basket owns ~60% of all pair work):
+
+    - While the (order, part) side fits the broadcast threshold,
+      the straight self-join IS the skew-proof plan: Spark
+      broadcasts one side and the probe side stays partitioned by
+      (l_orderkey, l_partkey) from the distinct, so a mega-basket's
+      rows are already spread across tasks. Salting here only adds
+      exchanges — measured 2-6x SLOWER (zipf100 broadcast: plain
+      22-27 s, salted 57-162 s).
+    - Beyond the threshold the join becomes a sort-merge keyed on
+      l_orderkey alone: one mega-basket = one un-splittable key
+      (AQE's skew-join splits partitions, never single keys), and
+      one task computes ~m^2/2 pairs. The salted form gives every
+      item a segment pmod(xxhash64(part), ceil(bsz/W)) and
+      replicates the right side once per segment: a pair (x, y)
+      with part_x < part_y matches exactly once (at x's segment),
+      per-task work is bounded by ~W*m, and small baskets have ONE
+      segment so they degenerate to the plain join with no
+      replication. Measured at forced-SMJ: zipf10 23-25 -> 11.5-15.6
+      s, zipf100 130-170 -> 49-53 s, full-result checksums EQUAL on
+      sf0.1 + both Zipf corpora (tools/x66_skew_ab.py).
+
+    The dispatch mirrors Spark's own broadcast decision: the items
+    plan's estimated size (the same statistic Catalyst sizes the
+    join side with) against spark.sql.autoBroadcastJoinThreshold.
+    Probe failure keeps the plain form (the pre-r14 plan, never a
+    bench-scale regression) — the size-probe API itself is pinned by
+    test_spread_size_probe_internal_api_present."""
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    salted = False
+    try:
+        raw = items._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = raw if isinstance(raw, int) else int(str(raw))
+        from duckdb_retail_pipeline_spark.operators.dedup import _conf_bytes
+
+        thr = _conf_bytes(
+            items.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        salted = thr < 0 or est > thr
+    except Exception:  # noqa: BLE001 — unsizeable: keep the plain plan
+        pass
+    if salted:
+        segs = items.groupBy("l_orderkey").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(_X66_SEG_WIDTH))
+            .cast("int")
+            .alias("__nseg")
+        )
+        it = items.join(segs, "l_orderkey")
+        a = it.select(
+            "l_orderkey",
+            F.col("l_partkey").alias("part_a"),
+            F.pmod(F.xxhash64("l_partkey"), F.col("__nseg"))
+            .cast("int")
+            .alias("__seg"),
+        )
+        b = it.select(
+            "l_orderkey",
+            F.col("l_partkey").alias("part_b"),
+            F.explode(F.sequence(F.lit(0), F.col("__nseg") - 1)).alias("__seg"),
+        )
+        joined = a.join(b, ["l_orderkey", "__seg"])
+    else:
+        joined = a.join(b, "l_orderkey")
+    return (
+        joined.filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= _X66_MIN_SUPPORT)
+    )
+
 
 @register(
     "x66_basket_pairs",
@@ -1483,7 +1568,13 @@ _X66_MAX_BASKET: int | None = None
     "(supports aren't known until counted), so the cap is the one "
     "lever that bounds the per-key quadratic; measured max basket "
     "on this corpus is 17, so the registered uncapped semantics "
-    "and any cap ≥ 17 coincide here.",
+    "and any cap ≥ 17 coincide here. Pair enumeration (r14) "
+    "dispatches by the broadcast threshold: broadcastable corpora "
+    "keep the straight self-join (probe side is (order, part)-"
+    "partitioned — mega-baskets already spread), beyond it the "
+    "adaptive salted form splits each basket into ceil(m/2048) "
+    "hash segments so no sort-merge task owns a whole mega-basket "
+    "(exact counts either way — see _x66_pair_supports).",
     headline=True,
     tags=("retail", "association", "join"),
 )
@@ -1503,15 +1594,7 @@ def x66_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_i")
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-        .filter(F.col("support") >= _X66_MIN_SUPPORT)
-    )
+    pairs = _x66_pair_supports(items)
     scored = (
         pairs.join(
             ic.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("c_i", "c_a"),

@@ -509,3 +509,52 @@ def test_x66_basket_cap_optin_semantics(spark, sf_dir):
         )
     finally:
         A._X66_MAX_BASKET = None
+
+
+def test_x66_salted_pair_enumeration_is_exact_and_dispatches(
+    spark, sf_dir, tmp_path
+):
+    """r14 skew optimization (guide §2.5/§3.1, r13 verdict #2): the
+    pair enumeration dispatches on the broadcast threshold —
+    broadcastable corpora keep the straight self-join, beyond it
+    the adaptive salted form splits each basket into hash segments.
+    Pins: (a) both forms produce the IDENTICAL full result set on a
+    skewed corpus (one 600-item basket = multiple segments, many
+    2-item baskets = one segment, so both join branches carry
+    rows); (b) the dispatch actually switches (salted plan carries
+    the __seg segment column, plain does not); (c) the default
+    bench-scale plan stays plain (testdata is far under the
+    threshold). The corpus is parquet-backed: a createDataFrame
+    frame has NO size estimate (Long.MaxValue — Spark would not
+    auto-broadcast it either, and the dispatch rightly goes
+    salted), so only a file-backed plan exercises both branches."""
+    from duckdb_retail_pipeline_spark.queries import analytics as A
+
+    # skewed synthetic corpus: one mega basket + a uniform tail
+    rows = [(1, p) for p in range(600)]
+    rows += [(100 + o, p) for o in range(300) for p in (o % 50, o % 50 + 7)]
+    path = str(tmp_path / "skewed_items.parquet")
+    spark.createDataFrame(rows, "l_orderkey int, l_partkey int").write.parquet(
+        path
+    )
+    items = spark.read.parquet(path)
+
+    def full(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        plain = A._x66_pair_supports(items)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "__seg" not in plain_plan  # tiny file: broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = A._x66_pair_supports(items)
+        salted_plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__seg" in salted_plan  # dispatch switched
+        assert full(plain) == full(salted)  # exact, full result set
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # the registered query on driver testdata keeps the plain plan
+    q = A.x66_basket_pairs(spark, sf_dir)
+    assert "__seg" not in q._jdf.queryExecution().executedPlan().toString()
