@@ -61,6 +61,17 @@ def _pair_dedup(pairs: DataFrame, score_col: str) -> DataFrame:
 # it compares corpus bytes against per-task overhead, which does not
 # change with SPARK_GRAFT_CPUS.
 _SPREAD_MIN_INPUT_BYTES = 4 * 1024 * 1024
+# HEAVY kernels (the minhash signature build: ~28 md5 hashes plus
+# 16-64 permutation minima per document) do enough per-byte work
+# that fan-out pays well below the byte floor — PROVIDED the scan is
+# actually serial (one coarse row group), which is what the r13
+# bytes-only floor could not see (r13 verdict #5). Re-A/B'd r14
+# with fresh-session alternation and calibration stamps: x07 cold
+# at sf0.1 spread [3.04, 3.26, 5.69] vs no-spread [6.27, 6.67,
+# 7.75] — ~2x — with warm mins stable (0.19-0.32 both). The r13
+# session's opposite reading was taken under the host's parallel
+# throttling windows and is recorded in OPTIMIZATION_r13.md §2.
+_SPREAD_HEAVY_MIN_INPUT_BYTES = 256 * 1024
 
 
 # suffix multipliers of the JVM's byteStringAsBytes grammar (the
@@ -135,7 +146,7 @@ def _scan_has_row_groups(df: DataFrame, need: int) -> bool:
         return False
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def _spread(df: DataFrame, key: str, heavy: bool = False) -> DataFrame:
     """Repartition CPU-heavy per-document work across all cores —
     but only when the shuffle buys parallelism the scan does not
     already have (guide §2.4: remove shuffles outright; §2: make
@@ -150,7 +161,12 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
     - tiny inputs (< _SPREAD_MIN_INPUT_BYTES): per-task scheduling
       overhead exceeds the single-threaded compute being spread
-      (measured r13, see the constant's comment);
+      (measured r13, see the constant's comment). ``heavy=True``
+      callers (the minhash signature build) re-engage the fan-out
+      from _SPREAD_HEAVY_MIN_INPUT_BYTES up — but only when the
+      scan is PROVABLY serial (fewer row groups than cores), the
+      distinction the r13 bytes-only floor could not make (r13
+      verdict #5; measured ~2x on x07 cold, constants' comment);
     - inputs whose scan already yields >= target splits (the 100 TB
       regime: thousands of row groups/files): the repartition would
       shuffle the full text bytes corpus-wide to gain nothing — the
@@ -173,6 +189,12 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         # hands back a JavaObject past 2^63 — str() covers both
         size = raw if isinstance(raw, int) else int(str(raw))
         if size < _SPREAD_MIN_INPUT_BYTES:
+            if (
+                heavy
+                and size >= _SPREAD_HEAVY_MIN_INPUT_BYTES
+                and not _scan_has_row_groups(df, target)
+            ):
+                return df.repartition(target, key)
             return df
         max_split = _conf_bytes(
             df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
@@ -376,7 +398,7 @@ def minhash_lsh_pairs(
     # two verification re-joins — at scale this is the materialized
     # signature table every LSH dedup pipeline keeps.
     base = rotating_persist(
-        _spread(docs, id_col)
+        _spread(docs, id_col, heavy=True)
         .select(F.col(id_col), T.word_shingles(text_col, shingle_n).alias("sh"))
         .withColumn("hs", T.shingle_hashes28(F.col("sh")))
         .withColumn("sig", T.minhash_signature_from_hashes(F.col("hs"), num_hashes))

@@ -5858,6 +5858,41 @@ def test_spread_is_scale_adaptive(spark, sf_dir, monkeypatch):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_spread_heavy_kernel_below_byte_floor(spark, sf_dir, monkeypatch):
+    """r13 verdict #5: heavy kernels (the minhash signature build)
+    re-engage the fan-out below the general byte floor — but only
+    when the scan is provably serial. Pins: (a) tiny inputs below
+    even the heavy floor stay unshuffled; (b) in the heavy window a
+    single-row-group scan spreads for heavy callers ONLY (x01's
+    fingerprint path keeps its no-shuffle plan); (c) a
+    many-row-group scan of the same bytes does not spread — the
+    scan already has the parallelism."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from duckdb_retail_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sf0.001 documents (~6 KB) sit below the 256 KB heavy floor
+    assert D._spread(docs, "doc_id", heavy=True).sameSemantics(docs)
+
+    monkeypatch.setattr(D, "_SPREAD_HEAVY_MIN_INPUT_BYTES", 1)
+    assert not D._spread(docs, "doc_id", heavy=True).sameSemantics(docs)
+    # non-heavy callers are untouched by the heavy window
+    assert D._spread(docs, "doc_id").sameSemantics(docs)
+
+    target = spark.sparkContext.defaultParallelism
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs_many_rg.parquet"
+        tab = pq.read_table(f"{sf_dir}/documents.parquet")
+        pq.write_table(
+            tab, path, row_group_size=max(1, len(tab) // (target + 1))
+        )
+        many = spark.read.parquet(path)
+        assert D._spread(many, "doc_id", heavy=True).sameSemantics(many)
+
+
 def test_spread_size_probe_internal_api_present(spark, sf_dir):
     """_spread's size probe reads the PRIVATE py4j surface
     ``optimizedPlan().stats().sizeInBytes()`` — version-fragile, and
